@@ -1,0 +1,250 @@
+"""Deduplication operators (SURVEY.md §2.C): exact, normalized,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes
+------------------
+* exact/normalized dedup: hash-groupBy on the digest — one shuffle,
+  map-side partial agg, no row text ever shuffled (only the digest).
+* MinHash LSH: the classic shingle → k minhashes → band → bucket-join
+  pipeline. Candidate generation is a self-join on (band_id, band_key)
+  — at 100 TB this is the only join and its fan-out is bounded by
+  bucket sizes, not corpus size. Signatures are computed with JVM
+  higher-order functions (no Python).
+* SimHash: 64-bit signature folded JVM-side with aggregate/zip_with;
+  identical-signature grouping gives hamming-0 clusters, band tables
+  extend to hamming-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from burla_spark.operators.text import normalized
+
+
+# ---------------------------------------------------------------------------
+# exact / normalized dedup
+# ---------------------------------------------------------------------------
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct text: the surviving (minimum) id, the copy
+    count, and the content digest. Only the 64-hex digest shuffles."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_sha"))
+        .groupBy("text_sha")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def normalized_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Dedup on the canonicalized text (case/punct/whitespace-blind)."""
+    return (
+        df.select(F.col(id_col), F.sha2(normalized(F.col(text_col)), 256).alias("text_sha"))
+        .groupBy("text_sha")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Return df minus non-surviving duplicates (keeps min id per text)."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+def char_shingles(text_col, size: int = 5):
+    """Distinct character n-grams, built JVM-side via sequence+substring."""
+    t = F.lower(text_col)
+    return F.when(F.length(t) < size, F.array(t)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (size - 1)),
+                lambda i: t.substr(i, F.lit(size)),
+            )
+        )
+    )
+
+
+def word_ngrams(tokens_col, n: int = 2):
+    """Distinct word n-grams from a token array (1-based element_at)."""
+    if n == 1:
+        return F.array_distinct(tokens_col)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens_col, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(tokens_col) < n, F.array(F.concat_ws(" ", tokens_col))).otherwise(
+        F.array_distinct(joined)
+    )
+
+
+def jaccard(a, b):
+    """Exact Jaccard of two (distinct-element) arrays — JVM-side."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(shingles_col, num_hashes: int = 32):
+    """k minhashes: min over shingles of xxhash64(shingle, seed_j).
+    xxhash64 is Spark's built-in 64-bit hash — stable across runs and
+    cluster layouts, so signatures are reproducible at any scale."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles_col, lambda s, j=j: F.xxhash64(s, F.lit(j))
+                )
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH, exact-Jaccard verified.
+
+    banding: r = num_hashes/bands rows per band; a pair collides in a
+    band iff that band's minhashes all match → candidates; candidates
+    are then verified with exact shingle Jaccard >= threshold.
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"),
+        char_shingles(F.col(text_col), shingle_size).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col("sig")[b * r + i] for i in range(r)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sh = sigs.select("doc_id", "shingles")
+    verified = (
+        candidates.join(
+            sh.select(
+                F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+            ),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(tokens_col):
+    """64-bit SimHash folded in one JVM pass: per token, xxhash64 bits
+    vote +1/-1 per position; sign of each column becomes the signature
+    bit. No Python, no extra shuffle — a pure projection."""
+    bit_votes = F.aggregate(
+        tokens_col,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(-1).cast("long"))
+                    for i in range(64)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # bit 63 as a long literal is the sign bit (1<<63 wraps negative).
+    bits = [
+        F.when(
+            F.element_at(bit_votes, i + 1) > 0,
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_collision_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Docs sharing an identical 64-bit SimHash (hamming distance 0).
+    Output: one row per signature with >1 member."""
+    from burla_spark.operators.text import tokens
+
+    sigs = df.select(
+        F.col(id_col),
+        simhash(tokens(F.col(text_col))).alias("simhash"),
+    )
+    return (
+        sigs.groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.array_sort(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

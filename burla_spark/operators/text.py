@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data pipelines — language-ID,
+quality scoring, token counting, fingerprinting (SURVEY.md §2.C).
+
+Everything is a pure Catalyst column expression (regexp/array/hash
+built-ins) — zero Python UDFs, so a 100 TB document scan stays inside
+whole-stage codegen and the filters still push down around these
+projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram-free heuristic
+# language ID. Deliberately small + deterministic; real pipelines swap
+# in fastText et al. via mapInPandas (see operators/multimodal.py).
+LANG_PROFILES: dict[str, str] = {
+    "de": r"\b(der|die|und|ist|das|nicht)\b",
+    "en": r"\b(the|and|is|of|to|for)\b",
+    "es": r"\b(el|los|las|es|que|y)\b",
+    "fr": r"\b(le|la|les|et|est|des)\b",
+}
+CJK_PATTERN_SPARK = r"[一-鿿]"
+PUNCT_PATTERN = r"[.,;:!?'\"()\-]"
+STOPWORDS = ("the", "and", "is", "of", "to", "a", "in", "for")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the BPE-ish variant is token_pieces)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def token_pieces(text: Column) -> Column:
+    """BPE-ish sub-word segmentation: letter-runs, digit-runs, and
+    single punctuation marks each become a piece (regex tokenizer)."""
+    return F.expr(
+        r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"
+    )
+
+
+def normalized(text: Column) -> Column:
+    """Canonical form for near-dup detection: lowercase, strip
+    non-alphanumerics, collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint = md5 of the normalized text."""
+    return F.md5(normalized(text))
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Quality-scoring feature columns (length / punctuation / digit /
+    stopword ratios). All ratios are double divisions of exact counts —
+    bit-identical on any engine."""
+    n_chars = F.length(text).cast("double")
+    toks = tokens(text)
+    n_tokens = F.size(toks).cast("double")
+    n_punct = F.regexp_count(text, F.lit(PUNCT_PATTERN)).cast("double")
+    n_digits = F.regexp_count(text, F.lit("[0-9]")).cast("double")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(split(trim(text), '\\\\s+'), t -> lower(t) IN ({stop_list})))"
+    ).cast("double")
+    return {
+        "n_chars_d": n_chars,
+        "n_tokens": n_tokens.cast("long"),
+        "punct_ratio": n_punct / n_chars,
+        "digit_ratio": n_digits / n_chars,
+        "stopword_ratio": n_stop / n_tokens,
+        "avg_token_len": (n_chars - (n_tokens - 1)) / n_tokens,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0, ~1]: rewards stopword presence
+    (fluent prose) and sane token lengths, penalizes digit/punct soup."""
+    q = quality_columns(text)
+    return (
+        F.lit(0.4) * F.least(q["stopword_ratio"] * 4.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(q["digit_ratio"] * 5.0, F.lit(1.0)))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(q["punct_ratio"] * 5.0, F.lit(1.0)))
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    low = F.lower(text)
+    scores: dict[str, Column] = {
+        lang: F.regexp_count(low, F.lit(pat)).cast("long")
+        for lang, pat in LANG_PROFILES.items()
+    }
+    scores["zh"] = F.regexp_count(text, F.lit(CJK_PATTERN_SPARK)).cast("long")
+    return scores
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax over language profiles; ties resolve alphabetically
+    (deterministic). Returns 'und' when nothing matches."""
+    s = lang_scores(text)
+    best = F.greatest(*s.values())
+    expr = F.lit("und")
+    # reversed alphabetical so the earliest language wins ties.
+    for lang in sorted(s, reverse=True):
+        expr = F.when((s[lang] > 0) & (s[lang] == best), lang).otherwise(expr)
+    return expr

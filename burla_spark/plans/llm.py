@@ -1,0 +1,289 @@
+"""LLM-training-data pipeline queries (SURVEY.md §2.C) over the
+documents / embeddings tables: dedup family, similarity search, text
+analysis. SQL-expressible ones carry an exact DuckDB oracle; the
+hash-based ones (MinHash/SimHash/LSH — xxhash64 has no DuckDB twin)
+are rows-only checked by the driver and property-tested in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from burla_spark.operators import dedup as dd
+from burla_spark.operators import similarity as sim
+from burla_spark.operators import text as tx
+from burla_spark.plans.base import QuerySpec
+from burla_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# dedup — exact & normalized (oracle-checked)
+# ---------------------------------------------------------------------------
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup_groups(d, "doc_id", "text")
+
+
+EXACT_DEDUP_SQL = """
+SELECT sha256(text) AS text_sha, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+"""
+
+
+def normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.normalized_dedup_groups(d, "doc_id", "text")
+
+
+NORMALIZED_DEDUP_SQL = r"""
+SELECT
+  sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS text_sha,
+  MIN(doc_id) AS keep_id,
+  COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup — n-gram Jaccard (exact, source-blocked; oracle-checked)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard >= 0.4 among docs sharing a source
+    block. Blocking bounds the pair count (the unblocked scale path is
+    minhash_dedup_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        "source",
+        dd.word_ngrams(tx.tokens(F.col("text")), 2).alias("grams"),
+    )
+    l, r = g.alias("l"), g.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.source") == F.col("r.source"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            dd.jaccard(F.col("l.grams"), F.col("r.grams")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+    )
+
+
+NGRAM_JACCARD_SQL = r"""
+WITH g AS (
+  SELECT doc_id, source,
+    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 2
+         THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+         ELSE list_distinct(list_transform(
+                generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 1),
+                i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                     regexp_split_to_array(trim(text), '\s+')[i + 1]))
+    END AS grams
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+    / len(list_distinct(a.grams || b.grams)) AS jaccard
+FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+    / len(list_distinct(a.grams || b.grams)) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup — MinHash LSH & SimHash (hash-based; rows-only driver check,
+# recall property-tested in tests/test_dedup.py)
+# ---------------------------------------------------------------------------
+def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, shingle_size=5, threshold=0.5
+    )
+
+
+def simhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash_collision_groups(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return sim.cosine_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding", k=10
+    )
+
+
+EMBEDDING_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+p AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    SUM(CAST(q.qe[s.i] AS DOUBLE) * CAST(c.embedding[s.i] AS DOUBLE)) AS dot,
+    SUM(CAST(q.qe[s.i] AS DOUBLE) * CAST(q.qe[s.i] AS DOUBLE)) AS qq,
+    SUM(CAST(c.embedding[s.i] AS DOUBLE) * CAST(c.embedding[s.i] AS DOUBLE)) AS cc
+  FROM q, embeddings c, (SELECT UNNEST(generate_series(1, 64)) AS i) s
+  WHERE q.query_id <> c.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    dot / (SQRT(qq) * SQRT(cc)) AS raw_sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, rank, ROUND(raw_sim, 6) AS sim
+FROM scored WHERE rank <= 10
+"""
+
+
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (LSH-bucketed) variant — the 100 TB path. No SQL
+    oracle (xxhash64 planes); recall vs brute force asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return sim.lsh_bucketed_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding", k=10, num_planes=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (oracle-checked)
+# ---------------------------------------------------------------------------
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang", "n_chars", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_TOKEN_STATS_SQL = r"""
+SELECT lang,
+  COUNT(*) AS n_docs,
+  SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+  MIN(n_chars) AS min_chars,
+  MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    q = tx.quality_columns(F.col("text"))
+    return d.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["digit_ratio"].alias("digit_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+TEXT_QUALITY_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\-]')) AS DOUBLE) AS n_punct,
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digits,
+    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      t -> lower(t) IN ('the','and','is','of','to','a','in','for'))) AS DOUBLE) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  n_punct / n_chars AS punct_ratio,
+  n_digits / n_chars AS digit_ratio,
+  n_stop / n_tokens AS stopword_ratio,
+  0.4 * LEAST(n_stop / n_tokens * 4.0, 1.0)
+    + 0.3 * (1.0 - LEAST(n_digits / n_chars * 5.0, 1.0))
+    + 0.3 * (1.0 - LEAST(n_punct / n_chars * 5.0, 1.0)) AS quality
+FROM f
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        tx.lang_id(F.col("text")).alias("lang_guess"),
+    )
+
+
+LANG_ID_SQL = r"""
+WITH s AS (
+  SELECT doc_id, lang,
+    len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|for)\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\b(el|los|las|es|que|y)\b')) AS s_es,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des)\b')) AS s_fr,
+    len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE
+    WHEN s_de > 0 AND s_de >= GREATEST(s_en, s_es, s_fr, s_zh) THEN 'de'
+    WHEN s_en > 0 AND s_en >= GREATEST(s_de, s_es, s_fr, s_zh) THEN 'en'
+    WHEN s_es > 0 AND s_es >= GREATEST(s_de, s_en, s_fr, s_zh) THEN 'es'
+    WHEN s_fr > 0 AND s_fr >= GREATEST(s_de, s_en, s_es, s_zh) THEN 'fr'
+    WHEN s_zh > 0 AND s_zh >= GREATEST(s_de, s_en, s_es, s_fr) THEN 'zh'
+    ELSE 'und'
+  END AS lang_guess
+FROM s
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.fingerprint(F.col("text")).alias("fingerprint"),
+        tx.token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint,
+  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+FROM documents
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_SQL, ("dedup",)),
+    QuerySpec("normalized_dedup_docs", normalized_dedup_docs, NORMALIZED_DEDUP_SQL, ("dedup",)),
+    QuerySpec("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL, ("dedup",)),
+    QuerySpec("minhash_dedup_pairs", minhash_dedup_pairs, None, ("dedup", "lsh")),
+    QuerySpec("simhash_dedup_groups", simhash_dedup_groups, None, ("dedup", "lsh")),
+    QuerySpec("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_TOPK_SQL, ("similarity",)),
+    QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, ("similarity", "lsh")),
+    QuerySpec("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL, ("text",)),
+    QuerySpec("text_quality_scores", text_quality_scores, TEXT_QUALITY_SQL, ("text",)),
+    QuerySpec("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL, ("text",)),
+    QuerySpec("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINT_SQL, ("text",)),
+]

@@ -1,0 +1,189 @@
+"""Time-series operators over the events table (SURVEY.md §2.B
+streaming rows, batch form) — tumbling windows, as-of join,
+sessionization. The streaming variants live in burla_spark/streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from burla_spark.functions.numeric import money_sum
+from burla_spark.operators.asof import asof_join
+from burla_spark.plans.base import QuerySpec
+from burla_spark.sources.tables import load_table
+
+
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling-window aggregation via the native window()
+    function (epoch-aligned buckets). Scale: single shuffle on
+    (bucket, event_type); identical shape batch or streaming."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum("value", "total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+# DuckDB mirror: epoch-aligned 10-minute buckets. make_timestamp takes
+# microseconds; epoch() yields (fractional) seconds treating the naive
+# timestamp as UTC — the Spark session is pinned to UTC for the same
+# semantics (session.py).
+EVENTS_TUMBLING_SQL = """
+SELECT
+  make_timestamp(CAST(FLOOR(epoch(ts) / 600) * 600 * 1000000 AS BIGINT)) AS bucket_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the most recent click (ts <= purchase ts) by
+    the same user — implemented with the union+window as-of operator
+    (see operators/asof.py), verified against DuckDB's native ASOF JOIN."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_cols=("click_id", "click_ts"),
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT
+  p.purchase_id, p.user_id, p.purchase_ts, p.purchase_value,
+  c.click_id, c.click_ts
+FROM (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+) p
+ASOF LEFT JOIN (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+) c ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): lag → new-session
+    flag → cumulative sum = session id → per-session agg. One shuffle
+    on user_id; all integer (microsecond) arithmetic so both engines
+    agree bit-for-bit."""
+    gap_us = 30 * 60 * 1_000_000
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    new_session = F.when(
+        ts_us - F.lag(ts_us, 1).over(w) > gap_us, 1
+    ).otherwise(F.when(F.lag(ts_us, 1).over(w).isNull(), 1).otherwise(0))
+    sessions = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_seq"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            money_sum("value", "session_value"),
+        )
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT
+    user_id, ts, event_id, value,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+           OR LAG(epoch_us(ts)) OVER w IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT
+  user_id, session_seq,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute windows sliding every 10 minutes — each event lands in
+    3 buckets (window() expands, then one shuffle to aggregate)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), money_sum("value", "total_value"))
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "total_value")
+    )
+
+
+# Mirror the slide expansion with generate_series: event at t belongs to
+# buckets starting at floor((t - off)/600)*600 for off in {0,600,1200}
+# intersected with window length 1800.
+EVENTS_SLIDING_SQL = """
+WITH expanded AS (
+  SELECT
+    make_timestamp(CAST((FLOOR(epoch(ts) / 600) - s.i) * 600 * 1000000 AS BIGINT)) AS bucket_start,
+    value
+  FROM events, (SELECT UNNEST(generate_series(0, 2)) AS i) s
+)
+SELECT bucket_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY bucket_start
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("events_tumbling_agg", events_tumbling_agg, EVENTS_TUMBLING_SQL, ("window", "timeseries")),
+    QuerySpec("events_sliding_agg", events_sliding_agg, EVENTS_SLIDING_SQL, ("window", "timeseries")),
+    QuerySpec("events_asof_join", events_asof_join, EVENTS_ASOF_SQL, ("join", "timeseries")),
+    QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL, ("window", "timeseries")),
+]

@@ -1,0 +1,194 @@
+"""remote_parallel_map — the reference's single public operator
+(reference: client/src/burla/_remote_parallel_map.py:457-756), rebuilt
+Spark-first.
+
+Semantics preserved (reference cites in parens):
+* unordered results, exactly one result or one attributed error per
+  input (_remote_parallel_map.py:519-521; §2 exactly-once contract)
+* tuples unpack to *args, lists do not (_remote_parallel_map.py:541)
+* empty input short-circuits (_remote_parallel_map.py:542-543)
+* function / input size guards (FunctionTooBig / InputTooBig,
+  _remote_parallel_map.py:222-224, _node.py:25)
+* generator mode streams results as partitions finish
+  (_remote_parallel_map.py:703-715; partition-ordered — divergence
+  documented in SURVEY.md §7.3.2)
+* errors re-raise on the driver with the original type, message, remote
+  traceback text and ``burla_input_index`` (_node.py:638-663)
+* per-input stdout is captured and surfaced (worker_client.py:154-338;
+  arrives with the result, not live — SURVEY.md §7.3.1)
+
+Spark replaces the reference's entire transport/scheduling machinery
+(scatter, queues, work stealing, ack/replay, heartbeats — §2
+A5-A10/A15/A21) with the DataFrame runtime: inputs become a binary
+DataFrame, the function runs under ``mapInPandas`` (Arrow-batched), and
+Spark's deterministic task retry provides the exactly-once contract.
+At scale the input DataFrame partitions over the cluster exactly like
+any other table — a million inputs is a small DataFrame.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+import sys
+import traceback
+from collections.abc import Callable, Iterable, Iterator
+from contextlib import redirect_stdout
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+MAX_FUNCTION_SIZE_BYTES = 100_000_000  # 0.1 GB, reference _remote_parallel_map.py:222
+MAX_INPUT_SIZE_BYTES = 200_000_000  # 200 MB, reference _node.py:25
+
+RESULT_SCHEMA = (
+    "idx long, is_error boolean, payload binary, stdout string, "
+    "error_type string, error_msg string, error_tb string"
+)
+
+
+class FunctionTooBig(Exception):
+    pass
+
+
+class InputTooBig(Exception):
+    pass
+
+
+class RpmError(Exception):
+    """Re-raised UDF error with input attribution.
+
+    Carries ``burla_input_index`` like the reference (_node.py:652) and
+    chains the remote traceback text."""
+
+    def __init__(self, error_type: str, message: str, remote_traceback: str, index: int):
+        super().__init__(
+            f"{error_type}: {message} (burla_input_index={index})\n"
+            f"--- remote traceback ---\n{remote_traceback}"
+        )
+        self.error_type = error_type
+        self.original_message = message
+        self.remote_traceback = remote_traceback
+        self.burla_input_index = index
+
+
+def _cloudpickle():
+    # Spark vendors cloudpickle; fall back to the standalone package.
+    try:
+        from pyspark import cloudpickle  # type: ignore
+
+        return cloudpickle
+    except ImportError:  # pragma: no cover
+        import cloudpickle  # type: ignore
+
+        return cloudpickle
+
+
+def _make_udf(function_pkl: bytes, capture_stdout: bool):
+    """Build the mapInPandas worker: unpickle once per task, run each
+    input, emit (idx, is_error, payload, stdout, error fields)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        fn = pickle.loads(function_pkl)
+        for batch in batches:
+            out: dict[str, list] = {
+                "idx": [], "is_error": [], "payload": [], "stdout": [],
+                "error_type": [], "error_msg": [], "error_tb": [],
+            }
+            for idx, blob in zip(batch["idx"], batch["payload"]):
+                arg = pickle.loads(bytes(blob))
+                buf = io.StringIO()
+                try:
+                    if capture_stdout:
+                        with redirect_stdout(buf):
+                            result = fn(*arg) if isinstance(arg, tuple) else fn(arg)
+                    else:
+                        result = fn(*arg) if isinstance(arg, tuple) else fn(arg)
+                    out["idx"].append(int(idx))
+                    out["is_error"].append(False)
+                    out["payload"].append(pickle.dumps(result))
+                    out["stdout"].append(buf.getvalue())
+                    out["error_type"].append(None)
+                    out["error_msg"].append(None)
+                    out["error_tb"].append(None)
+                except Exception as exc:  # noqa: BLE001 — user code may raise anything
+                    out["idx"].append(int(idx))
+                    out["is_error"].append(True)
+                    out["payload"].append(None)
+                    out["stdout"].append(buf.getvalue())
+                    out["error_type"].append(type(exc).__name__)
+                    out["error_msg"].append(str(exc))
+                    out["error_tb"].append(traceback.format_exc())
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def remote_parallel_map(
+    function_: Callable,
+    inputs: Iterable[Any],
+    spark: SparkSession | None = None,
+    max_parallelism: int | None = None,
+    generator: bool = False,
+    capture_stdout: bool = True,
+    stdout_sink: Callable[[int, str], None] | None = None,
+):
+    """Apply ``function_`` to every input on the cluster; return results
+    (unordered list, or a generator when ``generator=True``).
+
+    API-compatible core of the reference operator. Resource knobs
+    (func_cpu/func_ram/func_gpu/image) are session/cluster-level
+    concerns in Spark — see SURVEY.md §7.2/§7.3 for the mapping.
+    """
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession; pass spark=")
+
+    inputs = list(inputs)
+    if not inputs:  # reference short-circuit (_remote_parallel_map.py:542)
+        return iter(()) if generator else []
+
+    cp = _cloudpickle()
+    function_pkl = cp.dumps(function_)
+    if len(function_pkl) > MAX_FUNCTION_SIZE_BYTES:
+        raise FunctionTooBig(
+            f"pickled function is {len(function_pkl)} bytes "
+            f"(max {MAX_FUNCTION_SIZE_BYTES})"
+        )
+
+    rows = []
+    for i, item in enumerate(inputs):
+        blob = pickle.dumps(item)
+        if len(blob) > MAX_INPUT_SIZE_BYTES:
+            raise InputTooBig(
+                f"input {i} pickles to {len(blob)} bytes (max {MAX_INPUT_SIZE_BYTES})"
+            )
+        rows.append((i, blob))
+
+    default_par = spark.sparkContext.defaultParallelism
+    n_parts = min(len(rows), max_parallelism or default_par * 2)
+    df = spark.createDataFrame(rows, "idx long, payload binary").repartition(n_parts)
+    result_df = df.mapInPandas(_make_udf(function_pkl, capture_stdout), RESULT_SCHEMA)
+
+    def handle(row):
+        if row.stdout and stdout_sink is not None:
+            stdout_sink(row.idx, row.stdout)
+        elif row.stdout:
+            sys.stdout.write(row.stdout)
+        if row.is_error:
+            raise RpmError(row.error_type, row.error_msg, row.error_tb, row.idx)
+        return pickle.loads(bytes(row.payload))
+
+    if generator:
+
+        def stream():
+            # toLocalIterator: partition-ordered streaming (divergence
+            # from the reference's completion order — SURVEY.md §7.3.2).
+            for row in result_df.toLocalIterator(prefetchPartitions=True):
+                yield handle(row)
+
+        return stream()
+
+    return [handle(row) for row in result_df.collect()]

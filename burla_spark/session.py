@@ -1,0 +1,65 @@
+"""SparkSession factory with a scale-oriented config profile.
+
+The defaults here are the ones we would ship to a 1000-executor cluster:
+AQE on (runtime re-plan, skew-join splitting, dynamic coalescing),
+Arrow on (vectorized Python interop), explicit shuffle-partition sizing,
+and UTC session time so results are timezone-stable across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "burla_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's config profile.
+
+    On a real cluster ``master`` comes from the environment; locally we
+    default to ``local[N]`` with N from ``$SPARK_GRAFT_CPUS`` (default 32).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- scale profile -------------------------------------------------
+        # AQE: runtime shuffle-partition coalescing, skew-join splitting,
+        # broadcast-join demotion/promotion from real stats.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Shuffle width: sized to total task slots locally; on a big
+        # cluster AQE coalesces down from a deliberately-high initial value.
+        .config("spark.sql.shuffle.partitions", str(sp))
+        # Arrow for all pandas/Python interop (mapInPandas, pandas_udf,
+        # toPandas) — batch transfer instead of row pickling.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Broadcast threshold: dims like region/nation/supplier always
+        # broadcast; AQE re-checks with runtime sizes.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet scan granularity — 128 MB splits keep 100 TB scans at
+        # ~800k tasks, the sweet spot for task-scheduling overhead.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Timezone-stable semantics across Spark and the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Reuse Python workers across tasks (the reference keeps worker
+        # processes hot across jobs — worker_server.py:124-131).
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
