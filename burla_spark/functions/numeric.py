@@ -38,3 +38,18 @@ def money_avg(col: str | Column, alias: str) -> Column:
 def sql_dec(expr: str) -> str:
     """DuckDB-side mirror of :func:`dec` for oracle SQL strings."""
     return f"CAST({expr} AS DECIMAL(18,4))"
+
+
+def let(col: Column, fn) -> Column:
+    """Bind a computed column once per row and reuse it.
+
+    Catalyst inlines projection aliases and does NOT eliminate common
+    subexpressions inside higher-order-function lambdas — so an
+    expression like ``transform(seq, i -> element_at(split(text), i))``
+    re-splits the text for every element. Wrapping the value in a
+    1-element array and referencing it through the lambda variable
+    forces a single evaluation:
+
+        let(tokens_expr, lambda toks: ...use toks many times...)
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)

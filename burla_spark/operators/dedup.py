@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from burla_spark.functions.numeric import let
 from burla_spark.operators.text import normalized
 
 
@@ -63,53 +64,70 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
 # shingling
 # ---------------------------------------------------------------------------
 def char_shingles(text_col, size: int = 5):
-    """Distinct character n-grams, built JVM-side via sequence+substring."""
-    t = F.lower(text_col)
-    return F.when(F.length(t) < size, F.array(t)).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(t) - (size - 1)),
-                lambda i: t.substr(i, F.lit(size)),
+    """Distinct character n-grams, built JVM-side via sequence+substring.
+    The lowered text is let-bound so each substring doesn't re-lower the
+    whole document (lambdas don't CSE — see functions.numeric.let)."""
+    return let(
+        F.lower(text_col),
+        lambda t: F.when(F.length(t) < size, F.array(t)).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - (size - 1)),
+                    lambda i: t.substr(i, F.lit(size)),
+                )
             )
-        )
+        ),
     )
 
 
 def word_ngrams(tokens_col, n: int = 2):
-    """Distinct word n-grams from a token array (1-based element_at)."""
+    """Distinct word n-grams from a token array (1-based element_at).
+    The token array is let-bound: without it every element_at inside the
+    transform lambda would re-evaluate the tokenizer per gram."""
     if n == 1:
         return F.array_distinct(tokens_col)
-    joined = F.transform(
-        F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens_col, i + j) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(tokens_col) < n, F.array(F.concat_ws(" ", tokens_col))).otherwise(
-        F.array_distinct(joined)
-    )
+
+    def build(toks):
+        joined = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array_distinct(joined)
+        )
+
+    return let(tokens_col, build)
 
 
 def jaccard(a, b):
-    """Exact Jaccard of two (distinct-element) arrays — JVM-side."""
-    inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_union(a, b)).cast("double")
-    return inter / union
+    """Exact Jaccard of two distinct-element arrays — JVM-side.
+    |A∪B| is derived as |A|+|B|-|A∩B| so only one set op materializes;
+    the intersection size is let-bound so it's computed once even when
+    the caller uses jaccard in both a projection and a filter."""
+    return let(
+        F.size(F.array_intersect(a, b)).cast("double"),
+        lambda inter: inter / ((F.size(a) + F.size(b)).cast("double") - inter),
+    )
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 def minhash_signature(shingles_col, num_hashes: int = 32):
-    """k minhashes: min over shingles of xxhash64(shingle, seed_j).
+    """k minhashes over a PRE-HASHED (long-array) shingle column.
+
+    Callers hash each string shingle ONCE to a long (xxhash64), then
+    the k per-function hashes here are xxhash64(long, seed_j) — 8-byte
+    rehashes instead of k full string hashes (k× less string traffic;
+    at 100 TB the first level dominates and it's a single pass).
     xxhash64 is Spark's built-in 64-bit hash — stable across runs and
     cluster layouts, so signatures are reproducible at any scale."""
     return F.array(
         *[
             F.array_min(
-                F.transform(
-                    shingles_col, lambda s, j=j: F.xxhash64(s, F.lit(j))
-                )
+                F.transform(shingles_col, lambda h, j=j: F.xxhash64(h, F.lit(j)))
             )
             for j in range(num_hashes)
         ]
@@ -136,10 +154,20 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
 
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"),
-        char_shingles(F.col(text_col), shingle_size).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    # shingle → hash-to-long once; signatures, banding and the exact-
+    # Jaccard verification all work on the long arrays (collision odds
+    # ~2^-64 per pair — immaterial for dedup).
+    sigs = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            char_shingles(F.col(text_col), shingle_size).alias("shingles"),
+        )
+        .select(
+            "doc_id",
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+        )
+        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    )
 
     band_structs = F.array(
         *[
@@ -199,35 +227,34 @@ def simhash(tokens_col):
     """64-bit SimHash folded in one JVM pass: per token, xxhash64 bits
     vote +1/-1 per position; sign of each column becomes the signature
     bit. No Python, no extra shuffle — a pure projection."""
-    bit_votes = F.aggregate(
-        tokens_col,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1).cast("long"),
-                    ).otherwise(F.lit(-1).cast("long"))
-                    for i in range(64)
-                ]
-            ),
-            lambda a, b: a + b,
-        ),
-    )
-    # bit 63 as a long literal is the sign bit (1<<63 wraps negative).
-    bits = [
-        F.when(
-            F.element_at(bit_votes, i + 1) > 0,
-            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(64)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    # hash each token once (let-bound); per signature bit, an
+    # allocation-free popcount aggregate counts set bits across tokens —
+    # the bit is 1 when set bits form a strict majority (same as the
+    # classic ±1 vote sum being positive).
+    def fold(hashes):
+        n = F.size(hashes).cast("long")
+
+        def ones(i: int):
+            return F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
+            )
+
+        # bit 63 as a long literal is the sign bit (1<<63 wraps negative).
+        bits = [
+            F.when(
+                ones(i) * 2 > n,
+                F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(64)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out.bitwiseOR(b)
+        return out
+
+    return let(F.transform(tokens_col, lambda t: F.xxhash64(t)), fold)
 
 
 def simhash_collision_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

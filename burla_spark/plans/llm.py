@@ -50,20 +50,31 @@ GROUP BY 1
 # dedup — n-gram Jaccard (exact, source-blocked; oracle-checked)
 # ---------------------------------------------------------------------------
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-bigram Jaccard >= 0.4 among docs sharing a source
-    block. Blocking bounds the pair count (the unblocked scale path is
-    minhash_dedup_pairs)."""
+    """Exact word-bigram Jaccard >= 0.4 among docs sharing a block of
+    (source, gram-count band of 8). Near-dups have near-equal lengths,
+    so banding bounds the pairwise work; the unblocked scale path is
+    minhash_dedup_pairs.
+
+    The Jaccard itself runs on xxhash64'd grams (8-byte set ops instead
+    of string set ops — same value modulo 2^-64 collisions; the oracle
+    computes it on the raw strings)."""
     d = load_table(spark, sf_dir, "documents")
     g = d.select(
         "doc_id",
         "source",
         dd.word_ngrams(tx.tokens(F.col("text")), 2).alias("grams"),
+    ).select(
+        "doc_id",
+        "source",
+        F.transform("grams", lambda s: F.xxhash64(s)).alias("grams"),
+        F.expr("size(grams) div 8").alias("band"),
     )
     l, r = g.alias("l"), g.alias("r")
     return (
         l.join(
             r,
             (F.col("l.source") == F.col("r.source"))
+            & (F.col("l.band") == F.col("r.band"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(
@@ -89,10 +100,13 @@ WITH g AS (
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-    / len(list_distinct(a.grams || b.grams)) AS jaccard
-FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    / (CAST(len(a.grams) + len(b.grams) AS DOUBLE) - len(list_intersect(a.grams, b.grams))) AS jaccard
+FROM g a JOIN g b
+  ON a.source = b.source
+ AND len(a.grams) // 8 = len(b.grams) // 8
+ AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-    / len(list_distinct(a.grams || b.grams)) >= 0.4
+    / (CAST(len(a.grams) + len(b.grams) AS DOUBLE) - len(list_intersect(a.grams, b.grams))) >= 0.4
 """
 
 
