@@ -1,0 +1,146 @@
+"""Multimodal column operators (SURVEY.md §2.C): images/audio/video as
+opaque ``binary`` payloads + typed metadata, processed by Arrow-batched
+``mapInPandas`` stages.
+
+This mirrors the reference's pattern of shipping media through the
+shared bucket and decoding inside worker UDFs (``blobstore.py:1-13``,
+``worker_client.py:477,492``) — but as first-class DataFrame columns:
+
+    blob_df = attach_blob(df, payload_col, content_type)
+    feats   = extract_features(blob_df)         # mapInPandas, batched
+    thumbs  = decode_and_resize(blob_df, 64, 64)
+
+The Spark-side plumbing (schemas, batch iteration, partition sizing,
+init-once-per-partition decoding) is real and tested; the actual codec
+call is stubbed behind an import-try — this container has no
+PIL/librosa — with a deterministic fallback featureizer so pipelines
+are testable end-to-end. Swap ``_decode_image`` for a real decoder and
+nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOB_META_SCHEMA = (
+    "content_type string, n_bytes long, sha string"
+)
+
+FEATURE_DIM = 16
+
+
+def attach_blob_metadata(df: DataFrame, payload_col: str, content_type: str) -> DataFrame:
+    """Add the typed metadata struct every multimodal column carries:
+    (content_type, n_bytes, sha256). Pure JVM projection."""
+    p = F.col(payload_col)
+    return df.withColumn(
+        "blob_meta",
+        F.struct(
+            F.lit(content_type).alias("content_type"),
+            F.length(p).cast("long").alias("n_bytes"),
+            F.sha2(p, 256).alias("sha"),
+        ),
+    )
+
+
+def _decode_image(payload: bytes) -> tuple[int, int]:
+    """Decode → (width, height). Real codec when available, else a
+    deterministic fake derived from the payload header (the container
+    ships no imaging libs — SURVEY.md §2.C stub contract)."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+
+        img = Image.open(io.BytesIO(payload))
+        return img.width, img.height
+    except ImportError:
+        # deterministic fake: dimensions derived from payload bytes.
+        h = payload[:8].ljust(8, b"\0")
+        return 16 + h[0] % 64, 16 + h[1] % 64
+
+
+def _byte_histogram(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in feature vector: normalized byte histogram
+    (real pipelines put a CNN/CLIP embedding here)."""
+    counts = [0] * dim
+    for b in payload:
+        counts[b % dim] += 1
+    n = max(len(payload), 1)
+    return [c / n for c in counts]
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas feature extraction: iterator pattern so any model
+    load happens once per partition; Arrow batches bound memory."""
+    out_schema = f"{', '.join(f'{c} {t}' for c, t in df.dtypes)}, width long, height long, features array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # init-once-per-partition hook (model load would go here).
+        for batch in batches:
+            payloads = batch[payload_col]
+            dims = [_decode_image(bytes(p)) for p in payloads]
+            batch = batch.copy()
+            batch["width"] = [d[0] for d in dims]
+            batch["height"] = [d[1] for d in dims]
+            batch["features"] = [_byte_histogram(bytes(p)) for p in payloads]
+            yield batch
+
+    return df.mapInPandas(run, out_schema)
+
+
+def decode_and_resize(
+    df: DataFrame, width: int, height: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Resize stage: emits a (deterministically fake) resized payload +
+    target dims. Real resize drops in at the marked call."""
+    out_schema = f"{', '.join(f'{c} {t}' for c, t in df.dtypes)}, resized binary, out_w long, out_h long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            batch = batch.copy()
+            # REAL RESIZE GOES HERE; the fake keeps a deterministic,
+            # size-bounded payload so plumbing is testable.
+            batch["resized"] = [
+                bytes(p)[: width * height // 8] for p in batch[payload_col]
+            ]
+            batch["out_w"] = width
+            batch["out_h"] = height
+            yield batch
+
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 1024, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame-sampling stage shape (video → N frame rows): a 1→N
+    mapInPandas expansion. Fake frames = fixed-stride byte slices."""
+    id_cols = [c for c, _ in df.dtypes if c != payload_col]
+    out_schema = (
+        f"{', '.join(f'{c} {t}' for c, t in df.dtypes if c != payload_col)}, "
+        "frame_no long, frame binary"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = {c: [] for c in id_cols}
+            frame_no, frames = [], []
+            for _, row in batch.iterrows():
+                payload = bytes(row[payload_col])
+                n = max(1, len(payload) // every_n_bytes)
+                for i in range(n):
+                    for c in id_cols:
+                        rows[c].append(row[c])
+                    frame_no.append(i)
+                    frames.append(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+            out = pd.DataFrame(rows)
+            out["frame_no"] = frame_no
+            out["frame"] = frames
+            yield out
+
+    return df.mapInPandas(run, out_schema)

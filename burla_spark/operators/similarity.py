@@ -56,17 +56,17 @@ def cosine_topk(
     )
 
 
-def _hyperplane_sign_bits(vec, num_planes: int) -> "F.Column":
+def _hyperplane_sign_bits(vec, num_planes: int, table: int = 0) -> "F.Column":
     """LSH signature: sign of <v, h_p> for deterministic pseudo-random
-    hyperplanes. h_p[i] = ±1 derived from xxhash64(i, p) — generated
-    JVM-side, no materialized plane matrix to broadcast."""
+    hyperplanes. h_p[i] = ±1 derived from xxhash64(i, p, table) —
+    generated JVM-side, no materialized plane matrix to broadcast."""
     def plane_dot(p: int):
         return F.aggregate(
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
                 lambda x, i: F.when(
-                    F.xxhash64(i, F.lit(p)).bitwiseAND(F.lit(1)) == 1,
+                    F.xxhash64(i, F.lit(p), F.lit(table)).bitwiseAND(F.lit(1)) == 1,
                     x.cast("double"),
                 ).otherwise(-x.cast("double")),
             ),
@@ -86,6 +86,21 @@ def _hyperplane_sign_bits(vec, num_planes: int) -> "F.Column":
     return out
 
 
+def _lsh_buckets(vec, num_planes: int, num_tables: int) -> "F.Column":
+    """Array of (table, bucket) structs — multi-table LSH: a pair is a
+    candidate if ANY table buckets them together (recall compounds as
+    1-(1-p^k)^L while bucket sizes stay selective)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                _hyperplane_sign_bits(vec, num_planes, t).alias("bucket"),
+            )
+            for t in range(num_tables)
+        ]
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -94,25 +109,33 @@ def lsh_bucketed_topk(
     query_vec: str,
     corpus_vec: str,
     k: int = 10,
-    num_planes: int = 8,
+    num_planes: int = 4,
+    num_tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the full num_planes-bit LSH
-    bucket with the query (equi-join on bucket — shuffle-friendly,
-    never a cross product), exact cosine re-rank inside the bucket.
+    """Approximate top-k: candidates share a (table, bucket) LSH key
+    with the query in ANY of num_tables independent plane sets (equi-
+    join on the key — shuffle-friendly, never a cross product), then
+    exact cosine re-rank.
 
-    Recall < 1.0 by construction; raise recall by lowering num_planes
-    (bigger buckets) or unioning rotated plane sets."""
+    Tuning: recall ≈ 1-(1-p^num_planes)^num_tables (p = collision
+    probability per plane); raise num_tables for recall, num_planes
+    for selectivity."""
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qvec"),
-        _hyperplane_sign_bits(F.col(query_vec), num_planes).alias("bucket"),
+        F.explode(_lsh_buckets(F.col(query_vec), num_planes, num_tables)).alias("tb"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cvec"),
-        _hyperplane_sign_bits(F.col(corpus_vec), num_planes).alias("bucket"),
+        F.explode(_lsh_buckets(F.col(corpus_vec), num_planes, num_tables)).alias("tb"),
     )
-    pairs = c.join(q, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    pairs = (
+        c.join(q, c["tb"] == q["tb"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     scored = pairs.select(
         "query_id",
         "neighbor_id",

@@ -167,7 +167,8 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return sim.lsh_bucketed_topk(
-        q, e, "vec_id", "vec_id", "embedding", "embedding", k=10, num_planes=4
+        q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k=10, num_planes=4, num_tables=8,
     )
 
 

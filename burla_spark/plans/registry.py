@@ -13,12 +13,20 @@ from burla_spark.plans.base import QuerySpec
 def all_specs() -> list[QuerySpec]:
     # Imported lazily so a bug in one plan module doesn't take down the
     # whole registry at import time.
-    from burla_spark.plans import llm, relational, timeseries
+    from burla_spark.plans import (
+        llm,
+        relational,
+        streaming_queries,
+        timeseries,
+        udf_surface,
+    )
 
     specs: list[QuerySpec] = []
     specs += relational.SPECS
     specs += timeseries.SPECS
     specs += llm.SPECS
+    specs += streaming_queries.SPECS
+    specs += udf_surface.SPECS
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
     return specs

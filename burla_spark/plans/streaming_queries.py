@@ -1,0 +1,54 @@
+"""Streaming QuerySpecs — each callable executes a REAL Structured
+Streaming query (file source, AvailableNow trigger, memory sink) and
+returns the materialized result; the oracle is the batch-SQL
+equivalent, so the driver's hash compare proves stream/batch parity.
+"""
+
+from __future__ import annotations
+
+from burla_spark.plans.base import QuerySpec
+from burla_spark.streaming.events import (
+    stream_key_dedup,
+    stream_session_aggregate,
+    stream_tumbling_counts,
+)
+
+STREAM_TUMBLING_SQL = """
+SELECT
+  make_timestamp(CAST(FLOOR(epoch(ts) / 600) * 600 * 1000000 AS BIGINT)) AS bucket_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+# session_window(gap): sessions merge while consecutive events are
+# < gap apart; start = first ts. Mirrors the batch lag/cumsum recipe.
+STREAM_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+           OR LAG(epoch_us(ts)) OVER w IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+STREAM_KEY_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_SQL, ("streaming",)),
+    QuerySpec("stream_session_aggregate", stream_session_aggregate, STREAM_SESSION_SQL, ("streaming",)),
+    QuerySpec("stream_key_dedup", stream_key_dedup, STREAM_KEY_DEDUP_SQL, ("streaming",)),
+]

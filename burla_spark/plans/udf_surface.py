@@ -1,0 +1,191 @@
+"""Python UDF / UDAF / UDTF surface (SURVEY.md §2.B "compatibility
+heart") — the reference runs arbitrary Python per input (A1); our
+engine exposes every Spark Python-execution shape, each verified
+against a DuckDB oracle.
+
+Determinism notes: Python float accumulation is made oracle-exact by
+(a) math.fsum (correctly-rounded sum) over integer-valued columns, or
+(b) per-row arithmetic only (IEEE ops match any engine bit-for-bit).
+Arrow batches carry the data — no row-at-a-time pickling anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from burla_spark.plans.base import QuerySpec
+from burla_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# vectorized scalar pandas UDF (Arrow-batched; the fast Python path)
+# ---------------------------------------------------------------------------
+def pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def net_price(ext: pd.Series, disc: pd.Series) -> pd.Series:
+        # per-row IEEE double ops — bit-identical to the SQL expression
+        return ext * (1.0 - disc)
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            net_price("l_extendedprice", "l_discount").alias("net_price"),
+        )
+        .filter(F.col("net_price") > 80000.0)
+    )
+
+
+PANDAS_SCALAR_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS net_price
+FROM lineitem
+WHERE l_extendedprice * (1.0 - l_discount) > 80000.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped-aggregate pandas UDF (UDAF)
+# ---------------------------------------------------------------------------
+def pandas_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def exact_sum(qty: pd.Series) -> float:
+        # fsum = correctly-rounded sum; on integer-valued quantities it
+        # equals any engine's sum in any order.
+        return math.fsum(qty)
+
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg —
+    # the row count is a second pandas UDAF.
+    @pandas_udf("long")
+    def n_rows_udaf(qty: pd.Series) -> int:
+        return len(qty)
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            n_rows_udaf("l_quantity").alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PANDAS_UDAF_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped-map applyInPandas — the reference's "aggregate stage" shape
+# (README.md:125): whole group in, whole frame out.
+# ---------------------------------------------------------------------------
+def applyinpandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def rank_within_nation(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).reset_index(drop=True)
+        pdf["nation_rank"] = range(1, len(pdf) + 1)
+        return pdf[pdf["nation_rank"] <= 3][
+            ["c_custkey", "c_nationkey", "c_acctbal", "nation_rank"]
+        ]
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").applyInPandas(
+        rank_within_nation,
+        "c_custkey long, c_nationkey int, c_acctbal double, nation_rank long",
+    )
+
+
+APPLYINPANDAS_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal, nation_rank FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS nation_rank
+  FROM customer
+) WHERE nation_rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas iterator — the reference's "predict stage" shape
+# (README.md:126): init once per partition (model load), stream batches.
+# ---------------------------------------------------------------------------
+def mapinpandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def score_batches(batches):
+        # expensive init happens ONCE per partition, not per row —
+        # stand-in for a model load.
+        model_bias = 13
+
+        for batch in batches:
+            out = pd.DataFrame(
+                {
+                    "o_orderkey": batch["o_orderkey"],
+                    "score": (batch["o_orderkey"] * 7 + model_bias) % 97,
+                }
+            )
+            yield out
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey").mapInPandas(
+        score_batches, "o_orderkey long, score long"
+    )
+
+
+MAPINPANDAS_SQL = """
+SELECT o_orderkey, (o_orderkey * 7 + 13) % 97 AS score FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (1 row → N rows) — token stream with positions
+# ---------------------------------------------------------------------------
+def python_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, pos: long")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: D401
+            for pos, token in enumerate(text.split(), start=1):
+                yield token, pos
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, t.token, t.pos
+        FROM __udtf_docs, LATERAL tokenize_udtf(text) AS t
+        """
+    )
+
+
+PYTHON_UDTF_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id < 50
+),
+p AS (SELECT UNNEST(generate_series(1, (SELECT MAX(len(toks)) FROM d))) AS pos)
+SELECT doc_id, toks[pos] AS token, pos
+FROM d, p WHERE pos <= len(toks)
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("pandas_scalar_udf", pandas_scalar_udf, PANDAS_SCALAR_SQL, ("udf",)),
+    QuerySpec("pandas_udaf_grouped", pandas_udaf_grouped, PANDAS_UDAF_SQL, ("udf", "agg")),
+    QuerySpec("applyinpandas_grouped", applyinpandas_grouped, APPLYINPANDAS_SQL, ("udf", "window")),
+    QuerySpec("mapinpandas_iterator", mapinpandas_iterator, MAPINPANDAS_SQL, ("udf",)),
+    QuerySpec("python_udtf_tokens", python_udtf_tokens, PYTHON_UDTF_SQL, ("udf",)),
+]

@@ -84,6 +84,34 @@ def _cloudpickle():
         return cloudpickle
 
 
+def _register_user_module_by_value(cp, function_: Callable) -> None:
+    """Ship user-module functions by value, like the reference's
+    environment sync does for custom modules
+    (_remote_parallel_map.py:560-628: custom modules are cloudpickled
+    by value; PyPI packages are assumed installed). Without this, a
+    function defined in a non-installed module pickles by reference
+    and executors raise ModuleNotFoundError."""
+    mod = sys.modules.get(getattr(function_, "__module__", ""), None)
+    if mod is None or mod.__name__ in ("__main__", "builtins"):
+        return
+    mod_file = getattr(mod, "__file__", None)
+    if not mod_file:
+        return
+    import sysconfig
+
+    installed_roots = {
+        sysconfig.get_paths().get("stdlib", ""),
+        sysconfig.get_paths().get("purelib", ""),
+        sysconfig.get_paths().get("platlib", ""),
+    }
+    if any(r and mod_file.startswith(r) for r in installed_roots):
+        return  # installed package — importable on executors
+    try:
+        cp.register_pickle_by_value(mod)
+    except Exception:  # pragma: no cover — best-effort parity
+        pass
+
+
 def _make_udf(function_pkl: bytes, capture_stdout: bool):
     """Build the mapInPandas worker: unpickle once per task, run each
     input, emit (idx, is_error, payload, stdout, error fields)."""
@@ -151,6 +179,7 @@ def remote_parallel_map(
         return iter(()) if generator else []
 
     cp = _cloudpickle()
+    _register_user_module_by_value(cp, function_)
     function_pkl = cp.dumps(function_)
     if len(function_pkl) > MAX_FUNCTION_SIZE_BYTES:
         raise FunctionTooBig(
@@ -160,7 +189,9 @@ def remote_parallel_map(
 
     rows = []
     for i, item in enumerate(inputs):
-        blob = pickle.dumps(item)
+        # cloudpickle (not plain pickle): inputs may be locally-defined
+        # classes/closures, exactly like the reference's input path.
+        blob = cp.dumps(item)
         if len(blob) > MAX_INPUT_SIZE_BYTES:
             raise InputTooBig(
                 f"input {i} pickles to {len(blob)} bytes (max {MAX_INPUT_SIZE_BYTES})"

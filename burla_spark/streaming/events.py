@@ -1,0 +1,104 @@
+"""Structured Streaming pipelines over the events table
+(SURVEY.md §2.B streaming rows).
+
+The reference itself is batch-only — its only streaming is result/log
+delivery (SURVEY.md §2 A11/A14); the events fixture exists so the
+engine exposes real stream processing: windowed aggregation, session
+windows, watermarking, stateful dedup.
+
+Tests and the driver gate run hermetically: the parquet file is read
+with the file source under ``Trigger.AvailableNow`` into a memory sink,
+so a "stream" run is reproducible and comparable to a batch oracle.
+In production the same pipeline definitions run unchanged against a
+live file/Kafka source — only ``readStream`` options change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from burla_spark.functions.numeric import dec
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (nanos ts → µs, like the
+    batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_table(stream_df: DataFrame, name: str, output_mode: str) -> None:
+    """Execute a streaming DataFrame to completion into a memory sink."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows with a watermark, run as a stream.
+
+    complete output mode so every window materializes under
+    AvailableNow (append would hold back windows the watermark hasn't
+    closed when the stream ends)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events", "total_value")
+    )
+    run_stream_to_table(agg, "stream_tumbling_counts", "complete")
+    return spark.table("stream_tumbling_counts")
+
+
+def stream_session_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) per user, as a stream.
+    session_window merges events closer than the gap — the streaming
+    twin of the batch events_sessionize plan."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    run_stream_to_table(agg, "stream_session_aggregate", "complete")
+    return spark.table("stream_session_aggregate")
+
+
+def stream_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type) — keeps the
+    first arrival per key, emits the key set (key projection keeps the
+    result order-independent and batch-comparable)."""
+    s = events_stream(spark, sf_dir)
+    deduped = s.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    run_stream_to_table(deduped, "stream_key_dedup", "append")
+    return spark.table("stream_key_dedup")

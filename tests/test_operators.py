@@ -1,0 +1,153 @@
+"""Property/behavior tests for the custom operators that have no SQL
+oracle: MinHash recall, LSH top-k recall, SimHash stability, as-of
+directions, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from burla_spark.operators import dedup as dd
+from burla_spark.operators import multimodal as mm
+from burla_spark.operators import similarity as sim
+from burla_spark.operators.asof import asof_join
+from burla_spark.sources.tables import load_table
+
+
+def _exact_jaccard_pairs(rows, shingle_size=5, threshold=0.5):
+    """Brute-force oracle in plain Python (doc list is small at sf0.001)."""
+    shingled = {}
+    for doc_id, text in rows:
+        t = text.lower()
+        if len(t) < shingle_size:
+            shingled[doc_id] = {t}
+        else:
+            shingled[doc_id] = {
+                t[i : i + shingle_size] for i in range(len(t) - shingle_size + 1)
+            }
+    out = set()
+    ids = sorted(shingled)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = shingled[a], shingled[b]
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_minhash_lsh_recall_and_precision(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_pairs(
+            d, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    truth = _exact_jaccard_pairs(
+        [(r.doc_id, r.text) for r in d.select("doc_id", "text").collect()]
+    )
+    # every reported pair is exact-verified → precision is 1.0 by
+    # construction; LSH recall at J>=0.7 should be near-perfect.
+    assert got <= truth
+    strong = _exact_jaccard_pairs(
+        [(r.doc_id, r.text) for r in d.select("doc_id", "text").collect()],
+        threshold=0.7,
+    )
+    recall = len(got & strong) / max(len(strong), 1)
+    assert recall >= 0.8, f"LSH recall {recall} on strong pairs {len(strong)}"
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = sim.cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", k=10)
+    approx = sim.lsh_bucketed_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding", k=10, num_planes=4
+    )
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for r in approx.collect():
+        total += 1
+        if r.neighbor_id in exact_sets.get(r.query_id, set()):
+            hits += 1
+    assert total > 0
+    assert hits / total >= 0.5, f"LSH precision vs exact top-k: {hits}/{total}"
+
+
+def test_simhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "completely different words entirely")],
+        "doc_id long, text string",
+    )
+    groups = dd.simhash_collision_groups(df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0].member_ids == [1, 2]
+
+
+def test_exact_dedup_drop(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb")], "doc_id long, text string"
+    )
+    kept = dd.drop_exact_duplicates(df, "doc_id", "text")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100.0)], "k long, t long, lv double"
+    ).select("k", F.timestamp_seconds("t").alias("lt"), "lv")
+    right = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 12, 2.0), (1, 20, 3.0)], "k long, t long, rv double"
+    ).select("k", F.timestamp_seconds("t").alias("rt"), "rv")
+    fwd = asof_join(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        right_cols=("rv",), direction="forward",
+    ).collect()
+    assert fwd[0].rv == 2.0  # earliest right at or after t=10
+    back = asof_join(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        right_cols=("rv",), direction="backward",
+    ).collect()
+    assert back[0].rv == 1.0  # latest right at or before t=10
+
+
+def test_asof_no_match_is_null(spark):
+    left = spark.createDataFrame([(1, 5, 9.0)], "k long, t long, lv double").select(
+        "k", F.timestamp_seconds("t").alias("lt"), "lv"
+    )
+    right = spark.createDataFrame([(1, 10, 1.0)], "k long, t long, rv double").select(
+        "k", F.timestamp_seconds("t").alias("rt"), "rv"
+    )
+    rows = asof_join(
+        left, right, on="k", left_ts="lt", right_ts="rt", right_cols=("rv",)
+    ).collect()
+    assert rows[0].rv is None
+
+
+def test_multimodal_pipeline(spark):
+    df = spark.createDataFrame(
+        [(i, bytes([i % 256] * (256 + i)),) for i in range(20)],
+        "blob_id long, payload binary",
+    )
+    with_meta = mm.attach_blob_metadata(df, "payload", "image/fake")
+    meta = with_meta.select("blob_id", "blob_meta.*").collect()
+    assert all(m.content_type == "image/fake" for m in meta)
+    assert all(m.n_bytes >= 256 for m in meta)
+
+    feats = mm.extract_features(with_meta).collect()
+    assert all(len(f.features) == mm.FEATURE_DIM for f in feats)
+    assert all(abs(sum(f.features) - 1.0) < 1e-9 for f in feats)
+    assert all(f.width >= 16 and f.height >= 16 for f in feats)
+
+    frames = mm.sample_frames(df.select("blob_id", "payload"), every_n_bytes=64)
+    per_blob = (
+        frames.groupBy("blob_id").count().orderBy("blob_id").collect()
+    )
+    assert per_blob[0]["count"] == (256 + 0) // 64  # 4 frames for blob 0
+
+    resized = mm.decode_and_resize(df, 32, 32).collect()
+    assert all(r.out_w == 32 and len(r.resized) <= 32 * 32 // 8 for r in resized)

@@ -1,0 +1,113 @@
+"""RPM-semantics suite — mirrors the reference's client-observable
+contracts (reference tests: client/tests/test_rpm_core.py:23-134,
+tests/scenarios/test_large_input_scale.py:24-30; shapes per FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from burla_spark.rpm import (
+    FunctionTooBig,
+    InputTooBig,
+    RpmError,
+    remote_parallel_map,
+)
+
+
+def _print_and_identity(x):
+    print("hi")
+    return x
+
+
+def test_roundtrip_unordered(spark):
+    results = remote_parallel_map(_print_and_identity, list(range(100)), spark=spark)
+    assert len(results) == 100
+    assert set(results) == set(range(100))
+
+
+def test_empty_inputs(spark):
+    assert remote_parallel_map(lambda x: x, [], spark=spark) == []
+    assert list(remote_parallel_map(lambda x: x, [], spark=spark, generator=True)) == []
+
+
+def test_tuple_unpacking(spark):
+    results = remote_parallel_map(lambda a, b: a + b, [(1, 2), (3, 4), (5, 6)], spark=spark)
+    assert sorted(results) == [3, 7, 11]
+
+
+def test_lists_not_unpacked(spark):
+    results = remote_parallel_map(lambda l: sum(l), [[1, 2], [3, 4]], spark=spark)
+    assert sorted(results) == [3, 7]
+
+
+def test_generator_streaming(spark):
+    gen = remote_parallel_map(lambda x: x + 10, range(20), spark=spark, generator=True)
+    assert sorted(gen) == [x + 10 for x in range(20)]
+
+
+def test_error_attribution(spark):
+    def boom(x):
+        if x == 7:
+            raise ValueError("x was seven")
+        return x
+
+    with pytest.raises(RpmError) as exc_info:
+        remote_parallel_map(boom, range(20), spark=spark)
+    e = exc_info.value
+    assert e.burla_input_index == 7
+    assert e.error_type == "ValueError"
+    assert "x was seven" in e.original_message
+    assert "boom" in e.remote_traceback
+
+
+def test_stdout_capture(spark):
+    captured = []
+    remote_parallel_map(
+        lambda x: x,
+        range(10),
+        spark=spark,
+        stdout_sink=lambda idx, text: captured.append((idx, text)),
+    )
+    # identity prints nothing; now with prints:
+    captured.clear()
+
+    def loud(x):
+        print(f"line-{x}")
+        return x
+
+    remote_parallel_map(
+        loud, range(10), spark=spark,
+        stdout_sink=lambda idx, text: captured.append((idx, text.strip())),
+    )
+    assert sorted(captured) == [(i, f"line-{i}") for i in range(10)]
+
+
+def test_large_input_scale(spark):
+    results = remote_parallel_map(lambda x: x * 3, range(1000), spark=spark)
+    assert sorted(results) == [x * 3 for x in range(1000)]
+
+
+def test_input_too_big(spark):
+    big = b"x" * (200_000_001)
+    with pytest.raises(InputTooBig):
+        remote_parallel_map(lambda x: len(x), [big], spark=spark)
+
+
+def test_function_too_big(spark):
+    blob = b"y" * 100_000_001
+
+    def closure_heavy(x):
+        return len(blob) + x
+
+    with pytest.raises(FunctionTooBig):
+        remote_parallel_map(closure_heavy, [1], spark=spark)
+
+
+def test_arbitrary_objects_roundtrip(spark):
+    class Thing:
+        def __init__(self, v):
+            self.v = v
+
+    results = remote_parallel_map(lambda t: t.v * 2, [Thing(i) for i in range(10)], spark=spark)
+    assert sorted(results) == [i * 2 for i in range(10)]
