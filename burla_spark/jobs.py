@@ -1,0 +1,85 @@
+"""Background jobs + cancellation (reference A22 detach / A23 cancel).
+
+The reference detaches jobs so they outlive the client process
+(_remote_parallel_map.py:509-511) and cancels them from the dashboard
+(endpoints/jobs.py:93-108). Spark jobs live inside the driver, so the
+equivalent surface is: run the action on a background thread under a
+job TAG, hand back a future-like handle, and cancel by interrupting
+the tag (SparkContext-wide, thread-safe). Divergence from the
+reference — a Spark job cannot outlive its driver process — is
+documented in SURVEY.md §7.3.5; cross-process survival is what the
+checkpointed streaming queries in burla_spark/streaming are for.
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+
+class JobCanceled(Exception):
+    """Raised when .result() is called on a canceled job (mirrors the
+    reference's JobCanceled, head_client.py:62-75)."""
+
+
+class BackgroundJob:
+    """Handle for a detached action: poll .done, await .result(),
+    or .cancel() — exactly-one-of result/error/canceled."""
+
+    def __init__(self, spark: SparkSession, tag: str, thread: threading.Thread):
+        self._spark = spark
+        self._tag = tag
+        self._thread = thread
+        self._result: Any = None
+        self._error: BaseException | None = None
+        self._canceled = False
+        self._finished = threading.Event()
+
+    @property
+    def done(self) -> bool:
+        return self._finished.is_set()
+
+    def cancel(self) -> None:
+        self._canceled = True
+        self._spark.interruptTag(self._tag)
+
+    def result(self, timeout: float | None = None) -> Any:
+        if not self._finished.wait(timeout):
+            raise TimeoutError(f"job {self._tag} still running")
+        if self._canceled:
+            raise JobCanceled(f"job {self._tag} was canceled")
+        if self._error is not None:
+            raise self._error
+        return self._result
+
+
+def submit(spark: SparkSession, action: Callable[[], Any], tag: str | None = None) -> BackgroundJob:
+    """Run a Spark action in the background under a cancelable tag.
+
+    >>> job = submit(spark, lambda: df.collect())
+    >>> job.cancel()            # or: job.result(timeout=60)
+    """
+    tag = tag or f"burla-job-{uuid.uuid4().hex[:12]}"
+    job: BackgroundJob
+
+    def run() -> None:
+        try:
+            spark.addTag(tag)
+            job._result = action()
+        except BaseException as exc:  # noqa: BLE001 — report, don't swallow
+            job._error = exc
+        finally:
+            try:
+                spark.removeTag(tag)
+            except Exception:
+                pass
+            job._finished.set()
+
+    thread = threading.Thread(target=run, daemon=True)
+    job = BackgroundJob(spark, tag, thread)
+    thread.start()
+    return job

@@ -16,6 +16,7 @@ def all_specs() -> list[QuerySpec]:
     from burla_spark.plans import (
         llm,
         relational,
+        relational2,
         streaming_queries,
         timeseries,
         udf_surface,
@@ -23,6 +24,7 @@ def all_specs() -> list[QuerySpec]:
 
     specs: list[QuerySpec] = []
     specs += relational.SPECS
+    specs += relational2.SPECS
     specs += timeseries.SPECS
     specs += llm.SPECS
     specs += streaming_queries.SPECS

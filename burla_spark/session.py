@@ -58,6 +58,12 @@ def get_spark(
         # processes hot across jobs — worker_server.py:124-131).
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # managed-table warehouse (bucketed tables); static conf, so it
+        # must be set at session build.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/burla_spark_warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,68 @@
+"""Background jobs (A22/A23 parity) and progress reporting (A31)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from burla_spark.jobs import BackgroundJob, JobCanceled, submit
+from burla_spark.progress import ProgressReporter, progress_snapshot
+
+
+def _slow_df(spark, n=2_000_000, parts=8):
+    # sleep-per-partition keeps the job running long enough to observe
+    def slow(it):
+        time.sleep(0.5)
+        yield from it
+
+    return spark.range(n).repartition(parts).rdd.mapPartitions(slow)
+
+
+def test_background_job_result(spark):
+    job = submit(spark, lambda: spark.range(1000).agg(F.sum("id")).collect())
+    out = job.result(timeout=60)
+    assert out[0][0] == 499500
+    assert job.done
+
+
+def test_background_job_error_propagates(spark):
+    def boom():
+        raise RuntimeError("nope")
+
+    job = submit(spark, boom)
+    with pytest.raises(RuntimeError, match="nope"):
+        job.result(timeout=10)
+
+
+def test_background_job_cancel(spark):
+    rdd = _slow_df(spark)
+    job = submit(spark, rdd.count)
+    time.sleep(1.0)  # let tasks start
+    job.cancel()
+    with pytest.raises(JobCanceled):
+        job.result(timeout=30)
+
+
+def test_concurrent_jobs(spark):
+    jobs = [
+        submit(spark, lambda k=k: spark.range(10000 * (k + 1)).count())
+        for k in range(4)
+    ]
+    results = [j.result(timeout=60) for j in jobs]
+    assert results == [10000, 20000, 30000, 40000]
+
+
+def test_progress_reporter_observes_tasks(spark):
+    lines: list[str] = []
+    with ProgressReporter(spark, interval_sec=0.2, sink=lines.append) as rep:
+        _slow_df(spark, parts=4).count()
+    assert any(s["active_jobs"] > 0 for s in rep.samples)
+    assert any(s["tasks_total"] > 0 for s in rep.samples)
+    assert lines  # at least one progress line rendered
+
+
+def test_progress_snapshot_idle(spark):
+    snap = progress_snapshot(spark)
+    assert snap["active_jobs"] == 0

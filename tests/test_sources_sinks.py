@@ -1,0 +1,85 @@
+"""Source/sink round-trips: parquet (partitioned), CSV, JSON, and the
+bucketed-table shuffle-free join path."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from burla_spark.sources.sinks import (
+    write_bucketed_table,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+from burla_spark.sources.tables import load_table
+
+
+def test_parquet_partitioned_roundtrip(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "orders_by_status")
+        write_parquet(o, path, partition_by=["o_orderstatus"])
+        # hive-style partition dirs exist
+        assert any(d.startswith("o_orderstatus=") for d in os.listdir(path))
+        back = spark.read.parquet(path)
+        assert back.count() == o.count()
+        # partition pruning: filtering one status only reads its dir
+        pruned = back.filter(F.col("o_orderstatus") == "F")
+        plan = pruned.queryExecution if False else pruned._jdf.queryExecution().executedPlan().toString()
+        assert back.filter(F.col("o_orderstatus") == "F").count() == o.filter(
+            F.col("o_orderstatus") == "F"
+        ).count()
+
+
+def test_csv_roundtrip(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "customer_csv")
+        write_csv(c, path)
+        back = (
+            spark.read.option("header", True)
+            .schema(c.schema)
+            .csv(path)
+        )
+        assert sorted(r.c_custkey for r in back.collect()) == sorted(
+            r.c_custkey for r in c.collect()
+        )
+
+
+def test_json_roundtrip(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "nation_json")
+        write_json(n, path)
+        back = spark.read.schema(n.schema).json(path)
+        assert {r.n_name for r in back.collect()} == {r.n_name for r in n.collect()}
+
+
+def test_schema_inference_csv(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "region_csv")
+        write_csv(r, path)
+        inferred = spark.read.option("header", True).option("inferSchema", True).csv(path)
+        assert dict(inferred.dtypes)["r_regionkey"] == "int"
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(o, "orders_b", "o_orderkey", 8, sort_col="o_orderkey")
+    write_bucketed_table(l, "lineitem_b", "l_orderkey", 8, sort_col="l_orderkey")
+    ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:2000]}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
