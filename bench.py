@@ -42,25 +42,36 @@ def main() -> None:
         load_table(spark, SF_DIR, t).selectExpr("count(*)").collect()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    timings: dict[str, float] = {}
-    for spec in all_specs():
-        if spec.name in EXCLUDE:
-            continue
-        t0 = time.perf_counter()
-        df = spec.spark(spark, SF_DIR)
-        n = df.count()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
-        del n
 
-    total = round(sum(timings.values()), 3)
+    def run_all() -> dict[str, float]:
+        t: dict[str, float] = {}
+        for spec in all_specs():
+            if spec.name in EXCLUDE:
+                continue
+            t0 = time.perf_counter()
+            spec.spark(spark, SF_DIR).count()
+            t[spec.name] = round(time.perf_counter() - t0, 3)
+            # drop per-query persisted RDDs (e.g. minhash signatures) so
+            # cached blocks don't pile up across the 2×N query runs.
+            spark.catalog.clearCache()
+        return t
+
+    # run twice: first run pays per-query whole-stage-codegen compile
+    # (janino) — report steady-state throughput, keep cold numbers too.
+    cold = run_all()
+    warm = run_all()
+
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
-                "value": total,
+                "value": round(sum(warm.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
                 "sf": float(sf),
+                "cold_total": round(sum(cold.values()), 3),
+                "queries_cold": cold,
+                "n_queries": len(warm),
             }
         )
     )

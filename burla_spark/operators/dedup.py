@@ -168,6 +168,10 @@ def minhash_lsh_pairs(
         )
         .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
     )
+    # sigs feeds three plan branches (banding + both verify join-backs);
+    # persist so shingling/signatures compute once. At petabyte scale
+    # the same role is played by checkpointing sigs to a table.
+    sigs = sigs.persist()
 
     band_structs = F.array(
         *[

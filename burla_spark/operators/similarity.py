@@ -8,12 +8,15 @@ Two tiers:
 * ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH maps
   every vector to a signature; candidates come from an equi-join on
   (plane-bucket) instead of a cross product, then exact re-rank.
-  Deterministic projections (seeded per plane via xxhash64) keep
-  results reproducible across runs and cluster sizes.
+  Deterministic ±1 projections (Python-seeded literal sign arrays,
+  embedded in the plan) keep results reproducible across runs and
+  cluster sizes with zero per-row hashing.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -56,20 +59,23 @@ def cosine_topk(
     )
 
 
-def _hyperplane_sign_bits(vec, num_planes: int, table: int = 0) -> "F.Column":
+def _plane_signs(p: int, table: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane for (table, plane) — generated in
+    Python (seeded), embedded as a literal array so the executor does
+    64 multiply-adds per plane instead of 64 hash calls."""
+    import random
+
+    rng = random.Random((table << 16) | p)
+    return [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+
+
+def _hyperplane_sign_bits(vec, num_planes: int, dim: int, table: int = 0) -> "F.Column":
     """LSH signature: sign of <v, h_p> for deterministic pseudo-random
-    hyperplanes. h_p[i] = ±1 derived from xxhash64(i, p, table) —
-    generated JVM-side, no materialized plane matrix to broadcast."""
+    ±1 hyperplanes (literal sign arrays — no per-element hashing)."""
     def plane_dot(p: int):
+        signs = F.lit(_plane_signs(p, table, dim))
         return F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, i: F.when(
-                    F.xxhash64(i, F.lit(p), F.lit(table)).bitwiseAND(F.lit(1)) == 1,
-                    x.cast("double"),
-                ).otherwise(-x.cast("double")),
-            ),
+            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -86,18 +92,37 @@ def _hyperplane_sign_bits(vec, num_planes: int, table: int = 0) -> "F.Column":
     return out
 
 
-def _lsh_buckets(vec, num_planes: int, num_tables: int) -> "F.Column":
-    """Array of (table, bucket) structs — multi-table LSH: a pair is a
-    candidate if ANY table buckets them together (recall compounds as
-    1-(1-p^k)^L while bucket sizes stay selective)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                _hyperplane_sign_bits(vec, num_planes, t).alias("bucket"),
-            )
+def _lsh_bucket_udf(num_planes: int, num_tables: int, dim: int):
+    """Vectorized multi-table bucket computation: one numpy matmul per
+    Arrow batch ((B×dim) @ (dim×tables·planes)) — the dense-linear-
+    algebra case where a pandas_udf beats any Catalyst expression tree.
+    Returns array<long> of per-table buckets."""
+    from pyspark.sql.functions import pandas_udf
+
+    S = np.array(
+        [
+            _plane_signs(p, t, dim)
             for t in range(num_tables)
+            for p in range(num_planes)
         ]
+    ).T  # dim × (tables·planes)
+    weights = np.array([1 << p for p in range(num_planes)], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(col: pd.Series) -> pd.Series:
+        X = np.vstack(col.values).astype(np.float64)  # B × dim
+        bits = (X @ S) > 0  # B × tables·planes
+        per_table = bits.reshape(len(X), num_tables, num_planes) @ weights
+        return pd.Series(list(per_table))
+
+    return buckets
+
+
+def _with_table_buckets(df: DataFrame, vec_col: str, num_planes: int, num_tables: int, dim: int) -> DataFrame:
+    """Explode a vector column into (table, bucket) candidate keys."""
+    udf = _lsh_bucket_udf(num_planes, num_tables, dim)
+    return df.select(
+        "*", F.posexplode(udf(F.col(vec_col))).alias("__table", "__bucket")
     )
 
 
@@ -111,6 +136,7 @@ def lsh_bucketed_topk(
     k: int = 10,
     num_planes: int = 4,
     num_tables: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates share a (table, bucket) LSH key
     with the query in ANY of num_tables independent plane sets (equi-
@@ -120,18 +146,20 @@ def lsh_bucketed_topk(
     Tuning: recall ≈ 1-(1-p^num_planes)^num_tables (p = collision
     probability per plane); raise num_tables for recall, num_planes
     for selectivity."""
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(query_vec).alias("__qvec"),
-        F.explode(_lsh_buckets(F.col(query_vec), num_planes, num_tables)).alias("tb"),
+    q = _with_table_buckets(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")
+        ),
+        "__qvec", num_planes, num_tables, dim,
     )
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).alias("__cvec"),
-        F.explode(_lsh_buckets(F.col(corpus_vec), num_planes, num_tables)).alias("tb"),
+    c = _with_table_buckets(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cvec")
+        ),
+        "__cvec", num_planes, num_tables, dim,
     )
     pairs = (
-        c.join(q, c["tb"] == q["tb"])
+        c.join(q, ["__table", "__bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "__qvec", "__cvec")
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -155,13 +183,14 @@ def embedding_neardup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     num_planes: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing + exact
     verify — the embedding analogue of MinHash dedup."""
     sig = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("__vec"),
-        _hyperplane_sign_bits(F.col(vec_col), num_planes).alias("bucket"),
+        _hyperplane_sign_bits(F.col(vec_col), num_planes, dim).alias("bucket"),
     )
     l, r = sig.alias("l"), sig.alias("r")
     return (

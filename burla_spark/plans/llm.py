@@ -289,6 +289,111 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# clustering (MLlib KMeans; rows-only — assignments quality-tested in
+# tests/test_operators.py against the label ground truth)
+# ---------------------------------------------------------------------------
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from burla_spark.operators.clustering import cluster_sizes, kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cluster_sizes(kmeans_assign(e, "vec_id", "embedding", k=10))
+
+
+# ---------------------------------------------------------------------------
+# composite corpus-curation pipeline: normalized dedup → quality filter
+# → language ID → top-5 per language. The end-to-end LLM-data shape,
+# still fully oracle-checked (every stage is deterministic).
+# ---------------------------------------------------------------------------
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    survivors = dd.normalized_dedup_groups(d, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    scored = (
+        d.join(survivors, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            tx.lang_id(F.col("text")).alias("lang_guess"),
+            tx.quality_score(F.col("text")).alias("quality"),
+        )
+        .filter(F.col("quality") >= 0.5)
+    )
+    w = Window.partitionBy("lang_guess").orderBy(F.desc("quality"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("lang_guess", "rank", "doc_id", "quality")
+    )
+
+
+CORPUS_CURATION_SQL = r"""
+WITH survivors AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))
+),
+f AS (
+  SELECT d.doc_id, d.text,
+    CAST(LENGTH(d.text) AS DOUBLE) AS n_chars,
+    CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS DOUBLE) AS n_tokens,
+    CAST(len(regexp_extract_all(d.text, '[.,;:!?''"()\-]')) AS DOUBLE) AS n_punct,
+    CAST(len(regexp_extract_all(d.text, '[0-9]')) AS DOUBLE) AS n_digits,
+    CAST(len(list_filter(regexp_split_to_array(trim(d.text), '\s+'),
+      t -> lower(t) IN ('the','and','is','of','to','a','in','for'))) AS DOUBLE) AS n_stop
+  FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+),
+scored AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')) > 0
+       AND len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')) >= GREATEST(
+             len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|for)\b')),
+             len(regexp_extract_all(lower(text), '\b(el|los|las|es|que|y)\b')),
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des)\b')),
+             len(regexp_extract_all(text, '[一-鿿]'))) THEN 'de'
+      WHEN len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|for)\b')) > 0
+       AND len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|for)\b')) >= GREATEST(
+             len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')),
+             len(regexp_extract_all(lower(text), '\b(el|los|las|es|que|y)\b')),
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des)\b')),
+             len(regexp_extract_all(text, '[一-鿿]'))) THEN 'en'
+      WHEN len(regexp_extract_all(lower(text), '\b(el|los|las|es|que|y)\b')) > 0
+       AND len(regexp_extract_all(lower(text), '\b(el|los|las|es|que|y)\b')) >= GREATEST(
+             len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')),
+             len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|for)\b')),
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des)\b')),
+             len(regexp_extract_all(text, '[一-鿿]'))) THEN 'es'
+      WHEN len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des)\b')) > 0
+       AND len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des)\b')) >= GREATEST(
+             len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')),
+             len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|for)\b')),
+             len(regexp_extract_all(lower(text), '\b(el|los|las|es|que|y)\b')),
+             len(regexp_extract_all(text, '[一-鿿]'))) THEN 'fr'
+      WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0
+       AND len(regexp_extract_all(text, '[一-鿿]')) >= GREATEST(
+             len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')),
+             len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|for)\b')),
+             len(regexp_extract_all(lower(text), '\b(el|los|las|es|que|y)\b')),
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des)\b'))) THEN 'zh'
+      ELSE 'und'
+    END AS lang_guess,
+    0.4 * LEAST(n_stop / n_tokens * 4.0, 1.0)
+      + 0.3 * (1.0 - LEAST(n_digits / n_chars * 5.0, 1.0))
+      + 0.3 * (1.0 - LEAST(n_punct / n_chars * 5.0, 1.0)) AS quality
+  FROM f
+)
+SELECT lang_guess, rank, doc_id, quality FROM (
+  SELECT lang_guess, doc_id, quality,
+         ROW_NUMBER() OVER (PARTITION BY lang_guess
+                            ORDER BY quality DESC, doc_id) AS rank
+  FROM scored WHERE quality >= 0.5
+) WHERE rank <= 5
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_SQL, ("dedup",)),
     QuerySpec("normalized_dedup_docs", normalized_dedup_docs, NORMALIZED_DEDUP_SQL, ("dedup",)),
@@ -301,4 +406,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec("text_quality_scores", text_quality_scores, TEXT_QUALITY_SQL, ("text",)),
     QuerySpec("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL, ("text",)),
     QuerySpec("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINT_SQL, ("text",)),
+    QuerySpec("kmeans_cluster_sizes", kmeans_cluster_sizes, None, ("clustering",)),
+    QuerySpec("corpus_curation_pipeline", corpus_curation_pipeline, CORPUS_CURATION_SQL, ("text", "dedup", "pipeline")),
 ]

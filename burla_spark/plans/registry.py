@@ -17,6 +17,7 @@ def all_specs() -> list[QuerySpec]:
         llm,
         relational,
         relational2,
+        relational3,
         streaming_queries,
         timeseries,
         udf_surface,
@@ -25,6 +26,7 @@ def all_specs() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     specs += relational.SPECS
     specs += relational2.SPECS
+    specs += relational3.SPECS
     specs += timeseries.SPECS
     specs += llm.SPECS
     specs += streaming_queries.SPECS

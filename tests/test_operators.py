@@ -128,6 +128,37 @@ def test_asof_no_match_is_null(spark):
     assert rows[0].rv is None
 
 
+def test_kmeans_beats_random_partition(spark, sf_dir):
+    """The fixture's label clusters overlap heavily in euclidean space
+    (label-centroid nearest-neighbor only classifies ~37%), so purity
+    is not a valid oracle; instead assert KMeans finds real structure:
+    silhouette must clearly beat a random 10-way partition."""
+    from pyspark.ml.evaluation import ClusteringEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    from burla_spark.operators.clustering import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    feats = e.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    assigned = kmeans_assign(e, "vec_id", "embedding", k=10).join(feats, "vec_id")
+    evaluator = ClusteringEvaluator(
+        predictionCol="cluster", featuresCol="features",
+        metricName="silhouette", distanceMeasure="squaredEuclidean",
+    )
+    km_score = evaluator.evaluate(assigned)
+
+    random_assigned = feats.withColumn(
+        "cluster", (F.xxhash64("vec_id") % 10 + 10) % 10
+    ).withColumn("cluster", F.col("cluster").cast("long"))
+    rnd_score = evaluator.evaluate(random_assigned)
+    assert km_score > rnd_score + 0.03, f"kmeans {km_score:.3f} vs random {rnd_score:.3f}"
+    # sanity: all points assigned, exactly k clusters
+    assert assigned.select("cluster").distinct().count() == 10
+
+
 def test_multimodal_pipeline(spark):
     df = spark.createDataFrame(
         [(i, bytes([i % 256] * (256 + i)),) for i in range(20)],
