@@ -18,6 +18,7 @@ def all_specs() -> list[QuerySpec]:
         relational,
         relational2,
         relational3,
+        reshape,
         streaming_queries,
         timeseries,
         udf_surface,
@@ -27,6 +28,7 @@ def all_specs() -> list[QuerySpec]:
     specs += relational.SPECS
     specs += relational2.SPECS
     specs += relational3.SPECS
+    specs += reshape.SPECS
     specs += timeseries.SPECS
     specs += llm.SPECS
     specs += streaming_queries.SPECS

@@ -157,22 +157,50 @@ def _make_udf(function_pkl: bytes, capture_stdout: bool):
 def remote_parallel_map(
     function_: Callable,
     inputs: Iterable[Any],
-    spark: SparkSession | None = None,
+    func_cpu: int = 1,
+    func_ram: str | int = "dynamic",
+    func_gpu: int | None = None,
+    image: str | None = None,
+    grow: bool = True,
     max_parallelism: int | None = None,
+    detach: bool = False,
     generator: bool = False,
+    spinner: bool = False,
+    spark: SparkSession | None = None,
     capture_stdout: bool = True,
     stdout_sink: Callable[[int, str], None] | None = None,
 ):
     """Apply ``function_`` to every input on the cluster; return results
-    (unordered list, or a generator when ``generator=True``).
+    (unordered list; a generator when ``generator=True``; a
+    ``BackgroundJob`` handle when ``detach=True``).
 
-    API-compatible core of the reference operator. Resource knobs
-    (func_cpu/func_ram/func_gpu/image) are session/cluster-level
-    concerns in Spark — see SURVEY.md §7.2/§7.3 for the mapping.
+    Full reference signature (_remote_parallel_map.py:457-469) with the
+    Spark mapping:
+    * func_cpu — width divisor: concurrent tasks ≈ total_cores/func_cpu
+      (per-task CPU pinning is spark.task.cpus at session level).
+    * func_ram — accepted for compatibility; executor memory is a
+      session/cluster setting; the reference's dynamic repacking (A16)
+      has no Spark analogue (SURVEY.md §7.3.3).
+    * func_gpu — stage-level ResourceProfiles on a GPU cluster; raises
+      here (no GPUs in this environment).
+    * image / grow — container image and autoscaling are cluster-level
+      in Spark (spark.kubernetes.container.image, dynamic allocation);
+      accepted and ignored.
+    * detach — runs on a background thread under a cancelable job tag
+      (burla_spark.jobs); survives until the driver exits — SURVEY.md
+      §7.3.5 documents the divergence from cross-process detach.
+    * spinner — live ``X/N done`` progress lines (burla_spark.progress).
     """
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
         raise RuntimeError("no active SparkSession; pass spark=")
+    if func_gpu:
+        raise NotImplementedError(
+            "func_gpu maps to stage-level ResourceProfiles on a GPU cluster; "
+            "this environment has no GPUs"
+        )
+    if detach and generator:
+        raise ValueError("detach=True and generator=True are mutually exclusive")
 
     inputs = list(inputs)
     if not inputs:  # reference short-circuit (_remote_parallel_map.py:542)
@@ -198,7 +226,7 @@ def remote_parallel_map(
             )
         rows.append((i, blob))
 
-    default_par = spark.sparkContext.defaultParallelism
+    default_par = max(1, spark.sparkContext.defaultParallelism // max(func_cpu, 1))
     n_parts = min(len(rows), max_parallelism or default_par * 2)
     df = spark.createDataFrame(rows, "idx long, payload binary").repartition(n_parts)
     result_df = df.mapInPandas(_make_udf(function_pkl, capture_stdout), RESULT_SCHEMA)
@@ -222,4 +250,19 @@ def remote_parallel_map(
 
         return stream()
 
-    return [handle(row) for row in result_df.collect()]
+    def collect_all():
+        if spinner:
+            from burla_spark.progress import ProgressReporter
+
+            with ProgressReporter(spark):
+                rows_out = result_df.collect()
+        else:
+            rows_out = result_df.collect()
+        return [handle(row) for row in rows_out]
+
+    if detach:
+        from burla_spark.jobs import submit
+
+        return submit(spark, collect_all)
+
+    return collect_all()

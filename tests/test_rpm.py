@@ -104,6 +104,31 @@ def test_function_too_big(spark):
         remote_parallel_map(closure_heavy, [1], spark=spark)
 
 
+def test_detach_returns_background_handle(spark):
+    from burla_spark.jobs import BackgroundJob
+
+    job = remote_parallel_map(lambda x: x + 1, range(50), spark=spark, detach=True)
+    assert isinstance(job, BackgroundJob)
+    assert sorted(job.result(timeout=60)) == list(range(1, 51))
+
+
+def test_detach_generator_conflict(spark):
+    with pytest.raises(ValueError):
+        remote_parallel_map(lambda x: x, [1], spark=spark, detach=True, generator=True)
+
+
+def test_func_gpu_raises(spark):
+    with pytest.raises(NotImplementedError):
+        remote_parallel_map(lambda x: x, [1], spark=spark, func_gpu=1)
+
+
+def test_func_cpu_and_spinner(spark):
+    results = remote_parallel_map(
+        lambda x: x * 2, range(64), spark=spark, func_cpu=4, spinner=True
+    )
+    assert sorted(results) == [x * 2 for x in range(64)]
+
+
 def test_arbitrary_objects_roundtrip(spark):
     class Thing:
         def __init__(self, v):
