@@ -10,6 +10,7 @@ from burla_spark.plans.base import QuerySpec
 from burla_spark.streaming.events import (
     stream_key_dedup,
     stream_session_aggregate,
+    stream_stateful_user_stats,
     stream_tumbling_counts,
 )
 
@@ -47,8 +48,18 @@ FROM sessions GROUP BY user_id, session_seq
 
 STREAM_KEY_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 
+# fsum (correctly-rounded) state total rounded to 2 decimals equals the
+# decimal-routed batch sum (inputs are 2-decimal values; divergence
+# bounded by n·ulp ≪ rounding grid).
+STREAM_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""
+
 SPECS: list[QuerySpec] = [
     QuerySpec("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_SQL, ("streaming",)),
     QuerySpec("stream_session_aggregate", stream_session_aggregate, STREAM_SESSION_SQL, ("streaming",)),
     QuerySpec("stream_key_dedup", stream_key_dedup, STREAM_KEY_DEDUP_SQL, ("streaming",)),
+    QuerySpec("stream_stateful_user_stats", stream_stateful_user_stats, STREAM_STATEFUL_SQL, ("streaming", "udf")),
 ]

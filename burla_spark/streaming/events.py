@@ -92,6 +92,48 @@ def stream_session_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_session_aggregate")
 
 
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing (applyInPandasWithState): running
+    per-user (event count, value total) kept in explicit state across
+    micro-batches. math.fsum keeps the running total correctly rounded
+    so the result is reproducible and batch-comparable."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            count, total = state.get
+        else:
+            count, total = 0, 0.0
+        values = []
+        for pdf in pdfs:
+            count += len(pdf)
+            values.extend(pdf["value"].tolist())
+        total = math.fsum([total, *values])
+        state.update((count, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [count],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    stats = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="count long, total double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_stream_to_table(stats, "stream_stateful_user_stats", "append")
+    return spark.table("stream_stateful_user_stats")
+
+
 def stream_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on (user_id, event_type) — keeps the
     first arrival per key, emits the key set (key projection keeps the
