@@ -17,6 +17,8 @@ Scale design notes
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -115,23 +117,57 @@ def jaccard(a, b):
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def minhash_signature(shingles_col, num_hashes: int = 32):
-    """k minhashes over a PRE-HASHED (long-array) shingle column.
+def _minhash_seeds(num_hashes: int) -> "np.ndarray":
+    import random
 
-    Callers hash each string shingle ONCE to a long (xxhash64), then
-    the k per-function hashes here are xxhash64(long, seed_j) — 8-byte
-    rehashes instead of k full string hashes (k× less string traffic;
-    at 100 TB the first level dominates and it's a single pass).
-    xxhash64 is Spark's built-in 64-bit hash — stable across runs and
-    cluster layouts, so signatures are reproducible at any scale."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles_col, lambda h, j=j: F.xxhash64(h, F.lit(j)))
-            )
-            for j in range(num_hashes)
-        ]
+    rng = random.Random(42)
+    return np.array(
+        [rng.getrandbits(64) for _ in range(num_hashes)], dtype=np.uint64
     )
+
+
+def minhash_signature_udf(num_hashes: int = 32):
+    """k minhashes over a PRE-HASHED (long-array) shingle column,
+    folded in numpy: the k hash functions are splitmix64(h ^ seed_j)
+    — deterministic, vectorized over (total_shingles × k) in one
+    matrix pass with a segment-min per document. Callers hash each
+    string shingle ONCE JVM-side (xxhash64, stable across cluster
+    layouts); this fold is pure arithmetic so signatures are
+    reproducible anywhere."""
+    from pyspark.sql.functions import pandas_udf
+
+    seeds = _minhash_seeds(num_hashes)
+
+    @pandas_udf("array<long>")
+    def fold(shingle_hashes: pd.Series) -> pd.Series:
+        lengths = shingle_hashes.map(len).to_numpy(dtype=np.int64)
+        n = len(lengths)
+        if n == 0:
+            return pd.Series([])
+        if (lengths == 0).any():  # reduceat breaks on empty segments
+            shingle_hashes = shingle_hashes.map(lambda h: h if len(h) else [0])
+            lengths = np.maximum(lengths, 1)
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in shingle_hashes]
+        ).view(np.uint64)
+        offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        # splitmix64 finalizer per seed, looped with in-place buffers —
+        # a (flat × k) matrix would allocate GBs; this stays in cache.
+        c1, c2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
+        s30, s27, s31 = np.uint64(30), np.uint64(27), np.uint64(31)
+        mins = np.empty((n, len(seeds)), dtype=np.uint64)
+        z = np.empty_like(flat)
+        for j, seed in enumerate(seeds):
+            np.bitwise_xor(flat, seed, out=z)
+            z ^= z >> s30
+            z *= c1
+            z ^= z >> s27
+            z *= c2
+            z ^= z >> s31
+            mins[:, j] = np.minimum.reduceat(z, offsets)
+        return pd.Series(list(mins.view(np.int64)))
+
+    return fold
 
 
 def minhash_lsh_pairs(
@@ -157,8 +193,14 @@ def minhash_lsh_pairs(
     # shingle → hash-to-long once; signatures, banding and the exact-
     # Jaccard verification all work on the long arrays (collision odds
     # ~2^-64 per pair — immaterial for dedup).
+    fold = minhash_signature_udf(num_hashes)
+    # CPU-heavy per-doc stage: make sure it fans out across cores even
+    # when the source is a single small file (a TB-scale scan arrives
+    # pre-partitioned; a fixture file does not).
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     sigs = (
-        df.select(
+        df.repartition(n_parts, F.col(id_col))
+        .select(
             F.col(id_col).alias("doc_id"),
             char_shingles(F.col(text_col), shingle_size).alias("shingles"),
         )
@@ -166,7 +208,7 @@ def minhash_lsh_pairs(
             "doc_id",
             F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
         )
-        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+        .withColumn("sig", fold(F.col("shingles")))
     )
     # sigs feeds three plan branches (banding + both verify join-backs);
     # persist so shingling/signatures compute once. At petabyte scale
@@ -261,14 +303,52 @@ def simhash(tokens_col):
     return let(F.transform(tokens_col, lambda t: F.xxhash64(t)), fold)
 
 
+def _simhash_fold_udf():
+    """Vectorized SimHash fold: token hashes (JVM xxhash64, stable)
+    arrive as array<long>; numpy unpacks bits, segment-sums votes and
+    packs majority bits — identical signatures to the pure-Catalyst
+    :func:`simhash`, ~an order of magnitude less per-row expression
+    work at scale."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def fold(hashes: pd.Series) -> pd.Series:
+        lengths = hashes.map(len).to_numpy(dtype=np.int64)
+        n = len(lengths)
+        if n == 0 or lengths.sum() == 0:
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes])
+        bits = (
+            (flat.view(np.uint64)[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+        ).astype(np.int64)
+        if (lengths == 0).any():  # defensive: reduceat breaks on empties
+            acc = np.zeros((n, 64), dtype=np.int64)
+            np.add.at(acc, np.repeat(np.arange(n), lengths), bits)
+        else:
+            offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            acc = np.add.reduceat(bits, offsets, axis=0)
+        maj = (2 * acc) > lengths[:, None]
+        weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+        sig = (maj.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        return pd.Series(sig.view(np.int64))
+
+    return fold
+
+
 def simhash_collision_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Docs sharing an identical 64-bit SimHash (hamming distance 0).
     Output: one row per signature with >1 member."""
     from burla_spark.operators.text import tokens
 
+    fold = _simhash_fold_udf()
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    df = df.repartition(n_parts, F.col(id_col))
     sigs = df.select(
         F.col(id_col),
-        simhash(tokens(F.col(text_col))).alias("simhash"),
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__h"),
+    ).select(
+        F.col(id_col),
+        fold(F.col("__h")).alias("simhash"),
     )
     return (
         sigs.groupBy("simhash")

@@ -59,7 +59,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of string set ops — same value modulo 2^-64 collisions; the oracle
     computes it on the raw strings)."""
     d = load_table(spark, sf_dir, "documents")
-    g = d.select(
+    n_parts = spark.sparkContext.defaultParallelism
+    g = d.repartition(n_parts, "doc_id").select(
         "doc_id",
         "source",
         dd.word_ngrams(tx.tokens(F.col("text")), 2).alias("grams"),

@@ -1,0 +1,155 @@
+"""Property-based tests (hypothesis) — the reference has no
+property-based coverage (SURVEY §5); these pin the custom operators'
+semantics against independent reference implementations on random
+inputs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from burla_spark.operators.asof import asof_join
+from burla_spark.operators.skew import salted_aggregate
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def asof_case(draw):
+    n_keys = draw(st.integers(1, 3))
+    left = draw(
+        st.lists(
+            st.tuples(st.integers(0, n_keys - 1), st.integers(0, 1000)),
+            min_size=1, max_size=25,
+        )
+    )
+    right = draw(
+        st.lists(
+            st.tuples(st.integers(0, n_keys - 1), st.integers(0, 1000)),
+            min_size=1, max_size=25,
+        )
+    )
+    # unique (key, ts) on the right so the match is well-defined
+    right = list({(k, t) for k, t in right})
+    return left, right
+
+
+@given(asof_case())
+@SLOW
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    left_rows, right_rows = case
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k long, lt long, lid long"
+    ).select("k", F.timestamp_seconds("lt").alias("lt"), "lid")
+    rdf = spark.createDataFrame(
+        [(k, t, t * 10 + k) for (k, t) in right_rows], "k long, rt long, rv long"
+    ).select("k", F.timestamp_seconds("rt").alias("rt"), "rv")
+
+    got = {
+        (r.lid): r.rv
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lt", right_ts="rt", right_cols=("rv",)
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], columns=["k", "t", "lid"]
+    ).sort_values("t", kind="mergesort")
+    rp = pd.DataFrame(
+        [(k, t, t * 10 + k) for (k, t) in right_rows], columns=["k", "t", "rv"]
+    ).sort_values("t", kind="mergesort")
+    expected_df = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    expected = {
+        int(row.lid): (None if pd.isna(row.rv) else int(row.rv))
+        for row in expected_df.itertuples()
+    }
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-1000, 1000)),
+        min_size=1, max_size=50,
+    ),
+    st.integers(2, 8),
+)
+@SLOW
+def test_salted_aggregate_equals_plain_groupby(spark, rows, buckets):
+    df = spark.createDataFrame(rows, "k int, v long")
+    plain = {
+        (r.k): (r.n, r.s)
+        for r in df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    salted = {
+        (r.k): (r.n, r.s)
+        for r in salted_aggregate(
+            df, ["k"], {"n": F.count("*"), "s": F.sum("v")}, buckets=buckets
+        ).collect()
+    }
+    assert plain == salted
+
+
+@given(
+    st.lists(
+        st.recursive(
+            st.one_of(
+                st.integers(-10**9, 10**9),
+                st.text(max_size=20),
+                st.floats(allow_nan=False, allow_infinity=False),
+                st.booleans(),
+                st.none(),
+            ),
+            lambda children: st.one_of(
+                st.lists(children, max_size=4),
+                st.dictionaries(st.text(max_size=5), children, max_size=3),
+            ),
+            max_leaves=8,
+        ),
+        min_size=1, max_size=10,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_rpm_roundtrips_arbitrary_objects(spark, objects):
+    from burla_spark import remote_parallel_map
+
+    results = remote_parallel_map(lambda x: x, objects, spark=spark)
+    def freeze(o):
+        if isinstance(o, list):
+            return ("L", tuple(freeze(x) for x in o))
+        if isinstance(o, dict):
+            return ("D", tuple(sorted((k, freeze(v)) for k, v in o.items())))
+        return o
+    assert sorted(map(str, map(freeze, results))) == sorted(map(str, map(freeze, objects)))
+
+
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=2, max_size=10))
+@SLOW
+def test_jaccard_bounds_and_symmetry(spark, texts):
+    from burla_spark.operators.dedup import jaccard, char_shingles
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).select("doc_id", char_shingles(F.col("text"), 3).alias("sh"))
+    a = df.alias("a")
+    b = df.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jab"),
+            jaccard(F.col("b.sh"), F.col("a.sh")).alias("jba"),
+        )
+        .collect()
+    )
+    for r in pairs:
+        if r.jab is not None:
+            assert 0.0 <= r.jab <= 1.0
+            assert r.jab == r.jba
