@@ -1,0 +1,119 @@
+"""Complex-type surface (SURVEY.md §2.B scalar-functions rows): map
+construction/access, higher-order array functions, from_json → struct.
+Map results are emitted as (sorted keys, values-by-sorted-key) arrays —
+map iteration order is engine-specific, sorted projections are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from burla_spark.functions.numeric import money_sum
+from burla_spark.operators.text import tokens
+from burla_spark.plans.base import QuerySpec
+from burla_spark.sources.tables import load_table
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a per-user event_type→count map (map_from_entries over a
+    sorted collect), then read it back via map_keys/map_values/
+    element_at — exercising construction AND access."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    entries = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    return entries.select(
+        "user_id",
+        F.map_keys("type_counts").alias("types"),
+        F.map_values("type_counts").alias("counts"),
+        F.coalesce(F.element_at("type_counts", "purchase"), F.lit(0)).alias("n_purchases"),
+        F.size("type_counts").cast("long").alias("n_distinct_types"),
+    )
+
+
+MAP_FUNCTIONS_SQL = """
+WITH per_type AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+  list_sort(list(event_type)) AS types,
+  list_transform(
+    list_sort(list({'t': event_type, 'n': n})), x -> x.n) AS counts,
+  COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN n END), 0) AS n_purchases,
+  COUNT(*) AS n_distinct_types
+FROM per_type
+GROUP BY user_id
+"""
+
+
+def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform / filter / exists / forall / aggregate over token
+    arrays — the lambda-expression surface, all JVM codegen."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.transform(toks, lambda t: F.length(t)).alias("token_lengths"),
+        F.filter(toks, lambda t: F.length(t) > 5).alias("long_tokens"),
+        F.exists(toks, lambda t: t == F.lit("spark")).alias("mentions_spark"),
+        F.forall(toks, lambda t: F.length(t) < 30).alias("all_short"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("total_chars"),
+        F.zip_with(
+            toks, F.reverse(toks), lambda a, b: F.concat_ws("|", a, b)
+        ).alias("palindrome_pairs"),
+    )
+
+
+HIGHER_ORDER_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+  list_transform(toks, t -> CAST(LENGTH(t) AS INT)) AS token_lengths,
+  list_filter(toks, t -> LENGTH(t) > 5) AS long_tokens,
+  len(list_filter(toks, t -> t = 'spark')) > 0 AS mentions_spark,
+  len(list_filter(toks, t -> NOT LENGTH(t) < 30)) = 0 AS all_short,
+  CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS BIGINT) AS total_chars,
+  list_transform(generate_series(1, len(toks)),
+    i -> toks[i] || '|' || toks[len(toks) - i + 1]) AS palindrome_pairs
+FROM d
+"""
+
+
+def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit schema → typed struct column (the
+    schema-on-read path; json_extraction covers get_json_object)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id",
+        "event_type",
+        F.from_json("props", "k int").alias("p"),
+    )
+    return (
+        parsed.select("event_id", "event_type", F.col("p.k").cast("long").alias("k"))
+        .filter(F.col("k") % 7 == 0)
+    )
+
+
+FROM_JSON_SQL = """
+SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("map_functions", map_functions, MAP_FUNCTIONS_SQL, ("scalar", "map")),
+    QuerySpec("higher_order_functions", higher_order_functions, HIGHER_ORDER_SQL, ("scalar",)),
+    QuerySpec("from_json_struct", from_json_struct, FROM_JSON_SQL, ("json",)),
+]

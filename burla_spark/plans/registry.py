@@ -14,6 +14,7 @@ def all_specs() -> list[QuerySpec]:
     # Imported lazily so a bug in one plan module doesn't take down the
     # whole registry at import time.
     from burla_spark.plans import (
+        complex_types,
         llm,
         relational,
         relational2,
@@ -29,6 +30,7 @@ def all_specs() -> list[QuerySpec]:
     specs += relational2.SPECS
     specs += relational3.SPECS
     specs += reshape.SPECS
+    specs += complex_types.SPECS
     specs += timeseries.SPECS
     specs += llm.SPECS
     specs += streaming_queries.SPECS
