@@ -16,7 +16,7 @@ from burla_spark.operators.asof import asof_join
 from burla_spark.operators.skew import salted_aggregate
 
 SLOW = settings(
-    max_examples=12,
+    max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -116,7 +116,7 @@ def test_salted_aggregate_equals_plain_groupby(spark, rows, buckets):
         min_size=1, max_size=10,
     )
 )
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=4, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
 def test_rpm_roundtrips_arbitrary_objects(spark, objects):
     from burla_spark import remote_parallel_map

@@ -1,0 +1,107 @@
+"""Failure-recovery contracts: task-retry exactly-once (reference
+FIXTURES.md 'idempotent retry' row; tests/scenarios/
+test_dynamic_ram_oom_retry.py in the reference), streaming checkpoint
+recovery, and generator-mode error propagation.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_rpm_retry_after_transient_task_failure():
+    """A task that dies on its first attempt for input 3 must be
+    retried and every input must yield exactly one result — Spark's
+    deterministic task retry IS the reference's requeue contract
+    (SURVEY §2 exactly-once). Runs in a subprocess because task
+    retries need local[N,maxFailures] at session build."""
+    script_template = textwrap.dedent(
+        """
+        import os, sys
+        sys.path.insert(0, {repo!r})
+        from burla_spark.session import get_spark
+        from burla_spark import remote_parallel_map
+
+        spark = get_spark(app_name="retry_test", master="local[4,3]")
+        spark.sparkContext.setLogLevel("ERROR")
+
+        def flaky(x):
+            marker = os.path.join({flag_dir!r}, f"attempt_{{x}}")
+            if x == 3 and not os.path.exists(marker):
+                open(marker, "w").close()
+                os._exit(1)  # kill the python worker mid-task
+            return x * 2
+
+        results = remote_parallel_map(flaky, range(8), spark=spark)
+        assert sorted(results) == [x * 2 for x in range(8)], results
+        print("RETRY_OK", len(results))
+        """
+    )
+    with tempfile.TemporaryDirectory() as flag_dir:
+        script = script_template.format(repo=REPO, flag_dir=flag_dir)
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True, text=True, timeout=300,
+        )
+    assert "RETRY_OK 8" in proc.stdout, f"stdout={proc.stdout}\nstderr={proc.stderr[-2000:]}"
+
+
+def test_streaming_checkpoint_no_duplicates(spark, sf_dir, tmp_path):
+    """File-sink stream with a checkpoint: a second AvailableNow run
+    over the same source must be a no-op (no reprocessing, no
+    duplicates) — the durable exactly-once streaming contract."""
+    from pyspark.sql import functions as F
+
+    from burla_spark.streaming.events import events_stream
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        s = events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()  # same source, same checkpoint → nothing new to process
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2
+    assert n2 == spark.read.parquet(out).select("event_id").distinct().count()
+
+
+def test_generator_mode_raises_mid_iteration(spark):
+    """Errors surface while iterating (reference test_rpm_core.py:80-92),
+    not only at the end."""
+    from burla_spark import remote_parallel_map
+    from burla_spark.rpm import RpmError
+
+    def boom(x):
+        if x == 5:
+            raise RuntimeError("mid-stream failure")
+        return x
+
+    gen = remote_parallel_map(
+        boom, range(10), spark=spark, generator=True, max_parallelism=10
+    )
+    seen = []
+    with pytest.raises(RpmError) as exc_info:
+        for value in gen:
+            seen.append(value)
+    assert exc_info.value.burla_input_index == 5
+    assert len(seen) < 10
