@@ -120,9 +120,65 @@ LEFT JOIN (
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD2 merge emulation (MERGE INTO without Delta): close changed rows,
+# append new versions — anti-join + union + version bookkeeping.
+# ---------------------------------------------------------------------------
+def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from burla_spark.operators.cdc import scd2_apply
+    from burla_spark.functions.numeric import dec
+
+    c = load_table(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    # the "change batch": rich customers get a 10% balance bump
+    # (decimal-routed so both engines compute the same new balance)
+    updates = (
+        c.filter(F.col("c_acctbal") > 5000)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            (dec("c_acctbal") * F.lit(1.1).cast("decimal(2,1)"))
+            .cast("double")
+            .alias("acctbal"),
+            F.lit(1).cast("long").alias("version"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return scd2_apply(current, updates, "c_custkey")
+
+
+SCD2_MERGE_SQL = """
+WITH current AS (
+  SELECT c_custkey, c_nationkey, c_acctbal AS acctbal,
+         CAST(1 AS BIGINT) AS version, TRUE AS is_current
+  FROM customer
+),
+updates AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS acctbal
+  FROM customer WHERE c_acctbal > 5000
+)
+SELECT c_custkey, c_nationkey, acctbal, version, is_current FROM current
+WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+UNION ALL
+SELECT c_custkey, c_nationkey, acctbal, version, FALSE FROM current
+WHERE c_custkey IN (SELECT c_custkey FROM updates)
+UNION ALL
+SELECT u.c_custkey, u.c_nationkey, u.acctbal, CAST(2 AS BIGINT), TRUE
+FROM updates u
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("pivot_status_matrix", pivot_status_matrix, PIVOT_SQL, ("reshape",)),
     QuerySpec("unpivot_measures", unpivot_measures, UNPIVOT_SQL, ("reshape",)),
     QuerySpec("union_by_name_missing", union_by_name_missing, UNION_BY_NAME_SQL, ("setop", "reshape")),
     QuerySpec("null_handling", null_handling, NULL_HANDLING_SQL, ("scalar",)),
+    QuerySpec("scd2_merge", scd2_merge, SCD2_MERGE_SQL, ("cdc", "join")),
 ]

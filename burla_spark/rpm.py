@@ -193,7 +193,17 @@ def remote_parallel_map(
     """
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
-        raise RuntimeError("no active SparkSession; pass spark=")
+        # The reference supports nested RPM (a UDF calling RPM again —
+        # node_service/__init__.py:54-55); Spark executors cannot
+        # submit jobs, so this is a documented divergence (SURVEY
+        # §7.3.4): raise with the recipe instead of hanging.
+        raise RuntimeError(
+            "no active SparkSession. If this call is inside a "
+            "remote_parallel_map worker (nested RPM), Spark executors "
+            "cannot submit jobs — restructure as driver-side "
+            "composition: expand inputs first (flatMap) and run ONE "
+            "remote_parallel_map over the expanded list."
+        )
     if func_gpu:
         raise NotImplementedError(
             "func_gpu maps to stage-level ResourceProfiles on a GPU cluster; "

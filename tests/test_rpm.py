@@ -129,6 +129,21 @@ def test_func_cpu_and_spinner(spark):
     assert sorted(results) == [x * 2 for x in range(64)]
 
 
+def test_nested_rpm_raises_clear_error(spark):
+    """The reference allows nested RPM; Spark executors can't submit
+    jobs (SURVEY §7.3.4) — the inner call must fail with guidance, not
+    hang."""
+
+    def outer(x):
+        from burla_spark import remote_parallel_map as rpm
+
+        return rpm(lambda y: y, [x])
+
+    with pytest.raises(RpmError) as exc_info:
+        remote_parallel_map(outer, [1, 2], spark=spark)
+    assert "nested" in exc_info.value.original_message.lower()
+
+
 def test_arbitrary_objects_roundtrip(spark):
     class Thing:
         def __init__(self, v):
