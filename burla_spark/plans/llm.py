@@ -294,6 +294,29 @@ FROM documents
 # clustering (MLlib KMeans; rows-only — assignments quality-tested in
 # tests/test_operators.py against the label ground truth)
 # ---------------------------------------------------------------------------
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column pipeline through the driver gate: documents'
+    text bytes stand in for media payloads (the container has no image
+    fixtures); metadata attach + mapInPandas feature extraction are the
+    real production plumbing (operators/multimodal.py). Rows-only:
+    feature values come from the stubbed decoder."""
+    from burla_spark.operators import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    blobs = mm.attach_blob_metadata(d, "payload", "text/plain")
+    feats = mm.extract_features(blobs)
+    return feats.select(
+        "doc_id",
+        F.col("blob_meta.n_bytes").alias("n_bytes"),
+        F.col("blob_meta.sha").alias("sha"),
+        "width",
+        "height",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
 def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from burla_spark.operators.clustering import cluster_sizes, kmeans_assign
 
@@ -408,5 +431,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL, ("text",)),
     QuerySpec("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINT_SQL, ("text",)),
     QuerySpec("kmeans_cluster_sizes", kmeans_cluster_sizes, None, ("clustering",)),
+    QuerySpec("multimodal_feature_extract", multimodal_feature_extract, None, ("multimodal",)),
     QuerySpec("corpus_curation_pipeline", corpus_curation_pipeline, CORPUS_CURATION_SQL, ("text", "dedup", "pipeline")),
 ]

@@ -19,6 +19,7 @@ def all_specs() -> list[QuerySpec]:
         relational,
         relational2,
         relational3,
+        relational4,
         reshape,
         streaming_queries,
         timeseries,
@@ -29,6 +30,7 @@ def all_specs() -> list[QuerySpec]:
     specs += relational.SPECS
     specs += relational2.SPECS
     specs += relational3.SPECS
+    specs += relational4.SPECS
     specs += reshape.SPECS
     specs += complex_types.SPECS
     specs += timeseries.SPECS
