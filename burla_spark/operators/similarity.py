@@ -181,22 +181,24 @@ def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    threshold: float = 0.95,
-    num_planes: int = 8,
+    threshold: float = 0.9,
+    num_planes: int = 4,
+    num_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucketing + exact
-    verify — the embedding analogue of MinHash dedup."""
-    sig = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec_col).alias("__vec"),
-        _hyperplane_sign_bits(F.col(vec_col), num_planes, dim).alias("bucket"),
+    """Embedding-cosine near-duplicate pairs via multi-table LSH
+    bucketing + exact verify — the embedding analogue of MinHash dedup.
+    Recall follows 1-(1-p^planes)^tables like lsh_bucketed_topk."""
+    sig = _with_table_buckets(
+        df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__vec")),
+        "__vec", num_planes, num_tables, dim,
     )
     l, r = sig.alias("l"), sig.alias("r")
     return (
         l.join(
             r,
-            (F.col("l.bucket") == F.col("r.bucket"))
+            (F.col("l.__table") == F.col("r.__table"))
+            & (F.col("l.__bucket") == F.col("r.__bucket"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(
@@ -204,6 +206,7 @@ def embedding_neardup_pairs(
             F.col("r.doc_id").alias("id_b"),
             cosine_similarity(F.col("l.__vec"), F.col("r.__vec")).alias("sim"),
         )
+        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )

@@ -273,6 +273,38 @@ FROM s
 """
 
 
+def token_pieces_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word segmentation (letter-runs / digit-runs /
+    punctuation marks as pieces) — the regex tokenizer every training
+    pipeline needs before real BPE."""
+    d = load_table(spark, sf_dir, "documents")
+    pieces = tx.token_pieces(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).cast("long").alias("n_distinct_pieces"),
+        F.element_at(pieces, 1).alias("first_piece"),
+    )
+
+
+TOKEN_PIECES_SQL = r"""
+SELECT doc_id,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_pieces,
+  len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS n_distinct_pieces,
+  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')[1] AS first_piece
+FROM documents
+"""
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (multi-table LSH + exact
+    verify) — rows-only (hash-bucketed candidates). Threshold 0.45 ≈
+    this fixture's near-dup band (its max pair cosine is ~0.51; real
+    corpora use 0.9+)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.45)
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -432,5 +464,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINT_SQL, ("text",)),
     QuerySpec("kmeans_cluster_sizes", kmeans_cluster_sizes, None, ("clustering",)),
     QuerySpec("multimodal_feature_extract", multimodal_feature_extract, None, ("multimodal",)),
+    QuerySpec("token_pieces_stats", token_pieces_stats, TOKEN_PIECES_SQL, ("text",)),
+    QuerySpec("embedding_neardup", embedding_neardup, None, ("similarity", "dedup", "lsh")),
     QuerySpec("corpus_curation_pipeline", corpus_curation_pipeline, CORPUS_CURATION_SQL, ("text", "dedup", "pipeline")),
 ]

@@ -232,8 +232,65 @@ WHERE p_brand = 'Brand#23'
 """
 
 
+# ---------------------------------------------------------------------------
+# q8 — market share: a ratio of conditional revenue within a group
+# (two-level aggregation over a 6-way join).
+# ---------------------------------------------------------------------------
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    target_nation = 19
+    vol = _disc_price()
+    target_vol = F.when(F.col("s_nationkey") == target_nation, vol).otherwise(
+        F.lit(0).cast("decimal(25,8)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.round(F.sum(target_vol), 2).cast("double").alias("target_revenue"),
+            F.round(F.sum(vol), 2).cast("double").alias("total_revenue"),
+            (
+                F.round(F.sum(target_vol), 2).cast("double")
+                / F.round(F.sum(vol), 2).cast("double")
+            ).alias("mkt_share"),
+        )
+        .orderBy("order_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT
+  CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+  CAST(ROUND(SUM(CASE WHEN s_nationkey = 19 THEN {SQL_DISC_PRICE}
+                      ELSE CAST(0 AS DECIMAL(25,8)) END), 2) AS DOUBLE) AS target_revenue,
+  CAST(ROUND(SUM({SQL_DISC_PRICE}), 2) AS DOUBLE) AS total_revenue,
+  CAST(ROUND(SUM(CASE WHEN s_nationkey = 19 THEN {SQL_DISC_PRICE}
+                      ELSE CAST(0 AS DECIMAL(25,8)) END), 2) AS DOUBLE)
+    / CAST(ROUND(SUM({SQL_DISC_PRICE}), 2) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE r_name = 'EUROPE'
+GROUP BY YEAR(o_orderdate)
+ORDER BY order_year
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("q7_volume_shipping", q7_volume_shipping, Q7_SQL, ("join", "tpch")),
+    QuerySpec("q8_market_share", q8_market_share, Q8_SQL, ("join", "agg", "tpch")),
     QuerySpec("q9_profit_by_nation", q9_profit_by_nation, Q9_SQL, ("join", "tpch")),
     QuerySpec("q13_count_distribution", q13_count_distribution, Q13_SQL, ("join", "agg", "tpch")),
     QuerySpec("q15_top_supplier", q15_top_supplier, Q15_SQL, ("agg", "tpch")),
