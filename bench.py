@@ -54,6 +54,9 @@ def main() -> None:
             # drop per-query persisted RDDs (e.g. minhash signatures) so
             # cached blocks don't pile up across the 2×N query runs.
             spark.catalog.clearCache()
+        # nudge the JVM between passes — accumulated broadcast/codegen
+        # garbage otherwise spikes individual timings later in the run.
+        spark.sparkContext._jvm.System.gc()
         return t
 
     # run twice: first run pays per-query whole-stage-codegen compile

@@ -33,13 +33,16 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str],
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts <= left_ts`` (direction='backward') or the earliest with
     ``right_ts >= left_ts`` (direction='forward'), per key.
 
     ``right_cols`` are the right-side columns to carry (must not clash
-    with left column names).
+    with left column names). ``tolerance`` (an interval literal like
+    ``'30 minutes'``) nulls out matches farther than that from the left
+    timestamp — pandas merge_asof semantics.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -81,9 +84,28 @@ def asof_join(
         )
         carried = F.last(_PAYLOAD, ignorenulls=True).over(w)
 
-    matched = unioned.withColumn("__asof_match", carried).filter(
-        F.col(_SIDE) == 1
-    )
+    # carry the matched right timestamp alongside the payload so a
+    # tolerance bound can be enforced after the carry-forward.
+    matched = unioned.withColumn("__asof_match", carried).withColumn(
+        "__asof_mts",
+        F.last(
+            F.when(F.col(_SIDE) == 0, F.col("__asof_ts")), ignorenulls=True
+        ).over(w),
+    ).filter(F.col(_SIDE) == 1)
+
+    if tolerance is not None:
+        distance = F.abs(
+            F.unix_micros(F.col("__asof_ts")) - F.unix_micros(F.col("__asof_mts"))
+        )
+        bound = F.unix_micros(
+            F.lit("1970-01-01 00:00:00").cast("timestamp")
+            + F.expr(f"INTERVAL {tolerance}")
+        )
+        matched = matched.withColumn(
+            "__asof_match",
+            F.when(distance <= bound, F.col("__asof_match")),
+        )
+
     out_cols = [F.col(c) for c in left_cols]
     out_cols += [F.col(f"__asof_match.{c}").alias(c) for c in right_cols]
     return matched.select(*out_cols)

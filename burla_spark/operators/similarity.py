@@ -194,19 +194,33 @@ def embedding_neardup_pairs(
         "__vec", num_planes, num_tables, dim,
     )
     l, r = sig.alias("l"), sig.alias("r")
-    return (
+    # candidate ids only — carrying vectors through the pair join +
+    # dedup shuffle would move |pairs|×2 vectors; ids are 16 bytes.
+    candidates = (
         l.join(
             r,
             (F.col("l.__table") == F.col("r.__table"))
             & (F.col("l.__bucket") == F.col("r.__bucket"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
-            F.col("l.doc_id").alias("id_a"),
-            F.col("r.doc_id").alias("id_b"),
-            cosine_similarity(F.col("l.__vec"), F.col("r.__vec")).alias("sim"),
-        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__v"))
+    return (
+        candidates.join(
+            F.broadcast(vecs.select(F.col("doc_id").alias("id_a"), F.col("__v").alias("__va"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(vecs.select(F.col("doc_id").alias("id_b"), F.col("__v").alias("__vb"))),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("__va"), F.col("__vb")).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )

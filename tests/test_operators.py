@@ -115,6 +115,26 @@ def test_asof_forward_direction(spark):
     assert back[0].rv == 1.0  # latest right at or before t=10
 
 
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 1000, 9.0)], "k long, t long, lv double"
+    ).select("k", F.timestamp_seconds("t").alias("lt"), "lv")
+    right = spark.createDataFrame(
+        [(1, 100, 1.0)], "k long, t long, rv double"
+    ).select("k", F.timestamp_seconds("t").alias("rt"), "rv")
+    # match is 900s old: admitted at 20 minutes tolerance, nulled at 5
+    wide = asof_join(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        right_cols=("rv",), tolerance="20 minutes",
+    ).collect()
+    assert wide[0].rv == 1.0
+    narrow = asof_join(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        right_cols=("rv",), tolerance="5 minutes",
+    ).collect()
+    assert narrow[0].rv is None
+
+
 def test_asof_no_match_is_null(spark):
     left = spark.createDataFrame([(1, 5, 9.0)], "k long, t long, lv double").select(
         "k", F.timestamp_seconds("t").alias("lt"), "lv"

@@ -85,6 +85,43 @@ def test_streaming_checkpoint_no_duplicates(spark, sf_dir, tmp_path):
     assert n2 == spark.read.parquet(out).select("event_id").distinct().count()
 
 
+def test_foreachbatch_sink(spark, sf_dir, tmp_path):
+    """foreachBatch — the custom exactly-once sink hook (each
+    micro-batch arrives with an epoch id for idempotent writes)."""
+    from burla_spark.streaming.events import events_stream
+
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+    seen_epochs = []
+
+    def write_batch(batch_df, epoch_id):
+        seen_epochs.append(epoch_id)
+        (
+            batch_df.groupBy("event_type")
+            .count()
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    from pyspark.sql import functions as F
+
+    s = events_stream(spark, sf_dir)
+    q = (
+        s.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert seen_epochs  # at least one micro-batch ran
+    result = spark.read.parquet(out)
+    total = result.agg(F.sum("count")).collect()[0][0]
+    from burla_spark.sources.tables import load_table
+
+    assert total == load_table(spark, sf_dir, "events").count()
+
+
 def test_generator_mode_raises_mid_iteration(spark):
     """Errors surface while iterating (reference test_rpm_core.py:80-92),
     not only at the end."""
