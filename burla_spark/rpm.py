@@ -119,6 +119,13 @@ def _make_udf(function_pkl: bytes, capture_stdout: bool):
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
+        # results serialize with cloudpickle so locally-defined classes
+        # round-trip (by-value), mirroring the input path.
+        try:
+            from pyspark import cloudpickle as result_pickler  # type: ignore
+        except ImportError:  # pragma: no cover
+            import cloudpickle as result_pickler  # type: ignore
+
         fn = pickle.loads(function_pkl)
         for batch in batches:
             out: dict[str, list] = {
@@ -136,7 +143,7 @@ def _make_udf(function_pkl: bytes, capture_stdout: bool):
                         result = fn(*arg) if isinstance(arg, tuple) else fn(arg)
                     out["idx"].append(int(idx))
                     out["is_error"].append(False)
-                    out["payload"].append(pickle.dumps(result))
+                    out["payload"].append(result_pickler.dumps(result))
                     out["stdout"].append(buf.getvalue())
                     out["error_type"].append(None)
                     out["error_msg"].append(None)

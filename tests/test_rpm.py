@@ -151,3 +151,15 @@ def test_arbitrary_objects_roundtrip(spark):
 
     results = remote_parallel_map(lambda t: t.v * 2, [Thing(i) for i in range(10)], spark=spark)
     assert sorted(results) == [i * 2 for i in range(10)]
+
+
+def test_local_class_results_roundtrip(spark):
+    """Results that are locally-defined class instances must come back
+    (worker serializes results with cloudpickle, by value)."""
+
+    class Box:
+        def __init__(self, v):
+            self.v = v
+
+    results = remote_parallel_map(lambda x: Box(x * 3), range(6), spark=spark)
+    assert sorted(r.v for r in results) == [x * 3 for x in range(6)]
