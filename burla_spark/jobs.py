@@ -57,6 +57,51 @@ class BackgroundJob:
         return self._result
 
 
+class sigint_policy:
+    """Ctrl-C handling for long-running jobs (reference behavior:
+    SIGINT converts the job into a detach or a cancel instead of
+    tearing down mid-flight — _helpers.py:59-109).
+
+    >>> job = submit(spark, action)
+    >>> with sigint_policy(job, on_interrupt="cancel"):
+    ...     result = job.result()
+    ``on_interrupt='detach'`` leaves the job running (handle stays
+    valid); ``'cancel'`` interrupts the job's tag. Either way the
+    process no longer dies mid-task on the first Ctrl-C (a second
+    SIGINT restores default handling)."""
+
+    def __init__(self, job: BackgroundJob, on_interrupt: str = "cancel"):
+        if on_interrupt not in ("cancel", "detach"):
+            raise ValueError("on_interrupt must be 'cancel' or 'detach'")
+        self._job = job
+        self._mode = on_interrupt
+        self._prev = None
+        self.interrupted = False
+
+    def _handler(self, signum, frame):
+        import signal
+
+        self.interrupted = True
+        if self._mode == "cancel":
+            self._job.cancel()
+        # detach: leave the job running; either way restore default so
+        # a second Ctrl-C behaves normally.
+        signal.signal(signal.SIGINT, self._prev)
+
+    def __enter__(self) -> "sigint_policy":
+        import signal
+
+        self._prev = signal.getsignal(signal.SIGINT)
+        signal.signal(signal.SIGINT, self._handler)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        import signal
+
+        if signal.getsignal(signal.SIGINT) is self._handler:
+            signal.signal(signal.SIGINT, self._prev)
+
+
 def submit(spark: SparkSession, action: Callable[[], Any], tag: str | None = None) -> BackgroundJob:
     """Run a Spark action in the background under a cancelable tag.
 

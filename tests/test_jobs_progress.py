@@ -66,3 +66,35 @@ def test_progress_reporter_observes_tasks(spark):
 def test_progress_snapshot_idle(spark):
     snap = progress_snapshot(spark)
     assert snap["active_jobs"] == 0
+
+
+def test_sigint_policy_cancel(spark):
+    import os
+    import signal
+
+    from burla_spark.jobs import sigint_policy
+
+    rdd = _slow_df(spark)
+    job = submit(spark, rdd.count)
+    time.sleep(1.0)
+    with sigint_policy(job, on_interrupt="cancel") as policy:
+        os.kill(os.getpid(), signal.SIGINT)
+        time.sleep(0.3)  # handler runs in main thread between bytecodes
+        assert policy.interrupted
+    with pytest.raises(JobCanceled):
+        job.result(timeout=30)
+
+
+def test_sigint_policy_detach(spark):
+    import os
+    import signal
+
+    from burla_spark.jobs import sigint_policy
+
+    job = submit(spark, lambda: spark.range(100000).count())
+    with sigint_policy(job, on_interrupt="detach") as policy:
+        os.kill(os.getpid(), signal.SIGINT)
+        time.sleep(0.3)
+        assert policy.interrupted
+    # detached: job keeps running to completion
+    assert job.result(timeout=60) == 100000
