@@ -20,6 +20,7 @@ def all_specs() -> list[QuerySpec]:
         relational2,
         relational3,
         relational4,
+        relational5,
         reshape,
         streaming_queries,
         timeseries,
@@ -31,6 +32,7 @@ def all_specs() -> list[QuerySpec]:
     specs += relational2.SPECS
     specs += relational3.SPECS
     specs += relational4.SPECS
+    specs += relational5.SPECS
     specs += reshape.SPECS
     specs += complex_types.SPECS
     specs += timeseries.SPECS
