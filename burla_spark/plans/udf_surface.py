@@ -182,10 +182,81 @@ FROM d, p WHERE pos <= len(toks)
 """
 
 
+# ---------------------------------------------------------------------------
+# the reference's canonical multi-stage pipeline (README.md:123-127:
+# "process data" → "aggregate" → "predict") as one lazy Spark plan:
+# mapInPandas parse → groupBy/applyInPandas aggregate → iterator-model
+# scoring. The reference runs three remote_parallel_map rounds with
+# driver round-trips between them; here the stages fuse into one DAG.
+# ---------------------------------------------------------------------------
+def process_aggregate_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stage 1 — process: per-event feature extraction (Arrow batches)
+    def process(batches):
+        for b in batches:
+            out = pd.DataFrame(
+                {
+                    "user_id": b["user_id"],
+                    "is_purchase": (b["event_type"] == "purchase").astype("int64"),
+                    "value": b["value"],
+                }
+            )
+            yield out
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    processed = e.mapInPandas(process, "user_id long, is_purchase long, value double")
+
+    # stage 2 — aggregate: per-user features (grouped map)
+    def aggregate(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "n_purchases": [int(pdf["is_purchase"].sum())],
+                "total_value": [math.fsum(pdf["value"])],
+            }
+        )
+
+    features = processed.groupBy("user_id").applyInPandas(
+        aggregate, "user_id long, n_events long, n_purchases long, total_value double"
+    )
+
+    # stage 3 — predict: iterator pattern (model "loads" once/partition)
+    def predict(batches):
+        weights = (0.25, 1.5)  # the "model"
+        for b in batches:
+            score = weights[0] * b["n_events"] + weights[1] * b["n_purchases"]
+            yield pd.DataFrame(
+                {
+                    "user_id": b["user_id"],
+                    "n_events": b["n_events"],
+                    "n_purchases": b["n_purchases"],
+                    "total_value": b["total_value"].round(2),
+                    "score": score,
+                }
+            )
+
+    return features.mapInPandas(
+        predict,
+        "user_id long, n_events long, n_purchases long, total_value double, score double",
+    )
+
+
+PROCESS_AGG_PREDICT_SQL = """
+SELECT user_id,
+  COUNT(*) AS n_events,
+  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+  0.25 * COUNT(*) + 1.5 * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS score
+FROM events
+GROUP BY user_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("pandas_scalar_udf", pandas_scalar_udf, PANDAS_SCALAR_SQL, ("udf",)),
     QuerySpec("pandas_udaf_grouped", pandas_udaf_grouped, PANDAS_UDAF_SQL, ("udf", "agg")),
     QuerySpec("applyinpandas_grouped", applyinpandas_grouped, APPLYINPANDAS_SQL, ("udf", "window")),
     QuerySpec("mapinpandas_iterator", mapinpandas_iterator, MAPINPANDAS_SQL, ("udf",)),
     QuerySpec("python_udtf_tokens", python_udtf_tokens, PYTHON_UDTF_SQL, ("udf",)),
+    QuerySpec("process_aggregate_predict", process_aggregate_predict, PROCESS_AGG_PREDICT_SQL, ("udf", "pipeline")),
 ]
