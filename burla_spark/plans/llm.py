@@ -302,7 +302,9 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     this fixture's near-dup band (its max pair cosine is ~0.51; real
     corpora use 0.9+)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return sim.embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.45)
+    return sim.embedding_neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.45, num_tables=4
+    )
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
