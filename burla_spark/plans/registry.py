@@ -21,6 +21,7 @@ def all_specs() -> list[QuerySpec]:
         relational3,
         relational4,
         relational5,
+        relational6,
         reshape,
         streaming_queries,
         timeseries,
@@ -33,6 +34,7 @@ def all_specs() -> list[QuerySpec]:
     specs += relational3.SPECS
     specs += relational4.SPECS
     specs += relational5.SPECS
+    specs += relational6.SPECS
     specs += reshape.SPECS
     specs += complex_types.SPECS
     specs += timeseries.SPECS
