@@ -177,6 +177,100 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the learned-partition
+    scale path, complementing the data-independent LSH one.
+
+    Build: L2-normalize vectors, KMeans the corpus into n_clusters
+    cells (normalized euclidean ≈ cosine order), invert corpus rows by
+    cell id. Search: each query probes its n_probe nearest centroids
+    (rank against a broadcast n_clusters-row centroid table), candidates
+    come from an equi-join on the cell id, then exact cosine re-rank.
+
+    At scale: the corpus shuffles once on cell id; per-query candidate
+    work is ~n_probe/n_clusters of the corpus instead of all of it, and
+    the centroid table stays tiny (n_clusters × dim) no matter how big
+    the corpus grows — raise n_clusters with corpus size (√N rule).
+    Centroids are seeded but float-accumulation-order dependent, so
+    results are reproducible per session, not hash-stable across
+    partitionings (rows-only check; recall asserted in tests).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    def normed(vec):
+        norm = F.sqrt(
+            F.aggregate(
+                vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        )
+        return F.transform(vec, lambda x: x.cast("double") / norm)
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cvec"),
+        array_to_vector(normed(F.col(corpus_vec))).alias("__feat"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(
+        c.select("__feat").withColumnRenamed("__feat", "features")
+    )
+    inverted = (
+        model.transform(c.withColumnRenamed("__feat", "features"))
+        .select("neighbor_id", "__cvec", F.col("prediction").alias("__cell"))
+    )
+
+    centroids = queries.sparkSession.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "__cell int, __centroid array<double>",
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")
+    ).withColumn("__qnorm", normed(F.col("__qvec")))
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("__cdot"), F.asc("__cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "__cdot",
+            F.aggregate(
+                F.zip_with(F.col("__qnorm"), F.col("__centroid"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("__probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("__probe_rank") <= n_probe)
+        .select("query_id", "__qvec", "__cell")
+    )
+
+    scored = (
+        inverted.join(probes, "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qvec"), F.col("__cvec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

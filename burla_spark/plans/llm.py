@@ -173,6 +173,18 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans inverted-file) ANN variant — learned partitions
+    instead of LSH's random planes. No SQL oracle (centroids are
+    float-order dependent); recall vs brute force asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k=10, n_clusters=16, n_probe=4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis (oracle-checked)
 # ---------------------------------------------------------------------------
@@ -460,6 +472,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("simhash_dedup_groups", simhash_dedup_groups, None, ("dedup", "lsh")),
     QuerySpec("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_TOPK_SQL, ("similarity",)),
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, ("similarity", "lsh")),
+    QuerySpec("embedding_ivf_topk", embedding_ivf_topk, None, ("similarity", "ivf")),
     QuerySpec("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL, ("text",)),
     QuerySpec("text_quality_scores", text_quality_scores, TEXT_QUALITY_SQL, ("text",)),
     QuerySpec("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL, ("text",)),

@@ -78,6 +78,26 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     assert hits / total >= 0.5, f"LSH precision vs exact top-k: {hits}/{total}"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = sim.cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", k=10)
+    approx = sim.ivf_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k=10, n_clusters=8, n_probe=3,
+    )
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for r in approx.collect():
+        total += 1
+        if r.neighbor_id in exact_sets.get(r.query_id, set()):
+            hits += 1
+    assert total > 0
+    assert hits / total >= 0.5, f"IVF precision vs exact top-k: {hits}/{total}"
+
+
 def test_simhash_identical_docs_collide(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "completely different words entirely")],
