@@ -19,7 +19,7 @@ Scale notes (local[32] now, 1000 executors later):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from burla_spark.functions.numeric import dec, money_sum
@@ -42,27 +42,30 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
 
-    unit = l.select(
+    # Filter lineitem by the (tiny, broadcast) part dim BEFORE any
+    # aggregation — the correlated min is only needed for filtered
+    # parts, so at 100 TB this prunes the scan to the relevant slice.
+    unit = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
         "l_partkey",
         "l_suppkey",
+        "p_partkey",
+        "p_type",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
     )
-    # supplier-level min offer per part
-    offers = unit.groupBy("l_partkey", "l_suppkey").agg(
-        F.min("unit_price").alias("min_unit_price")
+    # One explicit shuffle on l_partkey: HashPartitioning(l_partkey)
+    # satisfies the (l_partkey, l_suppkey) groupBy AND the per-part
+    # window below, so lineitem is scanned and shuffled exactly once.
+    offers = (
+        unit.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey", "p_partkey", "p_type")
+        .agg(F.min("unit_price").alias("min_unit_price"))
     )
-    # part-level global min (the correlated subquery, as a reusable agg)
-    best = offers.groupBy(F.col("l_partkey").alias("bp_partkey")).agg(
-        F.min("min_unit_price").alias("best_price")
-    )
+    best_w = Window.partitionBy("l_partkey")
+    best = offers.withColumn(
+        "best_price", F.min("min_unit_price").over(best_w)
+    ).filter(F.col("min_unit_price") == F.col("best_price"))
     return (
-        offers.join(
-            best,
-            (offers.l_partkey == best.bp_partkey)
-            & (offers.min_unit_price == best.best_price),
-        )
-        .join(F.broadcast(p), offers.l_partkey == p.p_partkey)
-        .join(s, offers.l_suppkey == s.s_suppkey)
+        best.join(s, best.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             "s_acctbal",
