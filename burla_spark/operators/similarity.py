@@ -188,7 +188,7 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     seed: int = 42,
-    max_iter: int = 20,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the learned-partition
     scale path, complementing the data-independent LSH one.
@@ -223,9 +223,14 @@ def ivf_topk(
         F.col(corpus_vec).alias("__cvec"),
         array_to_vector(normed(F.col(corpus_vec))).alias("__feat"),
     )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(
-        c.select("__feat").withColumnRenamed("__feat", "features")
-    )
+    # cache the features for Lloyd's iterations (MLlib re-scans the
+    # input once per iteration; 8 iterations is plenty for routing-
+    # quality cells — exactness comes from the re-rank, not the fit)
+    feats = c.select("__feat").withColumnRenamed("__feat", "features").cache()
+    try:
+        model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(feats)
+    finally:
+        feats.unpersist()
     inverted = (
         model.transform(c.withColumnRenamed("__feat", "features"))
         .select("neighbor_id", "__cvec", F.col("prediction").alias("__cell"))

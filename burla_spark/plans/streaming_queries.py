@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from burla_spark.plans.base import QuerySpec
 from burla_spark.streaming.events import (
+    stream_click_purchase_join,
     stream_key_dedup,
     stream_session_aggregate,
     stream_stateful_user_stats,
@@ -57,8 +58,31 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM events GROUP BY user_id
 """
 
+# inner interval join + availableNow emits exactly the matched pairs,
+# so the batch self-join is an exact oracle (no watermark truncation
+# for inner joins — the watermark only bounds state).
+STREAM_CLICK_PURCHASE_SQL = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS micros_to_purchase,
+       p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
 SPECS: list[QuerySpec] = [
     QuerySpec("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_SQL, ("streaming",)),
+    QuerySpec(
+        "stream_click_purchase_join",
+        stream_click_purchase_join,
+        STREAM_CLICK_PURCHASE_SQL,
+        ("streaming", "join"),
+        doc="Stream-stream interval join with two-sided watermarks.",
+    ),
     QuerySpec("stream_session_aggregate", stream_session_aggregate, STREAM_SESSION_SQL, ("streaming",)),
     QuerySpec("stream_key_dedup", stream_key_dedup, STREAM_KEY_DEDUP_SQL, ("streaming",)),
     QuerySpec("stream_stateful_user_stats", stream_stateful_user_stats, STREAM_STATEFUL_SQL, ("streaming", "udf")),

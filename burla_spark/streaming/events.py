@@ -134,6 +134,54 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_stateful_user_stats")
 
 
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each click joins same-user
+    purchases within the following 30 minutes.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides — that's what lets Spark expire join state
+    instead of buffering both streams forever (the 100 TB/day
+    requirement for stream-stream joins). Inner join + availableNow
+    emits every matched pair, so the batch self-join is an exact
+    oracle."""
+    s = events_stream(spark, sf_dir)
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+        ).alias("micros_to_purchase"),
+        "purchase_value",
+    )
+    run_stream_to_table(joined, "stream_click_purchase_join", "append")
+    return spark.table("stream_click_purchase_join")
+
+
 def stream_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on (user_id, event_type) — keeps the
     first arrival per key, emits the key set (key projection keeps the
