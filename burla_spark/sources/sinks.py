@@ -40,6 +40,17 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar format Spark ships natively
+    (zlib-compressed, predicate-pushdown-capable like parquet)."""
+    df.write.mode(mode).orc(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Text sink: one string column → one line per row."""
+    df.write.mode(mode).text(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

@@ -12,7 +12,9 @@ from burla_spark.sources.sinks import (
     write_bucketed_table,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
+    write_text,
 )
 from burla_spark.sources.tables import load_table
 
@@ -65,6 +67,41 @@ def test_schema_inference_csv(spark, sf_dir):
         write_csv(r, path)
         inferred = spark.read.option("header", True).option("inferSchema", True).csv(path)
         assert dict(inferred.dtypes)["r_regionkey"] == "int"
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "nation_orc")
+        write_orc(n, path)
+        back = spark.read.orc(path)
+        assert sorted(r.n_name for r in back.collect()) == sorted(
+            r.n_name for r in n.collect()
+        )
+        # predicate reaches the ORC scan (same pushdown contract as parquet)
+        plan = (
+            back.filter(F.col("n_nationkey") == 3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [" in plan and "n_nationkey" in plan
+
+
+def test_text_roundtrip(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    lines = d.select(
+        F.regexp_replace(F.col("text"), r"[\r\n]", " ").alias("value")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "docs_txt")
+        write_text(lines, path)
+        back = spark.read.text(path)
+        assert back.count() == 50
+        assert back.columns == ["value"]
+        assert sorted(r.value for r in back.collect()) == sorted(
+            r.value for r in lines.collect()
+        )
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
