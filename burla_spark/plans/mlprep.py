@@ -1,0 +1,220 @@
+"""ML data-prep operators (the training-data-pipeline surface beyond
+dedup/similarity): deterministic train/test splitting, feature binning,
+z-score standardization, and class weighting.
+
+All four are pure Catalyst plans with exact DuckDB oracles. The split
+uses multiplicative hashing on the key instead of ``sample()`` —
+Spark's seeded sample is not reproducible across plan rebuilds
+(ENGINEERING_NOTES.md), while a hash split is stable across engines,
+runs, partitionings, and cluster sizes, which is what a 100 TB
+training pipeline actually needs (re-running the pipeline must not
+move examples between train and test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from burla_spark.functions.numeric import dec
+from burla_spark.plans.base import QuerySpec
+from burla_spark.sources.tables import load_table
+
+# Knuth multiplicative hash, then an outer prime mod to keep the
+# product inside int64 for keys < ~3.4e9 (mod the key first if keys can
+# exceed that). Both engines evaluate this in exact BIGINT arithmetic.
+_HASH_MULT = 2654435761
+_HASH_MOD = 1000000007
+
+
+def _split_bucket(key):
+    return (key * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD) % F.lit(100)
+
+
+def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 deterministic hash split of orders + per-split label stats.
+    The split column is derived, never sampled — identical membership on
+    every engine/run/partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    split = F.when(_split_bucket(F.col("o_orderkey")) < 80, "train").otherwise("test")
+    return (
+        o.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+            (F.sum(dec("o_totalprice")).cast("double") / F.count("*")).alias(
+                "avg_price"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+TRAIN_TEST_SPLIT_SQL = f"""
+SELECT
+  CASE WHEN (o_orderkey * {_HASH_MULT}) % {_HASH_MOD} % 100 < 80
+       THEN 'train' ELSE 'test' END AS split,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM orders
+GROUP BY 1
+ORDER BY split
+"""
+
+
+def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width feature binning (histogram) of order totals — the
+    discretization step of feature engineering. floor(x / width) on
+    doubles is IEEE-identical on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long")
+    return (
+        o.withColumn("price_bin", bucket)
+        .groupBy("price_bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("bin_min"),
+            F.max("o_totalprice").alias("bin_max"),
+        )
+        .orderBy("price_bin")
+    )
+
+
+FEATURE_BINNING_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS price_bin,
+       COUNT(*) AS n_rows,
+       MIN(o_totalprice) AS bin_min,
+       MAX(o_totalprice) AS bin_max
+FROM orders
+GROUP BY 1
+ORDER BY price_bin
+"""
+
+
+def feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row z-score standardization of o_totalprice within each
+    order priority: exact decimal moments per group (the agg_stats
+    recipe), broadcast back, per-row (x - mean) / sd in pure double
+    arithmetic (IEEE-identical on both engines).
+
+    At scale this is the canonical two-pass standardizer: one grouped
+    agg over the full table (tiny result — one row per group), one
+    map-side broadcast join — no second shuffle of the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    n = F.count("*").cast("double")
+    sx = F.sum(dec("o_totalprice")).cast("double")
+    sxx = F.round(
+        F.sum(
+            F.col("o_totalprice").cast("decimal(19,4)")
+            * F.col("o_totalprice").cast("decimal(12,4)")
+        ),
+        0,
+    ).cast("double")
+    moments = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        ((sxx - sx * sx / n) / n).alias("var_price"),
+        (sx / n).alias("mean_price"),
+    )
+    return (
+        o.filter(F.col("o_orderkey") < 500)
+        .join(F.broadcast(moments), o.o_orderpriority == F.col("pri"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                (F.col("o_totalprice") - F.col("mean_price"))
+                / F.sqrt(F.col("var_price")),
+                6,
+            ).alias("z_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+FEATURE_ZSCORE_SQL = """
+WITH moments AS (
+  SELECT o_orderpriority AS pri,
+    (CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(12,4))), 0) AS DOUBLE)
+      - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      / CAST(COUNT(*) AS DOUBLE) AS var_price,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_price
+  FROM orders GROUP BY 1
+)
+SELECT o_orderkey, o_orderpriority,
+       ROUND((o_totalprice - mean_price) / SQRT(var_price), 6) AS z_price
+FROM orders JOIN moments ON o_orderpriority = pri
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+"""
+
+
+def class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights over event types —
+    weight = total / (k * count), the standard imbalanced-label
+    reweighting. Exact long counts → identical doubles."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("total"), F.count("*").alias("k")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "event_type",
+            F.col("n").alias("n_rows"),
+            (
+                F.col("total").cast("double")
+                / (F.col("k").cast("double") * F.col("n").cast("double"))
+            ).alias("weight"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CLASS_WEIGHTS_SQL = """
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+), totals AS (
+  SELECT SUM(n) AS total, COUNT(*) AS k FROM counts
+)
+SELECT event_type, n AS n_rows,
+       CAST(total AS DOUBLE) / (CAST(k AS DOUBLE) * CAST(n AS DOUBLE)) AS weight
+FROM counts, totals
+ORDER BY event_type
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "train_test_split_stats",
+        train_test_split_stats,
+        TRAIN_TEST_SPLIT_SQL,
+        ("mlprep", "agg"),
+        doc="Deterministic multiplicative-hash 80/20 split (stable across "
+        "engines/partitionings, unlike sample()).",
+    ),
+    QuerySpec(
+        "feature_binning",
+        feature_binning,
+        FEATURE_BINNING_SQL,
+        ("mlprep", "agg"),
+        doc="Equal-width feature discretization histogram.",
+    ),
+    QuerySpec(
+        "feature_zscore",
+        feature_zscore,
+        FEATURE_ZSCORE_SQL,
+        ("mlprep", "agg", "join"),
+        doc="Two-pass z-score standardization via exact decimal moments "
+        "+ broadcast join-back.",
+    ),
+    QuerySpec(
+        "class_weights",
+        class_weights,
+        CLASS_WEIGHTS_SQL,
+        ("mlprep", "agg"),
+        doc="Inverse-frequency class weights for imbalanced labels.",
+    ),
+]

@@ -16,6 +16,7 @@ def all_specs() -> list[QuerySpec]:
     from burla_spark.plans import (
         complex_types,
         llm,
+        mlprep,
         relational,
         relational2,
         relational3,
@@ -39,6 +40,7 @@ def all_specs() -> list[QuerySpec]:
     specs += complex_types.SPECS
     specs += timeseries.SPECS
     specs += llm.SPECS
+    specs += mlprep.SPECS
     specs += streaming_queries.SPECS
     specs += udf_surface.SPECS
     names = [s.name for s in specs]
