@@ -181,9 +181,89 @@ GROUP BY bucket_start
 """
 
 
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to an hourly grid per event_type and fill the gaps:
+    counts become 0, the gauge metric carries the last observation
+    forward (LOCF).
+
+    Scale shape: the dense grid is types × hours (tiny — it never
+    depends on event volume), built with sequence()+explode and joined
+    against the one-shuffle hourly aggregate; the LOCF window runs per
+    type over the grid, not over raw events."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"), money_sum("value", "v"))
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.sequence(
+                        F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                        F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                        F.expr("INTERVAL 1 HOUR"),
+                    )
+                ).alias("bucket")
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.last("v", ignorenulls=True).over(w).alias("locf_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+EVENTS_RESAMPLE_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM events),
+       (SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                      TIMESTAMP '2024-01-30 23:00:00',
+                                      INTERVAL 1 HOUR)) AS bucket) g
+)
+SELECT grid.event_type, grid.bucket,
+       COALESCE(n, 0) AS n_events,
+       LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY grid.event_type ORDER BY grid.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM grid
+LEFT JOIN hourly ON grid.event_type = hourly.event_type AND grid.bucket = hourly.bucket
+ORDER BY grid.event_type, grid.bucket
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("events_tumbling_agg", events_tumbling_agg, EVENTS_TUMBLING_SQL, ("window", "timeseries")),
     QuerySpec("events_sliding_agg", events_sliding_agg, EVENTS_SLIDING_SQL, ("window", "timeseries")),
     QuerySpec("events_asof_join", events_asof_join, EVENTS_ASOF_SQL, ("join", "timeseries")),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL, ("window", "timeseries")),
+    QuerySpec(
+        "events_resample_gapfill",
+        events_resample_gapfill,
+        EVENTS_RESAMPLE_SQL,
+        ("window", "timeseries"),
+        doc="Hourly resample + gap-fill (0-fill counts, LOCF gauge).",
+    ),
 ]
