@@ -73,3 +73,48 @@ def test_seeded_sample_semantics(spark, sf_dir):
     assert a == b  # same instance → stable
     n = o.count()
     assert 0.04 * n < len(a) < 0.2 * n
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q2_plan_single_exchange_single_scan(spark, sf_dir):
+    """q2's correlated-min rewrite must keep exactly one shuffle and one
+    lineitem scan: part filter pushed before the agg (broadcast), window
+    min reusing the repartition — a regression here doubles the 100 TB
+    scan cost."""
+    from burla_spark.plans.relational6 import q2_min_cost_supplier
+
+    plan = _plan(q2_min_cost_supplier(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
+    # the only non-broadcast exchange is the explicit repartition
+    shuffles = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "Broadcast" not in l
+    ]
+    assert len(shuffles) == 1, f"expected 1 shuffle, got {len(shuffles)}"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q21_plan_semi_anti_no_nested_loop(spark, sf_dir):
+    """q21's EXISTS/NOT-EXISTS must compile to semi/anti hash joins,
+    never a nested-loop product."""
+    from burla_spark.plans.relational6 import q21_sole_failing_supplier
+
+    plan = _plan(q21_sole_failing_supplier(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_feature_zscore_moments_broadcast(spark, sf_dir):
+    """The standardizer's join-back of per-group moments must broadcast
+    (a shuffle of the fact table against a 5-row moments table would be
+    the wrong plan at any scale)."""
+    from burla_spark.plans.mlprep import feature_zscore
+
+    plan = _plan(feature_zscore(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
