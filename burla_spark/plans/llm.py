@@ -319,6 +319,53 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (the string-similarity member of
+    the dedup family): part-name pairs with levenshtein ≤ 2.
+
+    Scale shape: candidates come from an equi-join on a blocking key
+    (first token) — same discipline as every dedup operator here; the
+    quadratic levenshtein only runs inside blocks, never corpus². Both
+    engines implement the identical edit-distance metric, so the
+    integer distances hash-match exactly."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("__block")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__block") == F.col("b.__block"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            "dist",
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
+FUZZY_NAME_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS block
+  FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM p a JOIN p b
+  ON a.block = b.block AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY key_a, key_b
+"""
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -473,6 +520,14 @@ SPECS: list[QuerySpec] = [
     QuerySpec("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_TOPK_SQL, ("similarity",)),
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, ("similarity", "lsh")),
     QuerySpec("embedding_ivf_topk", embedding_ivf_topk, None, ("similarity", "ivf")),
+    QuerySpec(
+        "fuzzy_name_pairs",
+        fuzzy_name_pairs,
+        FUZZY_NAME_SQL,
+        ("dedup", "join"),
+        doc="Blocked levenshtein fuzzy match (edit distance <= 2 within "
+        "first-token blocks).",
+    ),
     QuerySpec("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL, ("text",)),
     QuerySpec("text_quality_scores", text_quality_scores, TEXT_QUALITY_SQL, ("text",)),
     QuerySpec("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL, ("text",)),
