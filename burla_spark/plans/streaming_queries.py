@@ -9,6 +9,8 @@ from __future__ import annotations
 from burla_spark.plans.base import QuerySpec
 from burla_spark.streaming.events import (
     stream_click_purchase_join,
+    stream_sliding_counts,
+    stream_watermark_dedup,
     stream_key_dedup,
     stream_session_aggregate,
     stream_stateful_user_stats,
@@ -74,6 +76,23 @@ JOIN events p
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """
 
+STREAM_SLIDING_SQL = """
+WITH expanded AS (
+  SELECT
+    make_timestamp(CAST((FLOOR(epoch(ts) / 600) - s.i) * 600 * 1000000 AS BIGINT)) AS bucket_start,
+    value
+  FROM events, (SELECT UNNEST(generate_series(0, 2)) AS i) s
+)
+SELECT bucket_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY bucket_start
+"""
+
+# event_id is unique and the 31-day horizon covers the whole replay, so
+# the watermarked dedup equals batch DISTINCT exactly.
+STREAM_WM_DEDUP_SQL = "SELECT event_id, user_id, event_type FROM events"
+
 SPECS: list[QuerySpec] = [
     QuerySpec("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_SQL, ("streaming",)),
     QuerySpec(
@@ -85,5 +104,15 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("stream_session_aggregate", stream_session_aggregate, STREAM_SESSION_SQL, ("streaming",)),
     QuerySpec("stream_key_dedup", stream_key_dedup, STREAM_KEY_DEDUP_SQL, ("streaming",)),
+    QuerySpec(
+        "stream_sliding_counts", stream_sliding_counts, STREAM_SLIDING_SQL,
+        ("streaming", "window"),
+        doc="Sliding-window stream agg (30 min window, 10 min slide).",
+    ),
+    QuerySpec(
+        "stream_watermark_dedup", stream_watermark_dedup, STREAM_WM_DEDUP_SQL,
+        ("streaming",),
+        doc="dropDuplicatesWithinWatermark: state bounded by the horizon.",
+    ),
     QuerySpec("stream_stateful_user_stats", stream_stateful_user_stats, STREAM_STATEFUL_SQL, ("streaming", "udf")),
 ]

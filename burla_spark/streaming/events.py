@@ -134,6 +134,42 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_stateful_user_stats")
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute windows sliding every 10 — the streaming twin of the
+    batch events_sliding_agg plan (each event expands into 3 window
+    buckets before the single keyed-state aggregation)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "total_value")
+    )
+    run_stream_to_table(agg, "stream_sliding_counts", "complete")
+    return spark.table("stream_sliding_counts")
+
+
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: dedup state is bounded by the
+    watermark horizon instead of growing forever — the only form of
+    streaming dedup that survives an unbounded stream. event_id is
+    unique in the fixture, so with a horizon covering the replayed
+    file the output equals batch DISTINCT (exact oracle); on a live
+    stream only duplicates closer than the horizon collapse."""
+    s = events_stream(spark, sf_dir)
+    deduped = (
+        s.select("event_id", "user_id", "event_type", "ts")
+        .withWatermark("ts", "31 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    run_stream_to_table(deduped, "stream_watermark_dedup", "append")
+    return spark.table("stream_watermark_dedup")
+
+
 def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: each click joins same-user
     purchases within the following 30 minutes.
