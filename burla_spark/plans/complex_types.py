@@ -112,8 +112,54 @@ WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
 """
 
 
+def variant_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path: parse_json once into the binary variant
+    encoding, typed variant_get extraction, then aggregate.
+
+    At scale VARIANT beats schema-on-read from_json for heterogeneous
+    JSON: parsing happens once per row into a compact binary form and
+    every later field access is a cheap path lookup, not a re-parse."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.parse_json("props").alias("v"),
+    ).select(
+        "event_type",
+        F.variant_get("v", "$.k", "long").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_total"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VARIANT_JSON_SQL = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("map_functions", map_functions, MAP_FUNCTIONS_SQL, ("scalar", "map")),
     QuerySpec("higher_order_functions", higher_order_functions, HIGHER_ORDER_SQL, ("scalar",)),
     QuerySpec("from_json_struct", from_json_struct, FROM_JSON_SQL, ("json",)),
+    QuerySpec(
+        "variant_json_agg",
+        variant_json_agg,
+        VARIANT_JSON_SQL,
+        ("json", "variant"),
+        doc="Spark 4 VARIANT: parse once, typed path extraction, agg.",
+    ),
 ]

@@ -51,6 +51,13 @@ def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).text(path)
 
 
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """XML sink (Spark 4 ships spark-xml natively)."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

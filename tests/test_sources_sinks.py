@@ -13,6 +13,7 @@ from burla_spark.sources.sinks import (
     write_csv,
     write_json,
     write_orc,
+    write_xml,
     write_parquet,
     write_text,
 )
@@ -101,6 +102,18 @@ def test_text_roundtrip(spark, sf_dir):
         assert back.columns == ["value"]
         assert sorted(r.value for r in back.collect()) == sorted(
             r.value for r in lines.collect()
+        )
+
+
+def test_xml_roundtrip(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "nation_xml")
+        write_xml(n, path, row_tag="nation")
+        back = spark.read.format("xml").option("rowTag", "nation").load(path)
+        assert back.count() == n.count()
+        assert sorted(r.n_name for r in back.collect()) == sorted(
+            r.n_name for r in n.collect()
         )
 
 
