@@ -115,4 +115,5 @@ SPECS: list[QuerySpec] = [
         doc="dropDuplicatesWithinWatermark: state bounded by the horizon.",
     ),
     QuerySpec("stream_stateful_user_stats", stream_stateful_user_stats, STREAM_STATEFUL_SQL, ("streaming", "udf")),
+
 ]

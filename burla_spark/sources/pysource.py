@@ -1,0 +1,72 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API) —
+the engine's extension point for sources Spark has no built-in reader
+for (internal services, proprietary formats, synthetic generators).
+
+The reference's analogue is reading arbitrary data inside RPM UDFs
+(its flagship example streams parquet shards into workers,
+`README.md:146`); a DataSource moves that code under the scan node so
+Catalyst sees a real relation: partition count drives parallelism,
+the schema is declared, and everything downstream (pruning, AQE)
+applies.
+
+``SyntheticEventsDataSource`` generates deterministic synthetic event
+rows — partitioned, seeded per partition, no driver-side data: each
+task materializes only its own slice, which is the pattern any custom
+connector (API pagination, kafka-like offsets, shard lists) follows at
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _mix64(x: int) -> int:
+    """splitmix64 — deterministic per-row randomness without RNG state."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 8))
+        self.seed = int(options.get("seed", 42))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition):
+        pid = partition.value
+        lo = self.n_rows * pid // self.n_parts
+        hi = self.n_rows * (pid + 1) // self.n_parts
+        for i in range(lo, hi):
+            h = _mix64(self.seed * 0x100000001 + i)
+            yield (
+                i,
+                h % 1000,
+                _EVENT_TYPES[(h >> 10) % len(_EVENT_TYPES)],
+                round(((h >> 16) % 10000) / 100.0, 2),
+            )
+
+
+class SyntheticEventsDataSource(DataSource):
+    """spark.read.format("synthetic_events").option("rows", N)..."""
+
+    @classmethod
+    def name(cls):
+        return "synthetic_events"
+
+    def schema(self):
+        return "event_id long, user_id long, event_type string, value double"
+
+    def reader(self, schema):
+        return SyntheticEventsReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticEventsDataSource)

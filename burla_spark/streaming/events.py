@@ -218,6 +218,76 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_click_purchase_join")
 
 
+def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4's stateful-processor API,
+    successor to applyInPandasWithState): per-user event count + exact
+    value total kept in typed ValueState across micro-batches.
+
+    Same batch oracle as stream_stateful_user_stats; this variant
+    exercises the handle/ValueState lifecycle (init/close, typed state
+    schema) that arbitrary operators — counters, sessionizers, CDC
+    caches — build on at scale.
+
+    Requires google.protobuf in the Python workers (the TWS state
+    protocol is protobuf-encoded) — not present in this container, so
+    the operator is gated: it raises a clear error here and runs
+    unchanged where protobuf is installed. applyInPandasWithState
+    (stream_stateful_user_stats) is the registry-tested equivalent."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf on every "
+            "Python worker (pip install protobuf); use "
+            "stream_stateful_user_stats (applyInPandasWithState) here"
+        ) from exc
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "count long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                count, total = self._state.get()
+            else:
+                count, total = 0, 0.0
+            values = []
+            for pdf in rows:
+                count += len(pdf)
+                values.extend(pdf["value"].tolist())
+            total = math.fsum([total, *values])
+            self._state.update((count, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [count],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    s = events_stream(spark, sf_dir)
+    stats = s.groupBy("user_id").transformWithStateInPandas(
+        UserTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    run_stream_to_table(stats, "stream_tws_user_totals", "update")
+    return spark.table("stream_tws_user_totals")
+
+
 def stream_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on (user_id, event_type) — keeps the
     first arrival per key, emits the key set (key projection keeps the

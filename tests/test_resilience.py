@@ -142,3 +142,26 @@ def test_generator_mode_raises_mid_iteration(spark):
             seen.append(value)
     assert exc_info.value.burla_input_index == 5
     assert len(seen) < 10
+
+
+def test_tws_gated_without_protobuf(spark, sf_dir):
+    """transformWithStateInPandas needs protobuf on the workers; in
+    this container the operator must fail fast with a clear message,
+    not crash the stream mid-run."""
+    import pytest
+
+    from burla_spark.streaming.events import stream_tws_user_totals
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if has_protobuf:
+        df = stream_tws_user_totals(spark, sf_dir)
+        assert df.count() > 0
+    else:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stream_tws_user_totals(spark, sf_dir)

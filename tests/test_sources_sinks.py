@@ -133,3 +133,31 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_python_datasource_deterministic(spark, sf_dir):
+    """Custom Python DataSource (Spark 4): partition-parallel synthetic
+    generator with a declared schema — deterministic across reads."""
+    from burla_spark.sources.pysource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 500)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 500
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, spark.read.format("synthetic_events").option("rows", 500).option("partitions", 8).load().collect()))
+    assert a == b
+    # schema is declared, not inferred
+    assert dict(df.dtypes) == {
+        "event_id": "bigint",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+    }
+    # aggregation over the custom source runs as a normal relation
+    assert df.groupBy("event_type").count().count() == 5
