@@ -359,3 +359,80 @@ def simhash_collision_groups(df: DataFrame, id_col: str, text_col: str) -> DataF
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (dedup-cluster resolution)
+# ---------------------------------------------------------------------------
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve pairwise duplicate edges into components via min-label
+    propagation: every node converges to the smallest id reachable from
+    it. Output: (node, component) — component = min member id.
+
+    This is the step after any pair-producing dedup (MinHash / SimHash /
+    embedding near-dup): transitive closure picks ONE canonical doc per
+    cluster even when A~B and B~C but A~C was never a candidate pair.
+
+    Scale shape: each iteration is one equi-join + groupBy on node id
+    (shuffle-partitioned the same way every round), and iterations are
+    bounded by the cluster DIAMETER — near-dup clusters are dense, so
+    2-4 rounds close them in practice. localCheckpoint truncates plan
+    lineage per round (swap for reliable checkpoint on a cluster).
+    Convergence is checked with a cheap sum(label) aggregate —
+    monotonically decreasing, equal ⇒ fixpoint."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        e.select("a")
+        .distinct()
+        .select(F.col("a").alias("node"), F.col("a").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            e.join(labels, e.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    e.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_component_groups(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Components summarized per cluster: canonical keep_id (min),
+    member list, size."""
+    cc = connected_components(edges, src, dst)
+    return (
+        cc.groupBy(F.col("component").alias("keep_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.array_sort(F.collect_list("node")).alias("member_ids"),
+        )
+        .orderBy("keep_id")
+    )

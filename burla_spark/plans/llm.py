@@ -122,6 +122,19 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs resolved into transitive duplicate clusters
+    (min-label propagation): the step that picks one canonical doc per
+    cluster even when A~B, B~C but A~C never became a candidate pair.
+    Rows-only check (edges come from xxhash64 MinHash); equivalence to
+    union-find is property-tested in tests/test_operators.py."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, shingle_size=5, threshold=0.5
+    )
+    return dd.dedup_component_groups(pairs)
+
+
 def simhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dd.simhash_collision_groups(d, "doc_id", "text")
@@ -550,6 +563,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_TOPK_SQL, ("similarity",)),
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, ("similarity", "lsh")),
     QuerySpec("embedding_ivf_topk", embedding_ivf_topk, None, ("similarity", "ivf")),
+    QuerySpec(
+        "dedup_components", dedup_components, None, ("dedup", "graph"),
+        doc="Transitive dedup-cluster resolution via min-label propagation.",
+    ),
     QuerySpec(
         "fuzzy_name_pairs",
         fuzzy_name_pairs,

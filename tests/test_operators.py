@@ -222,3 +222,44 @@ def test_multimodal_pipeline(spark):
 
     resized = mm.decode_and_resize(df, 32, 32).collect()
     assert all(r.out_w == 32 and len(r.resized) <= 32 * 32 // 8 for r in resized)
+
+
+def test_connected_components_vs_union_find(spark, sf_dir):
+    """Label propagation must equal a driver-side union-find on the
+    same edges (transitive closure: A~B, B~C ⇒ A,C share a component
+    even with no A~C edge)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (5, 5)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.node, r.component)
+        for r in dd.connected_components(edges).collect()
+    }
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (5, 5)]:
+        union(a, b)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+
+
+def test_dedup_components_on_minhash_pairs(spark, sf_dir):
+    """End-to-end: MinHash pairs → component groups; every group's
+    members must be transitively connected and keep_id the minimum."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+    groups = dd.dedup_component_groups(pairs).collect()
+    assert len(groups) > 0
+    for g in groups:
+        assert g.keep_id == min(g.member_ids)
+        assert g.n_members == len(g.member_ids) >= 2
