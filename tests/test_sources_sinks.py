@@ -29,12 +29,14 @@ def test_parquet_partitioned_roundtrip(spark, sf_dir):
         assert any(d.startswith("o_orderstatus=") for d in os.listdir(path))
         back = spark.read.parquet(path)
         assert back.count() == o.count()
-        # partition pruning: filtering one status only reads its dir
+        # partition pruning: the status predicate must land in
+        # PartitionFilters (pruned directories), not post-scan Filter
         pruned = back.filter(F.col("o_orderstatus") == "F")
-        plan = pruned.queryExecution if False else pruned._jdf.queryExecution().executedPlan().toString()
-        assert back.filter(F.col("o_orderstatus") == "F").count() == o.filter(
-            F.col("o_orderstatus") == "F"
-        ).count()
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "o_orderstatus" in plan.split(
+            "PartitionFilters:"
+        )[1].split("]")[0], f"status filter not pruned:\n{plan[:1500]}"
+        assert pruned.count() == o.filter(F.col("o_orderstatus") == "F").count()
 
 
 def test_csv_roundtrip(spark, sf_dir):
