@@ -142,10 +142,50 @@ FROM orders
 """
 
 
+def applyinarrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInArrow (Spark 4) — the Arrow-native grouped-map
+    surface: each group arrives as one pyarrow Table, no pandas
+    conversion. Outputs only order-independent stats (count/min/max)
+    so the result is deterministic at any partitioning."""
+    import pyarrow as pa
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        qty = table.column("l_quantity")
+        return pa.table(
+            {
+                "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+                "n_rows": [table.num_rows],
+                "min_qty": [pa.compute.min(qty).as_py()],
+                "max_qty": [pa.compute.max(qty).as_py()],
+            }
+        )
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return (
+        l.groupBy("l_returnflag")
+        .applyInArrow(
+            stats, "l_returnflag string, n_rows long, min_qty double, max_qty double"
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+APPLYINARROW_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("window_distribution", window_distribution, WINDOW_DISTRIBUTION_SQL, ("window",)),
     QuerySpec("scalar_date_functions2", scalar_date_functions2, SCALAR_DATE2_SQL, ("scalar",)),
     QuerySpec("agg_boolean", agg_boolean, AGG_BOOLEAN_SQL, ("agg",)),
     QuerySpec("regexp_groups", regexp_groups, REGEXP_GROUPS_SQL, ("scalar",)),
     QuerySpec("mapinarrow_projection", mapinarrow_projection, MAPINARROW_SQL, ("udf",)),
+    QuerySpec(
+        "applyinarrow_grouped", applyinarrow_grouped, APPLYINARROW_SQL,
+        ("udf",),
+        doc="Spark 4 grouped applyInArrow (Arrow-native grouped map).",
+    ),
 ]
