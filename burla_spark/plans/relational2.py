@@ -125,6 +125,25 @@ def sql_api_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LATERAL_TOPN_SQL = """
+SELECT n.n_name, c.c_custkey, c.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_custkey, c_acctbal FROM customer
+         WHERE c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey
+"""
+
+
+def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (top-3
+    customers per nation) — the SQL-standard alternative to the
+    window row_number() top-k recipe; Catalyst decorrelates it into
+    a ranked join rather than per-row re-execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(LATERAL_TOPN_SQL)
+
+
 # ---------------------------------------------------------------------------
 # min_by / max_by (argmin/argmax aggregates)
 # ---------------------------------------------------------------------------
@@ -260,6 +279,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("range_join_price_bands", range_join_price_bands, RANGE_JOIN_SQL, ("join",)),
     QuerySpec("cross_join_matrix", cross_join_matrix, CROSS_JOIN_SQL, ("join",)),
     QuerySpec("sql_api_query", sql_api_query, SQL_API_TEXT, ("sql", "window")),
+    QuerySpec(
+        "lateral_topn_per_nation", lateral_topn_per_nation, LATERAL_TOPN_SQL,
+        ("sql", "join"),
+        doc="Correlated LATERAL subquery with ORDER BY/LIMIT (top-N per key).",
+    ),
     QuerySpec("agg_min_max_by", agg_min_max_by, AGG_MIN_MAX_BY_SQL, ("agg",)),
     QuerySpec("array_functions", array_functions, ARRAY_FUNCTIONS_SQL, ("scalar",)),
     QuerySpec("scalar_string_functions2", scalar_string_functions2, SCALAR_STRING2_SQL, ("scalar",)),
