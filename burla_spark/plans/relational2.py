@@ -144,6 +144,44 @@ def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(LATERAL_TOPN_SQL)
 
 
+# The recursive member generates the month spine (the warehouse date-
+# dimension pattern); gaps left-join to zero and the running total is
+# decimal-routed so the cumulative double is order-exact on both
+# engines. Same text runs on Spark 4 (WITH RECURSIVE landed in 4.0)
+# and DuckDB.
+RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST('1995-01-01' AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+  WHERE m < CAST('2001-11-01' AS DATE)
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS month_revenue
+  FROM orders GROUP BY 1
+)
+SELECT m AS month,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(month_revenue, 0.0) AS month_revenue,
+       CAST(SUM(CAST(COALESCE(month_revenue, 0.0) AS DECIMAL(18,4)))
+            OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS cum_revenue
+FROM months LEFT JOIN monthly ON m = om
+ORDER BY month
+"""
+
+
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): month-spine generation + gap-filled
+    cumulative revenue — recursion builds the dimension, not the fact
+    scan, so the recursive part is O(#months) regardless of data
+    volume."""
+    register_views(spark, sf_dir)
+    return spark.sql(RECURSIVE_SPINE_SQL)
+
+
 # ---------------------------------------------------------------------------
 # min_by / max_by (argmin/argmax aggregates)
 # ---------------------------------------------------------------------------
@@ -283,6 +321,11 @@ SPECS: list[QuerySpec] = [
         "lateral_topn_per_nation", lateral_topn_per_nation, LATERAL_TOPN_SQL,
         ("sql", "join"),
         doc="Correlated LATERAL subquery with ORDER BY/LIMIT (top-N per key).",
+    ),
+    QuerySpec(
+        "recursive_month_spine", recursive_month_spine, RECURSIVE_SPINE_SQL,
+        ("sql", "window"),
+        doc="WITH RECURSIVE month spine + gap-filled cumulative revenue.",
     ),
     QuerySpec("agg_min_max_by", agg_min_max_by, AGG_MIN_MAX_BY_SQL, ("agg",)),
     QuerySpec("array_functions", array_functions, ARRAY_FUNCTIONS_SQL, ("scalar",)),
