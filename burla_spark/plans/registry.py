@@ -24,6 +24,7 @@ def all_specs() -> list[QuerySpec]:
         relational5,
         relational6,
         reshape,
+        scale_ops,
         streaming_queries,
         timeseries,
         udf_surface,
@@ -37,6 +38,7 @@ def all_specs() -> list[QuerySpec]:
     specs += relational5.SPECS
     specs += relational6.SPECS
     specs += reshape.SPECS
+    specs += scale_ops.SPECS
     specs += complex_types.SPECS
     specs += timeseries.SPECS
     specs += llm.SPECS

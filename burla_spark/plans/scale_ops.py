@@ -1,0 +1,216 @@
+"""Scale-structure operators — queries whose *design* is the point at
+100 TB: mergeable cardinality structures (bitmap exact-distinct, HLL
+sketches), ordinal explode, and deterministic stratified downsampling.
+
+Why these shapes:
+
+* ``COUNT(DISTINCT x)`` at 100 TB is the classic shuffle bomb — every
+  row moves to the group's reducer. The bitmap variant aggregates rows
+  into fixed-size mergeable bitmaps per (group, bucket) with map-side
+  partial merge, then sums tiny per-bucket counts: bytes shuffled are
+  proportional to the number of *distinct buckets*, not rows, and the
+  answer stays exact.
+* HLL sketches make the same trade approximate-but-constant-size; the
+  sketches union across any partitioning (and across days/partitions in
+  an incremental pipeline), which exact counts cannot do.
+* Stratified sampling via multiplicative hashing is a map-side filter —
+  no shuffle, reproducible membership across runs/engines/partitionings
+  (Spark's seeded ``sample()`` is not — ENGINEERING_NOTES.md), which is
+  what class-rebalancing a training corpus actually requires.
+
+Reference parity: the reference has no sketch/sample operators — users
+would hand-roll them inside ``remote_parallel_map`` UDFs
+(README.md:123-127 pipeline pattern); here they're first-class
+Catalyst plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from burla_spark.functions.numeric import dec
+from burla_spark.plans.base import QuerySpec
+from burla_spark.sources.tables import load_table
+
+# Same multiplicative-hash family as plans/mlprep.py — exact BIGINT
+# arithmetic on both engines, membership stable across partitionings.
+_HASH_MULT = 2654435761
+_HASH_MOD = 1000000007
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct counts via mergeable bitmaps (two-phase).
+# Phase 1 groups by (flag, bitmap bucket) and ORs row positions into a
+# fixed-size bitmap — Tungsten partial-aggregates these map-side, so
+# the shuffle carries one bitmap per (group, bucket) regardless of row
+# count. Phase 2 sums the per-bucket popcounts. Equivalent plan shape
+# to what COUNT(DISTINCT) rewrites to, but the intermediate is a
+# mergeable structure you can also persist per partition/day and union
+# later — the incremental-pipeline property COUNT(DISTINCT) lacks.
+# ---------------------------------------------------------------------------
+def bitmap_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    per_bucket = (
+        l.groupBy(
+            "l_returnflag",
+            F.bitmap_bucket_number(F.col("l_orderkey")).alias("bucket"),
+        )
+        .agg(
+            F.bitmap_count(
+                F.bitmap_construct_agg(F.bitmap_bit_position(F.col("l_orderkey")))
+            ).alias("bucket_distinct")
+        )
+    )
+    return (
+        per_bucket.groupBy("l_returnflag")
+        .agg(F.sum("bucket_distinct").cast("long").alias("distinct_orders"))
+        .orderBy("l_returnflag")
+    )
+
+
+BITMAP_DISTINCT_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# HLL cardinality sketches (approximate, constant-size, mergeable).
+# Per-priority distinct-customer estimates plus an ALL row produced by
+# UNIONING THE SKETCHES — not rescanning the data. That union is the
+# operator's reason to exist: per-partition sketches roll up to any
+# coarser grouping for free. No SQL oracle (estimator is
+# implementation-specific — Spark ships Apache DataSketches HLL;
+# DuckDB's approx_count_distinct uses a different HLL); accuracy is
+# bounds-tested against exact counts in tests/test_scale_ops.py.
+# ---------------------------------------------------------------------------
+def hll_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    sketches = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg(F.col("o_custkey"), F.lit(14)).alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    per_group = sketches.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+    overall = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    ).select(F.lit("ALL").alias("o_orderpriority"), "approx_customers", "n_rows")
+    return per_group.unionByName(overall).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# posexplode — ordinal token explode (position-aware flatten). Spark
+# emits (pos, token) pairs natively; DuckDB 1.0 has no UNNEST WITH
+# ORDINALITY, so the oracle indexes via generate_series (the recipe
+# from plans/udf_surface.py). Aggregated by position so the result is
+# small and order-total; split on the literal single space in both
+# engines (documents.text is single-space tokenized).
+# ---------------------------------------------------------------------------
+def posexplode_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.posexplode(F.split(F.col("text"), " ", -1)).alias("pos", "word")
+        )
+        .filter(F.col("pos") < 5)
+        .groupBy(F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("word").alias("n_distinct_words"),
+        )
+        .orderBy("pos")
+    )
+
+
+POSEXPLODE_SQL = """
+WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+p AS (SELECT UNNEST(generate_series(1, 5)) AS i)
+SELECT CAST(i - 1 AS BIGINT) AS pos,
+       COUNT(*) AS n_tokens,
+       COUNT(DISTINCT toks[i]) AS n_distinct_words
+FROM d, p
+WHERE i <= len(toks)
+GROUP BY 1
+ORDER BY pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling — per-class retention fractions via
+# multiplicative hashing (class-rebalance a skewed corpus). The filter
+# is map-side (no shuffle before the aggregate); membership is a pure
+# function of the key, so re-running the pipeline on different
+# partitionings/cluster sizes keeps the same sample — unlike
+# sampleBy(), whose membership moves with the partitioning.
+# ---------------------------------------------------------------------------
+def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bucket = (F.col("c_custkey") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD) % F.lit(100)
+    keep_pct = (
+        F.when(F.col("c_mktsegment") == "BUILDING", 10)
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", 25)
+        .otherwise(50)
+    )
+    return (
+        c.filter(bucket < keep_pct)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(dec("c_acctbal")).cast("double").alias("sampled_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sampled_acctbal
+FROM customer
+WHERE (c_custkey * {_HASH_MULT}) % {_HASH_MOD} % 100 <
+      CASE c_mktsegment WHEN 'BUILDING' THEN 10
+                        WHEN 'AUTOMOBILE' THEN 25
+                        ELSE 50 END
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+SPECS = [
+    QuerySpec(
+        name="bitmap_distinct_counts",
+        spark=bitmap_distinct_counts,
+        oracle=BITMAP_DISTINCT_SQL,
+        tags=("agg", "sketch", "scale"),
+        doc="exact distinct via two-phase mergeable bitmaps",
+    ),
+    QuerySpec(
+        name="hll_cardinality_sketch",
+        spark=hll_cardinality_sketch,
+        oracle=None,  # approximate estimator is engine-specific
+        tags=("agg", "sketch", "scale", "approx"),
+        doc="HLL sketch cardinality + sketch-union rollup",
+    ),
+    QuerySpec(
+        name="posexplode_token_positions",
+        spark=posexplode_token_positions,
+        oracle=POSEXPLODE_SQL,
+        tags=("reshape", "array"),
+        doc="ordinal explode (posexplode) with generate_series oracle",
+    ),
+    QuerySpec(
+        name="stratified_sample_stats",
+        spark=stratified_sample_stats,
+        oracle=STRATIFIED_SAMPLE_SQL,
+        tags=("mlprep", "sampling", "scale"),
+        doc="deterministic hash-stratified per-class sampling",
+    ),
+]

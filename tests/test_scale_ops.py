@@ -1,0 +1,88 @@
+"""plans/scale_ops.py — properties the oracle can't check: HLL sketch
+accuracy + sketch-union consistency, bitmap two-phase plan shape, and
+partition-invariance of the deterministic stratified sample."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from burla_spark.plans.scale_ops import (
+    hll_cardinality_sketch,
+    stratified_sample_stats,
+)
+from burla_spark.sources.tables import load_table
+
+
+def test_hll_estimates_within_5pct_of_exact(spark, sf_dir):
+    est = {
+        r.o_orderpriority: r.approx_customers
+        for r in hll_cardinality_sketch(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderpriority: r.exact
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("exact"))
+        .collect()
+    }
+    exact["ALL"] = o.select("o_custkey").distinct().count()
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) / e < 0.05, (k, est[k], e)
+
+
+def test_hll_all_row_comes_from_sketch_union(spark, sf_dir):
+    # the ALL estimate must equal estimating a directly-built global
+    # sketch — i.e. union of partial sketches loses nothing.
+    rows = hll_cardinality_sketch(spark, sf_dir).collect()
+    all_row = [r for r in rows if r.o_orderpriority == "ALL"][0]
+    direct = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg(F.col("o_custkey"), F.lit(14))))
+        .collect()[0][0]
+    )
+    assert all_row.approx_customers == direct
+
+
+def test_bitmap_distinct_plan_is_two_phase(spark, sf_dir):
+    from burla_spark.plans.scale_ops import bitmap_distinct_counts
+
+    plan = (
+        bitmap_distinct_counts(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # partial bitmap merge must happen map-side before the exchange —
+    # that's the whole scale argument (bytes shuffled ∝ buckets, not
+    # rows). Spark plans it as a partial SortAggregate.
+    assert "partial_bitmap_construct_agg" in plan
+    # and the scan must be pruned to exactly the two columns used.
+    assert "ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>" in plan
+
+
+def test_stratified_sample_partition_invariant(spark, sf_dir):
+    a = {tuple(r) for r in stratified_sample_stats(spark, sf_dir).collect()}
+    # same query over a repartitioned copy of the table must keep the
+    # exact same membership (hash split, not sample()).
+    c = load_table(spark, sf_dir, "customer").repartition(13)
+    c.createOrReplaceTempView("__strat_cust")
+    from burla_spark.plans.scale_ops import _HASH_MOD, _HASH_MULT
+
+    b = {
+        tuple(r)
+        for r in spark.sql(
+            f"""
+            SELECT c_mktsegment, COUNT(*) AS n_sampled,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                     AS sampled_acctbal
+            FROM __strat_cust
+            WHERE (c_custkey * {_HASH_MULT}) % {_HASH_MOD} % 100 <
+                  CASE c_mktsegment WHEN 'BUILDING' THEN 10
+                                    WHEN 'AUTOMOBILE' THEN 25
+                                    ELSE 50 END
+            GROUP BY c_mktsegment
+            """
+        ).collect()
+    }
+    assert a == b
