@@ -23,6 +23,7 @@ def all_specs() -> list[QuerySpec]:
         relational4,
         relational5,
         relational6,
+        relational7,
         reshape,
         scale_ops,
         streaming_queries,
@@ -37,6 +38,7 @@ def all_specs() -> list[QuerySpec]:
     specs += relational4.SPECS
     specs += relational5.SPECS
     specs += relational6.SPECS
+    specs += relational7.SPECS
     specs += reshape.SPECS
     specs += scale_ops.SPECS
     specs += complex_types.SPECS

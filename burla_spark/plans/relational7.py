@@ -1,0 +1,125 @@
+"""Relational coverage, batch 7 — bitwise aggregates, ordered string
+aggregation (LISTAGG / string_agg), and null-safe ``try_*`` arithmetic
+(the ANSI-mode-friendly error-to-NULL path).
+
+Determinism notes (ENGINEERING_NOTES.md contract):
+* bit_and/bit_or/bit_xor are order-independent folds — safe under any
+  shuffle order on both engines.
+* LISTAGG is only deterministic WITH an explicit WITHIN GROUP order and
+  DISTINCT elements — both supplied here (Spark 4 LISTAGG ... WITHIN
+  GROUP ≡ DuckDB string_agg(... ORDER BY)).
+* the try_divide quotient is aggregated with MIN/MAX, never SUM —
+  per-row IEEE division is bit-identical on both engines and MIN/MAX
+  involve no accumulation (contract rule for q2), whereas summing and
+  rounding a double stream hits half-way boundary disagreements. The
+  oracle spells try_divide as CASE WHEN denom = 0 THEN NULL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from burla_spark.plans.base import QuerySpec
+from burla_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# bitwise aggregates + ordered LISTAGG per group — one pass, all folds
+# partial-aggregate map-side (order-independent), so the shuffle
+# carries one row per (group) regardless of input size.
+# ---------------------------------------------------------------------------
+def agg_bitwise_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__b7_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(bit_and(l_linenumber) AS BIGINT) AS and_linenumber,
+               CAST(bit_or(l_linenumber)  AS BIGINT) AS or_linenumber,
+               CAST(bit_xor(l_orderkey)   AS BIGINT) AS xor_orderkey,
+               listagg(DISTINCT l_linestatus, ',')
+                 WITHIN GROUP (ORDER BY l_linestatus) AS statuses
+        FROM __b7_lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+AGG_BITWISE_SQL = """
+SELECT l_returnflag,
+       CAST(bit_and(l_linenumber) AS BIGINT) AS and_linenumber,
+       CAST(bit_or(l_linenumber)  AS BIGINT) AS or_linenumber,
+       CAST(bit_xor(l_orderkey)   AS BIGINT) AS xor_orderkey,
+       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# try_* arithmetic — division-by-zero and bad casts become NULLs
+# instead of task failures. Under Spark 4's default ANSI mode a single
+# malformed row would otherwise kill a 100 TB job at stage 40; the
+# try_* family is the production answer, so it's first-class here.
+# ---------------------------------------------------------------------------
+def try_arithmetic_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    td = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - F.lit(30.0))
+    cast_probe = F.expr(
+        "try_cast(CASE WHEN l_linenumber <= 2 THEN CAST(l_linenumber AS STRING) "
+        "ELSE 'not_a_number' END AS INT)"
+    )
+    return (
+        l.select("l_returnflag", td.alias("td"), cast_probe.alias("tc"), "l_linenumber")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("td").isNull(), 1)).alias("n_div_by_zero"),
+            F.min("td").alias("min_safe_ratio"),
+            F.max("td").alias("max_safe_ratio"),
+            F.count("tc").alias("n_cast_ok"),
+            F.sum(F.expr("try_add(l_linenumber, 1)")).cast("long").alias("sum_ln1"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+TRY_ARITHMETIC_SQL = """
+WITH t AS (
+  SELECT l_returnflag,
+         CASE WHEN l_quantity = 30 THEN NULL
+              ELSE l_extendedprice / (l_quantity - 30.0) END AS td,
+         TRY_CAST(CASE WHEN l_linenumber <= 2 THEN CAST(l_linenumber AS VARCHAR)
+                       ELSE 'not_a_number' END AS INT) AS tc,
+         l_linenumber
+  FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(CASE WHEN td IS NULL THEN 1 END) AS n_div_by_zero,
+       MIN(td) AS min_safe_ratio,
+       MAX(td) AS max_safe_ratio,
+       COUNT(tc) AS n_cast_ok,
+       SUM(l_linenumber + 1) AS sum_ln1
+FROM t
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+SPECS = [
+    QuerySpec(
+        name="agg_bitwise_stringagg",
+        spark=agg_bitwise_stringagg,
+        oracle=AGG_BITWISE_SQL,
+        tags=("agg",),
+        doc="bit_and/bit_or/bit_xor folds + ordered LISTAGG",
+    ),
+    QuerySpec(
+        name="try_arithmetic_nullsafe",
+        spark=try_arithmetic_nullsafe,
+        oracle=TRY_ARITHMETIC_SQL,
+        tags=("scalar", "null"),
+        doc="try_divide/try_cast/try_add error-to-NULL semantics",
+    ),
+]
