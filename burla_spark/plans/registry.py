@@ -17,6 +17,7 @@ def all_specs() -> list[QuerySpec]:
         complex_types,
         llm,
         mlprep,
+        quality_queries,
         relational,
         relational2,
         relational3,
@@ -45,6 +46,7 @@ def all_specs() -> list[QuerySpec]:
     specs += timeseries.SPECS
     specs += llm.SPECS
     specs += mlprep.SPECS
+    specs += quality_queries.SPECS
     specs += streaming_queries.SPECS
     specs += udf_surface.SPECS
     names = [s.name for s in specs]
