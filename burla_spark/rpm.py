@@ -43,7 +43,7 @@ MAX_INPUT_SIZE_BYTES = 200_000_000  # 200 MB, reference _node.py:25
 
 RESULT_SCHEMA = (
     "idx long, is_error boolean, payload binary, stdout string, "
-    "error_type string, error_msg string, error_tb string"
+    "error_type string, error_msg string, error_tb string, error_pkl binary"
 )
 
 
@@ -70,6 +70,49 @@ class RpmError(Exception):
         self.original_message = message
         self.remote_traceback = remote_traceback
         self.burla_input_index = index
+
+
+def _rehydrate_error(
+    error_pkl, error_type: str, error_msg: str, error_tb: str, index: int
+) -> RpmError:
+    """Reconstruct the remote error with ORIGINAL-type fidelity.
+
+    The reference re-raises the user's actual exception object on the
+    client (_node.py:646-663), so ``except ValueError`` works across
+    the remote boundary. Spark wraps UDF errors in PythonException; we
+    instead ship pickled (class, args, state) in the result row and
+    re-raise a dynamic subclass of (original type, RpmError) — both
+    ``except ValueError`` and ``except RpmError`` catch it, and the
+    instance keeps the original args/state plus burla attribution.
+    Falls back to plain RpmError when the object didn't pickle.
+    """
+    payload = None
+    if error_pkl is not None:
+        try:
+            payload = pickle.loads(bytes(error_pkl))
+        except Exception:
+            payload = None
+    if (
+        payload is None
+        or not isinstance(payload, tuple)
+        or len(payload) != 3
+        or not (isinstance(payload[0], type) and issubclass(payload[0], Exception))
+        or issubclass(payload[0], RpmError)
+    ):
+        return RpmError(error_type, error_msg, error_tb, index)
+    cls, args, state = payload
+    try:
+        dyn = type(cls.__name__, (cls, RpmError), {"__module__": cls.__module__})
+        exc = dyn.__new__(dyn)
+        exc.__dict__.update(state)
+        exc.args = args
+    except Exception:
+        return RpmError(error_type, error_msg, error_tb, index)
+    exc.error_type = error_type
+    exc.original_message = error_msg
+    exc.remote_traceback = error_tb
+    exc.burla_input_index = index
+    return exc
 
 
 def _cloudpickle():
@@ -131,6 +174,7 @@ def _make_udf(function_pkl: bytes, capture_stdout: bool):
             out: dict[str, list] = {
                 "idx": [], "is_error": [], "payload": [], "stdout": [],
                 "error_type": [], "error_msg": [], "error_tb": [],
+                "error_pkl": [],
             }
             for idx, blob in zip(batch["idx"], batch["payload"]):
                 arg = pickle.loads(bytes(blob))
@@ -148,6 +192,7 @@ def _make_udf(function_pkl: bytes, capture_stdout: bool):
                     out["error_type"].append(None)
                     out["error_msg"].append(None)
                     out["error_tb"].append(None)
+                    out["error_pkl"].append(None)
                 except Exception as exc:  # noqa: BLE001 — user code may raise anything
                     out["idx"].append(int(idx))
                     out["is_error"].append(True)
@@ -156,6 +201,24 @@ def _make_udf(function_pkl: bytes, capture_stdout: bool):
                     out["error_type"].append(type(exc).__name__)
                     out["error_msg"].append(str(exc))
                     out["error_tb"].append(traceback.format_exc())
+                    # ship (class, args, state) — NOT the exception
+                    # object: pickling an exception replays
+                    # ``cls(*args)`` on load, which explodes for custom
+                    # __init__ signatures; __new__ + state restore works
+                    # for any class. cloudpickle serializes
+                    # locally-defined exception classes by value. 1 MB
+                    # cap mirrors the reference's result/log response
+                    # cap (job_endpoints.py:28-30) — bigger errors fall
+                    # back to text-only.
+                    try:
+                        blob = result_pickler.dumps(
+                            (type(exc), exc.args, dict(vars(exc)))
+                        )
+                        if len(blob) > 1_000_000:
+                            blob = None
+                    except Exception:
+                        blob = None
+                    out["error_pkl"].append(blob)
             yield pd.DataFrame(out)
 
     return run
@@ -261,7 +324,9 @@ def remote_parallel_map(
         elif row.stdout:
             sys.stdout.write(row.stdout)
         if row.is_error:
-            raise RpmError(row.error_type, row.error_msg, row.error_tb, row.idx)
+            raise _rehydrate_error(
+                row.error_pkl, row.error_type, row.error_msg, row.error_tb, row.idx
+            )
         return pickle.loads(bytes(row.payload))
 
     if generator:
