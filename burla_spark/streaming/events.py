@@ -37,16 +37,32 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+# State-store width for the hermetic single-file replays: each stateful
+# operator spins one state store per shuffle partition per side, and that
+# fixed cost dominates a small replay (stream-stream join at width 32:
+# ~6 s; width 8: ~2 s at sf0.1 — same results, partitioning-invariant by
+# the determinism contract). A production stream sizes width to volume
+# (and a checkpoint pins it); this knob only scopes the replay runs.
+STREAM_REPLAY_SHUFFLE_PARTITIONS = 8
+
+
 def run_stream_to_table(stream_df: DataFrame, name: str, output_mode: str) -> None:
     """Execute a streaming DataFrame to completion into a memory sink."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    narrow = min(int(prev), STREAM_REPLAY_SHUFFLE_PARTITIONS)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(narrow))
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
