@@ -391,11 +391,14 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # lazy localCheckpoint: the convergence aggregate right after is the
+    # action that materializes it, so each iteration costs ONE Spark job
+    # (eager checkpoint + separate collect was two).
     labels = (
         e.select("a")
         .distinct()
         .select(F.col("a").alias("node"), F.col("a").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
@@ -412,7 +415,7 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
