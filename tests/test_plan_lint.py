@@ -1,0 +1,57 @@
+"""Fleet-wide physical-plan lint — the 100 TB guardrails, enforced for
+EVERY batch query in the registry (not just the hand-picked plan-shape
+tests):
+
+* no CartesianProduct, ever — at scale that's corpus² rows;
+* BroadcastNestedLoopJoin only where one side is O(1)/query-set-sized
+  by construction (whitelisted per query, reviewed);
+* every lineitem parquet scan is column-pruned (the fact table is the
+  100 TB side; reading all 9 columns for a 3-column query means the
+  scan isn't projection-pruned).
+
+Streaming queries are excluded (calling them executes a stream; their
+stateful plans are exercised in parity/resilience tests).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from burla_spark.plans.registry import all_specs
+
+# Reviewed BNLJ uses — in each, the broadcast side is tiny BY
+# CONSTRUCTION (a 1-row scalar aggregate, a handful of query vectors, a
+# fixed band/grid dimension), so the nested loop is the optimal plan:
+BNLJ_OK = {
+    "range_join_price_bands",  # fixed price-band dim (theta join)
+    "cross_join_matrix",  # deliberate small cross join
+    "q11_important_stock",  # 1-row scalar-subquery threshold broadcast
+    "events_resample_gapfill",  # 1-row (min,max) grid bounds broadcast
+    "embedding_cosine_topk",  # 5 query vectors × corpus (exact baseline)
+    "embedding_ivf_topk",  # query set × centroid set (both small)
+    "class_weights",  # 1-row total-count broadcast join-back
+}
+
+BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]
+
+
+@pytest.mark.parametrize("spec", BATCH_SPECS, ids=[s.name for s in BATCH_SPECS])
+def test_plan_lint(spec, spark, sf_dir):
+    plan = (
+        spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, f"{spec.name}: cartesian product"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert spec.name in BNLJ_OK, (
+            f"{spec.name}: unreviewed BroadcastNestedLoopJoin — broadcast "
+            "side must be provably tiny; add to BNLJ_OK with a comment "
+            "or rewrite as an equi/range join"
+        )
+    for m in re.finditer(r"FileScan parquet \[([^\]]*)\][^\n]*lineitem", plan):
+        n_cols = m.group(1).count(",") + 1 if m.group(1) else 0
+        assert n_cols < 9, (
+            f"{spec.name}: lineitem scan reads all {n_cols} columns — "
+            "projection not pruned"
+        )
