@@ -61,6 +61,49 @@ def test_bitmap_distinct_plan_is_two_phase(spark, sf_dir):
     assert "ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>" in plan
 
 
+def test_incremental_sketch_rollup(spark, sf_dir, tmp_path):
+    """The incremental-pipeline property the sketches exist for: persist
+    per-increment (e.g. per-day) sketch state to parquet, then merge
+    increments WITHOUT rescanning the source — bitmaps stay exact, HLL
+    union equals the single-pass sketch. At 100 TB this is the
+    difference between re-aggregating history and a sketch-file merge."""
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).alias("month")
+
+    # per-(month, bucket) bitmap state over distinct customers
+    per_month = (
+        o.groupBy(
+            month, F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket")
+        )
+        .agg(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position(F.col("o_custkey"))
+            ).alias("bitmap"),
+            F.hll_sketch_agg(F.col("o_custkey"), F.lit(14)).alias("hll"),
+        )
+    )
+    state_path = str(tmp_path / "sketch_state")
+    per_month.write.parquet(state_path)
+
+    merged = spark.read.parquet(state_path)
+    exact_from_bitmaps = (
+        merged.groupBy("bucket")
+        .agg(F.bitmap_count(F.bitmap_or_agg(F.col("bitmap"))).alias("c"))
+        .agg(F.sum("c").cast("long").alias("n"))
+        .collect()[0]["n"]
+    )
+    exact = o.select("o_custkey").distinct().count()
+    assert exact_from_bitmaps == exact  # bitmap merge is EXACT
+
+    hll_merged = merged.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("hll"))).alias("e")
+    ).collect()[0]["e"]
+    single_pass = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("o_custkey"), F.lit(14)))
+    ).collect()[0][0]
+    assert hll_merged == single_pass  # sketch-of-parts ≡ sketch-of-whole
+
+
 def test_stratified_sample_partition_invariant(spark, sf_dir):
     a = {tuple(r) for r in stratified_sample_stats(spark, sf_dir).collect()}
     # same query over a repartitioned copy of the table must keep the
