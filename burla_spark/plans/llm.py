@@ -554,8 +554,73 @@ SELECT lang_guess, rank, doc_id, quality FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# repeated n-gram spans — substring-level dedup signal: token windows
+# appearing in 2+ documents (cross-document repeated passages, the
+# exact-substring counterpart of doc-level dedup; cf. "Deduplicating
+# Training Data Makes Language Models Better", Lee et al. 2022 — their
+# suffix-array pass finds the same repeated spans).
+#
+# Scale shape: the explode emits ~len(doc) (gram, doc) pairs but the
+# groupBy partial-aggregates map-side, so the shuffle carries each
+# DISTINCT (gram, doc) once. At 100 TB, hash each gram to xxhash64
+# (8-byte keys instead of ~50-byte strings) and join the survivors back
+# for the span text — same recipe as the MinHash signature path
+# (operators/dedup.py). The fixture-scale query keeps gram text inline
+# so the DuckDB oracle can hash-match exactly.
+# ---------------------------------------------------------------------------
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from burla_spark.functions.numeric import let
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    grams = let(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= 8,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 7),
+                lambda i: F.array_join(F.slice(t, i, 8), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "gram")
+        .limit(50)
+    )
+
+
+REPEATED_NGRAM_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM d, LATERAL (SELECT UNNEST(generate_series(1, len(toks) - 7)) AS i)
+)
+SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM w
+GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, gram
+LIMIT 50
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_SQL, ("dedup",)),
+    QuerySpec(
+        "repeated_ngram_spans",
+        repeated_ngram_spans,
+        REPEATED_NGRAM_SQL,
+        ("dedup", "text"),
+        doc="cross-document repeated token windows (substring dedup signal)",
+    ),
     QuerySpec("normalized_dedup_docs", normalized_dedup_docs, NORMALIZED_DEDUP_SQL, ("dedup",)),
     QuerySpec("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL, ("dedup",)),
     QuerySpec("minhash_dedup_pairs", minhash_dedup_pairs, None, ("dedup", "lsh")),

@@ -252,7 +252,40 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Arrow-optimized regular Python UDF (Spark 4 useArrow=True): the
+# row-function API with Arrow transport instead of pickle — the upgrade
+# path for legacy @udf code that can't be vectorized. Integer-only
+# arithmetic keeps it oracle-exact.
+# ---------------------------------------------------------------------------
+def arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf("long", useArrow=True)
+    def order_bucket(k: int) -> int:
+        return (k * 31 + 7) % 1000
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(order_bucket("o_orderkey").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("bucket")
+    )
+
+
+ARROW_UDF_SQL = """
+SELECT (o_orderkey * 31 + 7) % 1000 AS bucket, COUNT(*) AS n_orders
+FROM orders GROUP BY 1 ORDER BY bucket
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "arrow_python_udf",
+        arrow_python_udf,
+        ARROW_UDF_SQL,
+        ("udf",),
+        doc="Arrow-optimized row UDF (useArrow=True)",
+    ),
     QuerySpec("pandas_scalar_udf", pandas_scalar_udf, PANDAS_SCALAR_SQL, ("udf",)),
     QuerySpec("pandas_udaf_grouped", pandas_udaf_grouped, PANDAS_UDAF_SQL, ("udf", "agg")),
     QuerySpec("applyinpandas_grouped", applyinpandas_grouped, APPLYINPANDAS_SQL, ("udf", "window")),
