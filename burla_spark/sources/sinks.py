@@ -32,6 +32,53 @@ def write_parquet(
     w.parquet(path)
 
 
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 << 20,
+) -> tuple[int, int]:
+    """Rewrite a small-files parquet dataset into ~target-sized files.
+
+    The small-files problem is the canonical table-maintenance job at
+    scale: a streaming or per-task writer leaves thousands of KB-sized
+    files, and every downstream scan pays per-file open/footer cost.
+    This sizes the output from the dataset's actual on-disk bytes and
+    round-robin ``repartition``s (even file sizes; ``coalesce`` would
+    skew and cap the write parallelism), writing to a NEW path — object
+    stores have no atomic in-place rewrite, so callers swap pointers
+    (or table metadata) after the write commits.
+
+    Returns (n_files_before, n_files_after), counted via the Hadoop
+    FileSystem API so it works on any supported filesystem.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _stats(path: str) -> tuple[int, int]:
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(hconf)
+        n_files, n_bytes = 0, 0
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if name.endswith(".parquet"):
+                n_files += 1
+                n_bytes += f.getLen()
+        return n_files, n_bytes
+
+    n_before, total_bytes = _stats(src_path)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    spark.read.parquet(src_path).repartition(n_out).write.mode("error").parquet(
+        dst_path
+    )
+    n_after, _ = _stats(dst_path)
+    return n_before, n_after
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 

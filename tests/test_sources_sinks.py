@@ -163,3 +163,30 @@ def test_python_datasource_deterministic(spark, sf_dir):
     }
     # aggregation over the custom source runs as a normal relation
     assert df.groupBy("event_type").count().count() == 5
+
+
+def test_compact_parquet_small_files(spark, sf_dir):
+    import glob
+    import os
+    import tempfile
+
+    from burla_spark.sources.sinks import compact_parquet
+    from burla_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "fragmented")
+        dst = os.path.join(tmp, "compacted")
+        # simulate a streaming/per-task writer: 32 tiny files
+        o.repartition(32).write.parquet(src)
+        n_before, n_after = compact_parquet(
+            spark, src, dst, target_file_bytes=1 << 20
+        )
+        assert n_before == 32
+        assert n_after < n_before
+        assert n_after == len(glob.glob(os.path.join(dst, "*.parquet")))
+        # content survives exactly
+        a = spark.read.parquet(src)
+        b = spark.read.parquet(dst)
+        assert b.count() == a.count()
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
