@@ -107,7 +107,85 @@ ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# hashing / encoding scalar functions — content addressing and
+# fingerprint columns (md5 / sha2-256 / hex / base64 verified
+# byte-identical against DuckDB). At scale these are the JVM-side
+# fingerprints dedup manifests and cache keys are built from.
+# ---------------------------------------------------------------------------
+def hash_encoding_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+        F.hex(F.col("c_name")).alias("name_hex"),
+        F.base64(F.col("c_name").cast("binary")).alias("name_b64"),
+    ).orderBy("c_custkey")
+
+
+HASH_ENCODING_SQL = """
+SELECT c_custkey,
+       md5(c_name) AS name_md5,
+       sha256(c_name) AS name_sha256,
+       hex(c_name) AS name_hex,
+       base64(CAST(c_name AS BLOB)) AS name_b64
+FROM customer WHERE c_custkey < 200
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# null-safe equality join (<=> / IS NOT DISTINCT FROM): the join
+# semantic CDC and dimension-key pipelines need when NULL must match
+# NULL. Both sides pre-aggregate to key-cardinality before the join, so
+# the null-safe comparison runs on tiny inputs at any scale.
+# ---------------------------------------------------------------------------
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    all_counts = o.groupBy(key.alias("k")).agg(F.count("*").alias("n_all"))
+    big_counts = (
+        o.filter(F.col("o_totalprice") > 200000.0)
+        .groupBy(key.alias("k2"))
+        .agg(F.count("*").alias("n_big"))
+    )
+    return (
+        all_counts.join(big_counts, all_counts.k.eqNullSafe(big_counts.k2), "left")
+        .select(F.col("k").alias("status_key"), "n_all", "n_big")
+        .orderBy(F.asc_nulls_first("status_key"))
+    )
+
+
+JOIN_NULL_SAFE_SQL = """
+WITH a AS (
+  SELECT NULLIF(o_orderstatus, 'P') AS k, COUNT(*) AS n_all
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT NULLIF(o_orderstatus, 'P') AS k2, COUNT(*) AS n_big
+  FROM orders WHERE o_totalprice > 200000.0 GROUP BY 1
+)
+SELECT a.k AS status_key, n_all, n_big
+FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k2
+ORDER BY status_key NULLS FIRST
+"""
+
+
 SPECS = [
+    QuerySpec(
+        name="hash_encoding_functions",
+        spark=hash_encoding_functions,
+        oracle=HASH_ENCODING_SQL,
+        tags=("scalar",),
+        doc="md5/sha2/hex/base64 fingerprint columns",
+    ),
+    QuerySpec(
+        name="join_null_safe",
+        spark=join_null_safe,
+        oracle=JOIN_NULL_SAFE_SQL,
+        tags=("join", "null"),
+        doc="null-safe equality join (<=> / IS NOT DISTINCT FROM)",
+    ),
     QuerySpec(
         name="agg_bitwise_stringagg",
         spark=agg_bitwise_stringagg,
