@@ -391,36 +391,49 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Size the propagation's shuffle width from the ACTUAL edge count:
+    # dedup edge sets are bounded by duplicate mass, usually orders of
+    # magnitude smaller than the corpus, and running 4-ish tiny
+    # iterations at full fact-table width is pure per-task overhead.
+    # (The count also materializes the persist before the loop.)
+    spark = edges.sparkSession
+    n_edges = e.count()
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    width = max(2, min(int(prev_width), n_edges // 50_000 + 1))
     # lazy localCheckpoint: the convergence aggregate right after is the
     # action that materializes it, so each iteration costs ONE Spark job
     # (eager checkpoint + separate collect was two).
-    labels = (
-        e.select("a")
-        .distinct()
-        .select(F.col("a").alias("node"), F.col("a").alias("label"))
-        .localCheckpoint(eager=False)
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
-        nbr = (
-            e.join(labels, e.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
         labels = (
-            labels.join(nbr, labels.node == nbr.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
+            e.select("a")
+            .distinct()
+            .select(F.col("a").alias("node"), F.col("a").alias("label"))
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        for _ in range(max_iter):
+            nbr = (
+                e.join(labels, e.b == labels.node)
+                .groupBy("a")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            labels = (
+                labels.join(nbr, labels.node == nbr.a, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", "label")
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
     e.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
