@@ -612,6 +612,44 @@ LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# multimodal metadata — the JVM-side half of the multimodal column
+# contract (operators/multimodal.py attach_blob_metadata), split out so
+# it IS oracle-checkable: payload byte length + sha256 fingerprint per
+# blob, aggregated per source. (Feature extraction stays rows-only —
+# its values come from the stubbed codec.)
+# ---------------------------------------------------------------------------
+def multimodal_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from burla_spark.operators import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.encode("text", "utf-8").alias("payload")
+    )
+    blobs = mm.attach_blob_metadata(d, "payload", "text/plain")
+    return (
+        blobs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_blobs"),
+            F.sum(F.col("blob_meta.n_bytes")).alias("total_bytes"),
+            F.countDistinct(F.col("blob_meta.sha")).alias("n_distinct_payloads"),
+            F.min(F.col("blob_meta.sha")).alias("min_sha"),
+        )
+        .orderBy("source")
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT source,
+       COUNT(*) AS n_blobs,
+       SUM(octet_length(encode(text))) AS total_bytes,
+       COUNT(DISTINCT sha256(text)) AS n_distinct_payloads,
+       MIN(sha256(text)) AS min_sha
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_SQL, ("dedup",)),
     QuerySpec(
@@ -646,6 +684,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINT_SQL, ("text",)),
     QuerySpec("kmeans_cluster_sizes", kmeans_cluster_sizes, None, ("clustering",)),
     QuerySpec("multimodal_feature_extract", multimodal_feature_extract, None, ("multimodal",)),
+    QuerySpec(
+        "multimodal_blob_metadata",
+        multimodal_blob_metadata,
+        MULTIMODAL_META_SQL,
+        ("multimodal",),
+        doc="typed blob metadata (bytes/sha256) — the oracle-checked half",
+    ),
     QuerySpec("token_pieces_stats", token_pieces_stats, TOKEN_PIECES_SQL, ("text",)),
     QuerySpec("embedding_neardup", embedding_neardup, None, ("similarity", "dedup", "lsh")),
     QuerySpec("corpus_curation_pipeline", corpus_curation_pipeline, CORPUS_CURATION_SQL, ("text", "dedup", "pipeline")),
