@@ -31,6 +31,8 @@ def quality_summary(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     the check. Returns long-format (check, n_violations, n_rows),
     ordered by check name.
     """
+    if not rules:
+        raise ValueError("quality_summary needs at least one rule")
     aggs = [
         F.count(F.when(cond, 1)).alias(name) for name, cond in sorted(rules.items())
     ] + [F.count(F.lit(1)).alias("__n_rows")]

@@ -288,10 +288,14 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs via multi-table LSH
     bucketing + exact verify — the embedding analogue of MinHash dedup.
     Recall follows 1-(1-p^planes)^tables like lsh_bucketed_topk."""
+    # persist: the self-join below would otherwise run the plane-
+    # projection UDF over the corpus TWICE (aliases share the plan, not
+    # the computation) — same multi-consumer rule as the MinHash
+    # signature path (ENGINEERING_NOTES).
     sig = _with_table_buckets(
         df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__vec")),
         "__vec", num_planes, num_tables, dim,
-    )
+    ).persist()
     l, r = sig.alias("l"), sig.alias("r")
     # candidate ids only — carrying vectors through the pair join +
     # dedup shuffle would move |pairs|×2 vectors; ids are 16 bytes.
