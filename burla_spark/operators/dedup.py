@@ -385,9 +385,13 @@ def connected_components(
     lineage per round (swap for reliable checkpoint on a cluster).
     Convergence is checked with a cheap sum(label) aggregate —
     monotonically decreasing, equal ⇒ fixpoint."""
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # persist the raw edge list BEFORE the symmetrize union: both union
+    # branches otherwise re-run the whole upstream pair-producing
+    # pipeline (for MinHash edges that's the signature computation,
+    # twice).
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
     e = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .persist()
     )
@@ -434,6 +438,7 @@ def connected_components(
             prev_sum = cur_sum
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+    e0.unpersist()
     e.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
