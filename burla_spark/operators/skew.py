@@ -24,7 +24,12 @@ SALT = "__salt"
 def with_salt(df: DataFrame, buckets: int) -> DataFrame:
     """Deterministic row salt in [0, buckets): derived from a stable
     hash of the whole row (monotonically_increasing_id would break
-    retry determinism)."""
+    retry determinism).
+
+    Project ``df`` to the columns you actually need FIRST: the salt
+    hash reads every column of its input, so salting a wide table
+    defeats the scan's projection pruning (tests/test_plan_lint.py
+    enforces this on registry queries)."""
     h = F.xxhash64(*[F.col(c) for c in df.columns])
     return df.withColumn(SALT, F.pmod(h, F.lit(buckets)).cast("int"))
 

@@ -184,7 +184,65 @@ ORDER BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# salted two-phase aggregation — the hot-key recipe as a registry query
+# with EXACT oracle equivalence to the plain GROUP BY. l_returnflag has
+# 3 values over all of lineitem (the canonical skew shape: at 100 TB,
+# 3 reducers would own the whole table); the salt spreads each key over
+# 16 partials, and the merge agg runs on 3×16 rows. Decimal-routed sums
+# make the two-phase result bit-identical to single-phase.
+# ---------------------------------------------------------------------------
+def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from burla_spark.operators.skew import salted_aggregate
+
+    # project BEFORE salting: the salt hashes every column of its input,
+    # so salting the full table would read all 11 lineitem columns and
+    # defeat projection pruning (caught by test_plan_lint).
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    out = salted_aggregate(
+        l,
+        keys=["l_returnflag"],
+        aggs={
+            "n_rows": F.count("*"),
+            "sum_qty": F.sum(dec("l_quantity")),
+            "sum_price": F.sum(dec("l_extendedprice")),
+        },
+        buckets=16,
+        reaggs={
+            "n_rows": F.sum("n_rows"),
+            "sum_qty": F.sum("sum_qty"),
+            "sum_price": F.sum("sum_price"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+    ).orderBy("l_returnflag")
+
+
+SALTED_SKEW_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 SPECS = [
+    QuerySpec(
+        name="salted_skew_aggregate",
+        spark=salted_skew_aggregate,
+        oracle=SALTED_SKEW_SQL,
+        tags=("agg", "skew", "scale"),
+        doc="explicit salt two-phase agg, bit-identical to plain GROUP BY",
+    ),
     QuerySpec(
         name="bitmap_distinct_counts",
         spark=bitmap_distinct_counts,
