@@ -171,7 +171,39 @@ ORDER BY status_key NULLS FIRST
 """
 
 
+# ---------------------------------------------------------------------------
+# GROUPING() flags over CUBE — disambiguates "NULL because this level
+# aggregates the column away" from "NULL data value"; the gid column is
+# the canonical level selector downstream BI reads. Same one-pass
+# expand+agg plan as any cube.
+# ---------------------------------------------------------------------------
+_GROUPING_ID_SQL_BODY = """
+SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+            ELSE o_orderstatus END AS status,
+       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+            ELSE o_orderpriority END AS priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+         AS gid,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY gid, status, priority
+"""
+
+
+def grouping_id_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_ID_SQL_BODY)
+
+
 SPECS = [
+    QuerySpec(
+        name="grouping_id_flags",
+        spark=grouping_id_flags,
+        oracle=_GROUPING_ID_SQL_BODY,
+        tags=("agg", "cube"),
+        doc="GROUPING() level flags over CUBE (same SQL both engines)",
+    ),
     QuerySpec(
         name="hash_encoding_functions",
         spark=hash_encoding_functions,
