@@ -1,0 +1,85 @@
+"""Watermark semantics across real micro-batches (SURVEY §7.1.6).
+
+What Spark actually GUARANTEES (and what we assert): data within the
+watermark is aggregated correctly, every append-mode window is emitted
+at most once, and state is bounded — the watermark advances with event
+time so closed windows never reopen into duplicate emissions.
+
+What Spark does NOT guarantee (so we don't assert it): that data
+arriving beyond the watermark is dropped. The engine may still process
+a very-late row (observed on 4.1: it becomes its own already-closed
+window, emitted once). Pipelines needing hard late-row exclusion filter
+explicitly on event time downstream.
+
+Driven as two real micro-batches (maxFilesPerTrigger=1 under
+AvailableNow): batch 1 advances the watermark to 10:50, batch 2
+delivers a far-late 00:05 event plus an on-time 11:30 event.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def test_watermark_bounds_state_and_emits_each_window_once(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "stream_src")
+        os.makedirs(src)
+
+        def write_file(name, rows):
+            df = spark.createDataFrame(rows, "ts timestamp, v long")
+            stage = os.path.join(tmp, "stage_" + name)
+            df.coalesce(1).write.parquet(stage)
+            part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+            os.rename(os.path.join(stage, part), os.path.join(src, name))
+            time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+        t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+        write_file("b1.parquet", [(t(10, 5), 1), (t(10, 40), 1), (t(11, 0), 1)])
+        write_file("b2.parquet", [(t(0, 5), 1), (t(11, 30), 1)])
+
+        stream = (
+            spark.readStream.schema("ts timestamp, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("start"), "n")
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("late_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # it really ran as multiple micro-batches with an advancing
+        # watermark — otherwise this test proves nothing
+        marks = [
+            p["eventTime"].get("watermark")
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+        assert len(marks) >= 2
+        assert marks[-1] > marks[0]
+
+        rows = spark.table("late_test").collect()
+        # append contract: each window emitted AT MOST ONCE
+        starts = [r.start for r in rows]
+        assert len(starts) == len(set(starts))
+        got = {r.start.strftime("%H:%M"): r.n for r in rows}
+        # in-watermark data aggregated correctly into closed windows
+        assert got.get("10:00") == 1  # 10:05
+        assert got.get("10:30") == 1  # 10:40
+        # windows not yet passed by the final watermark (11:20) are
+        # withheld: 11:00-11:30 and 11:30-12:00 both end after it
+        assert "11:00" not in got
+        assert "11:30" not in got
