@@ -172,6 +172,42 @@ ORDER BY status_key NULLS FIRST
 
 
 # ---------------------------------------------------------------------------
+# array set operations — intersect/union/except as element-level set
+# algebra (vocabulary overlap per document vs a probe set). Both
+# engines dedup; array_sort canonicalizes order so results hash-match.
+# ---------------------------------------------------------------------------
+def array_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from burla_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    probe = F.array(*[F.lit(w) for w in ("data", "spark", "big", "fast")])
+    vocab = F.array_sort(F.array_distinct(tokens(F.col("text"))))
+    return d.select(
+        "doc_id",
+        F.array_sort(F.array_intersect(vocab, probe)).alias("common_words"),
+        F.size(F.array_sort(F.array_union(vocab, probe)))
+        .cast("long")
+        .alias("n_union"),
+        F.size(F.array_except(vocab, probe)).cast("long").alias("n_rest"),
+    ).orderBy("doc_id")
+
+
+ARRAY_SET_OPS_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS vocab
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       list_sort(list_intersect(vocab, ['data','spark','big','fast'])) AS common_words,
+       len(list_distinct(list_concat(vocab, ['data','spark','big','fast']))) AS n_union,
+       len(list_filter(vocab, x -> NOT list_contains(['data','spark','big','fast'], x))) AS n_rest
+FROM d
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # GROUPING() flags over CUBE — disambiguates "NULL because this level
 # aggregates the column away" from "NULL data value"; the gid column is
 # the canonical level selector downstream BI reads. Same one-pass
@@ -197,6 +233,13 @@ def grouping_id_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS = [
+    QuerySpec(
+        name="array_set_operations",
+        spark=array_set_operations,
+        oracle=ARRAY_SET_OPS_SQL,
+        tags=("scalar", "array"),
+        doc="array intersect/union/except with sorted canonical form",
+    ),
     QuerySpec(
         name="grouping_id_flags",
         spark=grouping_id_flags,
