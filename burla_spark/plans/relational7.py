@@ -172,6 +172,47 @@ ORDER BY status_key NULLS FIRST
 
 
 # ---------------------------------------------------------------------------
+# IGNORE NULLS window carry-forward (LOCF) — the gauge-fill semantic:
+# sparse readings (here: value only on 'purchase' events) carried
+# forward per user in event-time order. Spark's last(ignorenulls=True)
+# ≡ DuckDB's LAST_VALUE(x IGNORE NULLS); the frame must stop at
+# CURRENT ROW or the carry looks ahead.
+# ---------------------------------------------------------------------------
+def window_ignore_nulls_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.last(sparse, ignorenulls=True).over(w).alias("last_purchase_value"),
+        )
+        .filter(F.col("user_id") < 50)
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+WINDOW_IGNORE_NULLS_SQL = """
+SELECT event_id, user_id, ts,
+       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_purchase_value
+FROM events
+WHERE user_id < 50
+ORDER BY user_id, ts, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # array set operations — intersect/union/except as element-level set
 # algebra (vocabulary overlap per document vs a probe set). Both
 # engines dedup; array_sort canonicalizes order so results hash-match.
@@ -233,6 +274,13 @@ def grouping_id_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS = [
+    QuerySpec(
+        name="window_ignore_nulls_locf",
+        spark=window_ignore_nulls_locf,
+        oracle=WINDOW_IGNORE_NULLS_SQL,
+        tags=("window", "null"),
+        doc="IGNORE NULLS carry-forward (LOCF) window",
+    ),
     QuerySpec(
         name="array_set_operations",
         spark=array_set_operations,
