@@ -172,6 +172,38 @@ ORDER BY status_key NULLS FIRST
 
 
 # ---------------------------------------------------------------------------
+# to_json write side — struct → JSON string (the serialization twin of
+# from_json/get_json_object; what event producers and API sinks emit).
+# Output is byte-identical across engines for string/bigint fields;
+# doubles are excluded (engines format them differently).
+# ---------------------------------------------------------------------------
+def to_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    payload = F.to_json(
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_custkey").alias("cust"),
+        )
+    )
+    return (
+        o.select("o_orderkey", payload.alias("payload"))
+        .withColumn("rt_status", F.get_json_object("payload", "$.status"))
+        .orderBy("o_orderkey")
+    )
+
+
+TO_JSON_SQL = """
+SELECT o_orderkey,
+       to_json(struct_pack(status := o_orderstatus, cust := o_custkey)) AS payload,
+       json_extract_string(
+         to_json(struct_pack(status := o_orderstatus, cust := o_custkey)),
+         '$.status') AS rt_status
+FROM orders WHERE o_orderkey < 500
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # IGNORE NULLS window carry-forward (LOCF) — the gauge-fill semantic:
 # sparse readings (here: value only on 'purchase' events) carried
 # forward per user in event-time order. Spark's last(ignorenulls=True)
@@ -274,6 +306,13 @@ def grouping_id_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS = [
+    QuerySpec(
+        name="to_json_serialize",
+        spark=to_json_serialize,
+        oracle=TO_JSON_SQL,
+        tags=("scalar", "json"),
+        doc="struct → JSON string serialization (write side)",
+    ),
     QuerySpec(
         name="window_ignore_nulls_locf",
         spark=window_ignore_nulls_locf,
