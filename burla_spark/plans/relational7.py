@@ -172,6 +172,34 @@ ORDER BY status_key NULLS FIRST
 
 
 # ---------------------------------------------------------------------------
+# string padding / printf formatting — fixed-width codes and composed
+# identifiers (report keys, file names). format_string ≡ DuckDB printf.
+# ---------------------------------------------------------------------------
+def string_format_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_mktsegment"), 12, "*").alias("seg_padded"),
+        F.rpad(F.col("c_name"), 22, ".").alias("name_padded"),
+        F.format_string(
+            "%s-%05d", F.substring(F.col("c_mktsegment"), 1, 3), F.col("c_custkey")
+        ).alias("report_key"),
+        F.repeat(F.lit("-"), 4).alias("rule"),
+    ).orderBy("c_custkey")
+
+
+STRING_FORMAT_SQL = """
+SELECT c_custkey,
+       lpad(c_mktsegment, 12, '*') AS seg_padded,
+       rpad(c_name, 22, '.') AS name_padded,
+       printf('%s-%05d', substring(c_mktsegment, 1, 3), c_custkey) AS report_key,
+       repeat('-', 4) AS rule
+FROM customer WHERE c_custkey < 300
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # to_json write side — struct → JSON string (the serialization twin of
 # from_json/get_json_object; what event producers and API sinks emit).
 # Output is byte-identical across engines for string/bigint fields;
@@ -306,6 +334,13 @@ def grouping_id_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS = [
+    QuerySpec(
+        name="string_format_functions",
+        spark=string_format_functions,
+        oracle=STRING_FORMAT_SQL,
+        tags=("scalar", "string"),
+        doc="lpad/rpad/repeat/format_string (printf) formatting",
+    ),
     QuerySpec(
         name="to_json_serialize",
         spark=to_json_serialize,
