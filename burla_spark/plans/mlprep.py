@@ -64,6 +64,40 @@ ORDER BY split
 """
 
 
+def group_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: rows ordered by a
+    multiplicative hash of the key within each group, top 5 kept. The
+    "show me a few examples per class" primitive — unlike
+    sampleBy()/LIMIT, membership is a pure function of the key, so
+    every run, engine, and partitioning picks the SAME rows. One window
+    over one shuffle on the group key; at 100 TB the hash order also
+    decorrelates the sample from storage order."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    hash_order = (F.col("c_custkey") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    w = Window.partitionBy("c_mktsegment").orderBy(hash_order, "c_custkey")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("c_mktsegment", "c_custkey", F.col("rn").cast("long").alias("rn"))
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+GROUP_SAMPLE_SQL = f"""
+SELECT c_mktsegment, c_custkey, rn FROM (
+  SELECT c_mktsegment, c_custkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY (c_custkey * {_HASH_MULT}) % {_HASH_MOD}, c_custkey
+         ) AS rn
+  FROM customer
+) WHERE rn <= 5
+ORDER BY c_mktsegment, rn
+"""
+
+
 def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width feature binning (histogram) of order totals — the
     discretization step of feature engineering. floor(x / width) on
@@ -216,5 +250,12 @@ SPECS = [
         CLASS_WEIGHTS_SQL,
         ("mlprep", "agg"),
         doc="Inverse-frequency class weights for imbalanced labels.",
+    ),
+    QuerySpec(
+        "group_sample_rows",
+        group_sample_rows,
+        GROUP_SAMPLE_SQL,
+        ("mlprep", "sampling", "window"),
+        doc="Deterministic hash-ordered k-per-group sample.",
     ),
 ]
