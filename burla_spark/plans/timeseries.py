@@ -254,7 +254,102 @@ ORDER BY grid.event_type, grid.bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# interval-overlap self-join, banded — which users were active within
+# 15 minutes of each other (sessions padded ±15 min, overlapping pairs
+# counted per user pair). The scale technique is the BANDING: each
+# padded interval explodes into the hour buckets it spans, candidates
+# come from an equi-join on (bucket) — bounded by sessions-per-hour² —
+# and the exact overlap predicate filters inside the bucket. A naive
+# theta join is corpus²; the DuckDB oracle can afford it at sf0.01
+# (IEJoin), Spark never materializes it at any scale. All-integer
+# microsecond arithmetic → bit-exact.
+# ---------------------------------------------------------------------------
+_PAD_US = 15 * 60 * 1_000_000
+# 30-min bands: measured best at sf0.1 (60/30/15-min within 12% — the
+# surviving-pair work dominates, so band width is not the lever here)
+_BAND_US = 1_800_000_000
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_sessionize(spark, sf_dir).select(
+        "user_id",
+        "session_seq",
+        (F.unix_micros("session_start") - F.lit(_PAD_US)).alias("s_us"),
+        (F.unix_micros("session_end") + F.lit(_PAD_US)).alias("e_us"),
+    )
+    banded = s.select(
+        "user_id",
+        "session_seq",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.expr(f"sequence(s_us div {_BAND_US}, e_us div {_BAND_US})")
+        ).alias("bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s_us") <= F.col("b.e_us"))
+            & (F.col("b.s_us") <= F.col("a.e_us")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.session_seq").alias("seq_a"),
+            F.col("b.session_seq").alias("seq_b"),
+        )
+        .distinct()  # a pair can collide in several buckets — count once
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("n_overlaps"))
+        .orderBy(F.col("n_overlaps").desc(), "user_a", "user_b")
+        .limit(100)
+    )
+
+
+INTERVAL_OVERLAP_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+           OR LAG(epoch_us(ts)) OVER w IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+s AS (
+  SELECT user_id, session_seq,
+         MIN(epoch_us(ts)) - {_PAD_US} AS s_us,
+         MAX(epoch_us(ts)) + {_PAD_US} AS e_us
+  FROM numbered GROUP BY user_id, session_seq
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS n_overlaps
+FROM s a JOIN s b
+  ON a.user_id < b.user_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+GROUP BY 1, 2
+ORDER BY n_overlaps DESC, user_a, user_b
+LIMIT 100
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "interval_overlap_join",
+        interval_overlap_join,
+        INTERVAL_OVERLAP_SQL,
+        ("join", "timeseries"),
+        doc="Banded interval-overlap self-join (co-activity pairs).",
+    ),
     QuerySpec("events_tumbling_agg", events_tumbling_agg, EVENTS_TUMBLING_SQL, ("window", "timeseries")),
     QuerySpec("events_sliding_agg", events_sliding_agg, EVENTS_SLIDING_SQL, ("window", "timeseries")),
     QuerySpec("events_asof_join", events_asof_join, EVENTS_ASOF_SQL, ("join", "timeseries")),
