@@ -190,3 +190,30 @@ def test_compact_parquet_small_files(spark, sf_dir):
         b = spark.read.parquet(dst)
         assert b.count() == a.count()
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_avro_roundtrip_if_available(spark, sf_dir):
+    """Avro is a built-in-but-external Spark module (spark-avro jar);
+    this container doesn't deploy it, so the test skips here and runs
+    unchanged where the jar is on the classpath."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from burla_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "orders_avro")
+        try:
+            o.write.format("avro").save(path)
+        except Exception as exc:
+            if "Failed to find data source: avro" in str(exc):
+                pytest.skip("spark-avro module not deployed in this env")
+            raise
+        back = spark.read.format("avro").load(path)
+        assert back.count() == o.count()
+        assert back.exceptAll(o).count() == 0
