@@ -30,8 +30,10 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return entries.select(
         "user_id",
-        F.map_keys("type_counts").alias("types"),
-        F.map_values("type_counts").alias("counts"),
+        F.array_join(F.map_keys("type_counts"), "|").alias("types"),
+        F.array_join(
+            F.transform(F.map_values("type_counts"), lambda x: x.cast("string")), "|"
+        ).alias("counts"),
         F.coalesce(F.element_at("type_counts", "purchase"), F.lit(0)).alias("n_purchases"),
         F.size("type_counts").cast("long").alias("n_distinct_types"),
     )
@@ -43,9 +45,9 @@ WITH per_type AS (
   FROM events GROUP BY user_id, event_type
 )
 SELECT user_id,
-  list_sort(list(event_type)) AS types,
-  list_transform(
-    list_sort(list({'t': event_type, 'n': n})), x -> x.n) AS counts,
+  array_to_string(list_sort(list(event_type)), '|') AS types,
+  array_to_string(list_transform(
+    list_sort(list({'t': event_type, 'n': n})), x -> CAST(x.n AS VARCHAR)), '|') AS counts,
   COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN n END), 0) AS n_purchases,
   COUNT(*) AS n_distinct_types
 FROM per_type
@@ -60,15 +62,20 @@ def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     return d.select(
         "doc_id",
-        F.transform(toks, lambda t: F.length(t)).alias("token_lengths"),
-        F.filter(toks, lambda t: F.length(t) > 5).alias("long_tokens"),
+        F.array_join(
+            F.transform(toks, lambda t: F.length(t).cast("string")), "|"
+        ).alias("token_lengths"),
+        F.array_join(F.filter(toks, lambda t: F.length(t) > 5), "|").alias(
+            "long_tokens"
+        ),
         F.exists(toks, lambda t: t == F.lit("spark")).alias("mentions_spark"),
         F.forall(toks, lambda t: F.length(t) < 30).alias("all_short"),
         F.aggregate(
             toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
         ).alias("total_chars"),
-        F.zip_with(
-            toks, F.reverse(toks), lambda a, b: F.concat_ws("|", a, b)
+        F.array_join(
+            F.zip_with(toks, F.reverse(toks), lambda a, b: F.concat_ws("|", a, b)),
+            "~",
         ).alias("palindrome_pairs"),
     )
 
@@ -79,13 +86,13 @@ WITH d AS (
   FROM documents WHERE doc_id < 200
 )
 SELECT doc_id,
-  list_transform(toks, t -> CAST(LENGTH(t) AS INT)) AS token_lengths,
-  list_filter(toks, t -> LENGTH(t) > 5) AS long_tokens,
+  array_to_string(list_transform(toks, t -> CAST(LENGTH(t) AS VARCHAR)), '|') AS token_lengths,
+  array_to_string(list_filter(toks, t -> LENGTH(t) > 5), '|') AS long_tokens,
   len(list_filter(toks, t -> t = 'spark')) > 0 AS mentions_spark,
   len(list_filter(toks, t -> NOT LENGTH(t) < 30)) = 0 AS all_short,
   CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS BIGINT) AS total_chars,
-  list_transform(generate_series(1, len(toks)),
-    i -> toks[i] || '|' || toks[len(toks) - i + 1]) AS palindrome_pairs
+  array_to_string(list_transform(generate_series(1, len(toks)),
+    i -> toks[i] || '|' || toks[len(toks) - i + 1]), '~') AS palindrome_pairs
 FROM d
 """
 

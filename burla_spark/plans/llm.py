@@ -17,6 +17,11 @@ from burla_spark.plans.base import QuerySpec
 from burla_spark.sources.tables import load_table
 
 
+def _ids_to_str(col: str):
+    """array<long> → '|'-joined string (atomic output for the driver)."""
+    return F.array_join(F.transform(F.col(col), lambda x: x.cast("string")), "|")
+
+
 # ---------------------------------------------------------------------------
 # dedup — exact & normalized (oracle-checked)
 # ---------------------------------------------------------------------------
@@ -132,12 +137,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=32, bands=8, shingle_size=5, threshold=0.5
     )
-    return dd.dedup_component_groups(pairs)
+    return dd.dedup_component_groups(pairs).withColumn(
+        # stringify at the query edge: the driver canonicalizer sorts
+        # columns and cannot hash array cells (operator API keeps arrays)
+        "member_ids",
+        _ids_to_str("member_ids"),
+    )
 
 
 def simhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return dd.simhash_collision_groups(d, "doc_id", "text")
+    return dd.simhash_collision_groups(d, "doc_id", "text").withColumn(
+        "member_ids", _ids_to_str("member_ids")
+    )
 
 
 # ---------------------------------------------------------------------------

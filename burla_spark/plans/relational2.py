@@ -225,11 +225,11 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     return d.select(
         "doc_id",
-        F.slice(toks, 1, 3).alias("first3"),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("first3"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.array_position(toks, "data").cast("long").alias("data_pos"),
-        F.array_sort(F.array_distinct(toks)).alias("vocab"),
-        F.reverse(toks).alias("reversed_tokens"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), "|").alias("vocab"),
+        F.array_join(F.reverse(toks), "|").alias("reversed_tokens"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.element_at(toks, -1).alias("last_token"),
         F.array_join(F.slice(toks, 1, 2), "_").alias("joined2"),
@@ -242,11 +242,11 @@ WITH d AS (
   FROM documents WHERE doc_id < 100
 )
 SELECT doc_id,
-  toks[1:3] AS first3,
+  array_to_string(toks[1:3], '|') AS first3,
   list_contains(toks, 'spark') AS has_spark,
   COALESCE(list_position(toks, 'data'), 0) AS data_pos,
-  list_sort(list_distinct(toks)) AS vocab,
-  list_reverse(toks) AS reversed_tokens,
+  array_to_string(list_sort(list_distinct(toks)), '|') AS vocab,
+  array_to_string(list_reverse(toks), '|') AS reversed_tokens,
   len(toks) AS n_tokens,
   toks[-1] AS last_token,
   array_to_string(toks[1:2], '_') AS joined2

@@ -89,7 +89,7 @@ SELECT l_returnflag,
   bool_and(l_quantity > 0) AS all_positive_qty,
   bool_or(l_discount > 0.09) AS any_big_discount,
   bool_and(l_tax < 0.1) AS all_low_tax,
-  count_if(l_discount = 0) AS n_no_discount
+  CAST(count_if(l_discount = 0) AS BIGINT) AS n_no_discount
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 

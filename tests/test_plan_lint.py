@@ -55,3 +55,24 @@ def test_plan_lint(spec, spark, sf_dir):
             f"{spec.name}: lineitem scan reads all {n_cols} columns — "
             "projection not pruned"
         )
+
+
+@pytest.mark.parametrize("spec", BATCH_SPECS, ids=[s.name for s in BATCH_SPECS])
+def test_output_schema_atomic(spec, spark, sf_dir):
+    """Driver-canon contract: every registry query's output columns must
+    be atomic (no array/map/struct) — the driver's canonicalizer
+    sort_values-es the pandas frame and array cells are unhashable.
+    Serialize complex outputs at the query edge (array_join / to_json)
+    with the mirrored DuckDB expression (ENGINEERING_NOTES rule 10)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = spec.spark(spark, sf_dir).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{spec.name}: non-atomic output columns {bad} — stringify at the "
+        "query edge (array_join/to_json) so the driver canon can hash them"
+    )
