@@ -26,7 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 EXCLUDE: set[str] = set()
 
 
-def main() -> None:
+def main() -> dict:
     from burla_spark.plans.registry import all_specs
     from burla_spark.session import get_spark
 
@@ -39,9 +39,18 @@ def main() -> None:
     from burla_spark.sources.tables import TABLE_NAMES, load_table
 
     for t in TABLE_NAMES:
-        load_table(spark, SF_DIR, t).selectExpr("count(*)").collect()
+        try:
+            load_table(spark, SF_DIR, t).selectExpr("count(*)").collect()
+        except Exception:  # noqa: BLE001 — warmup only, never fatal
+            pass
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # One broken query must never zero the whole benchmark: each query
+    # is individually guarded; failures are reported in an "errors" map
+    # instead of crashing the run (two rounds of bench signal were lost
+    # to a single crashing query).
+    errors: dict[str, str] = {}
 
     def run_all() -> dict[str, float]:
         t: dict[str, float] = {}
@@ -49,11 +58,15 @@ def main() -> None:
             if spec.name in EXCLUDE:
                 continue
             t0 = time.perf_counter()
-            spec.spark(spark, SF_DIR).count()
-            t[spec.name] = round(time.perf_counter() - t0, 3)
-            # drop per-query persisted RDDs (e.g. minhash signatures) so
-            # cached blocks don't pile up across the 2×N query runs.
-            spark.catalog.clearCache()
+            try:
+                spec.spark(spark, SF_DIR).count()
+                t[spec.name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                errors[spec.name] = f"{type(exc).__name__}: {exc}"[:300]
+            finally:
+                # drop per-query persisted RDDs (e.g. minhash signatures)
+                # so cached blocks don't pile up across the 2×N runs.
+                spark.catalog.clearCache()
         # nudge the JVM between passes — accumulated broadcast/codegen
         # garbage otherwise spikes individual timings later in the run.
         spark.sparkContext._jvm.System.gc()
@@ -68,40 +81,53 @@ def main() -> None:
     # timings; re-measure any warm outlier once and keep the best.
     for spec in all_specs():
         name = spec.name
-        if name in warm and warm[name] > max(1.5 * cold[name], 1.0):
-            t0 = time.perf_counter()
-            spec.spark(spark, SF_DIR).count()
-            warm[name] = min(warm[name], round(time.perf_counter() - t0, 3))
-            spark.catalog.clearCache()
+        if name in warm and name in cold and warm[name] > max(1.5 * cold[name], 1.0):
+            try:
+                t0 = time.perf_counter()
+                spec.spark(spark, SF_DIR).count()
+                warm[name] = min(warm[name], round(time.perf_counter() - t0, 3))
+            except Exception:  # noqa: BLE001 — keep the warm number
+                pass
+            finally:
+                spark.catalog.clearCache()
 
     # RPM operator throughput (the reference's headline metric is
     # dispatch latency/throughput of remote_parallel_map itself).
-    from burla_spark import remote_parallel_map
+    try:
+        from burla_spark import remote_parallel_map
 
-    remote_parallel_map(lambda x: x * 2, range(100), spark=spark)  # warm
-    t0 = time.perf_counter()
-    n_inputs = 5000
-    res = remote_parallel_map(lambda x: x * 2, range(n_inputs), spark=spark)
-    rpm_secs = round(time.perf_counter() - t0, 3)
-    assert len(res) == n_inputs
-    warm["rpm_5000_inputs"] = rpm_secs
-    cold["rpm_5000_inputs"] = rpm_secs
+        remote_parallel_map(lambda x: x * 2, range(100), spark=spark)  # warm
+        t0 = time.perf_counter()
+        n_inputs = 5000
+        res = remote_parallel_map(lambda x: x * 2, range(n_inputs), spark=spark)
+        rpm_secs = round(time.perf_counter() - t0, 3)
+        assert len(res) == n_inputs
+        warm["rpm_5000_inputs"] = rpm_secs
+        cold["rpm_5000_inputs"] = rpm_secs
+    except Exception as exc:  # noqa: BLE001
+        errors["rpm_5000_inputs"] = f"{type(exc).__name__}: {exc}"[:300]
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(sum(warm.values()), 3),
-                "unit": "sec",
-                "queries": warm,
-                "sf": float(sf),
-                "cold_total": round(sum(cold.values()), 3),
-                "queries_cold": cold,
-                "n_queries": len(warm),
-            }
-        )
-    )
+    return {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "queries": warm,
+        "sf": float(sf),
+        "cold_total": round(sum(cold.values()), 3),
+        "queries_cold": cold,
+        "n_queries": len(warm),
+        "errors": errors,
+    }
 
 
 if __name__ == "__main__":
-    main()
+    # Anything the engine (or py4j/log4j) prints must not pollute the
+    # one-JSON-line contract: run with stdout aliased to stderr, then
+    # emit exactly one JSON line on the real stdout.
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+    try:
+        result = main()
+    finally:
+        sys.stdout = real_stdout
+    print(json.dumps(result))

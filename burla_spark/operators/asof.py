@@ -2,7 +2,7 @@
 build it from a union + window carry-forward:
 
     union(right-tagged, left-tagged)
-      → window over (key) ordered by (ts, side, uid)
+      → window over (key) ordered by (ts, side, payload-struct)
       → last(right_payload, ignoreNulls) carried onto each left row
 
 Semantics match ``ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts``
@@ -68,18 +68,35 @@ def asof_join(
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = r.select(l.columns).unionByName(l)
 
+    # Deterministic tiebreaker: two right rows with equal (key, ts)
+    # would otherwise make last(payload) partition-order dependent. The
+    # payload struct itself (field-wise comparison) is a total order
+    # over the carried columns, so the winner is stable across any
+    # repartitioning — no unique-id column required of the caller.
+    # (Only compares within side=0; left rows carry a NULL payload but
+    # are already separated by the _SIDE key.)
     if direction == "backward":
-        # right rows sort before left at equal ts → ties match (>=).
+        # right rows sort before left at equal ts → ties match (>=);
+        # among equal-ts right rows the max payload wins.
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__asof_ts").asc(), F.col(_SIDE).asc())
+            .orderBy(
+                F.col("__asof_ts").asc(),
+                F.col(_SIDE).asc(),
+                F.col(_PAYLOAD).asc_nulls_first(),
+            )
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = F.last(_PAYLOAD, ignorenulls=True).over(w)
     else:
+        # among equal-ts right rows the min payload wins.
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__asof_ts").desc(), F.col(_SIDE).asc())
+            .orderBy(
+                F.col("__asof_ts").desc(),
+                F.col(_SIDE).asc(),
+                F.col(_PAYLOAD).desc_nulls_first(),
+            )
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = F.last(_PAYLOAD, ignorenulls=True).over(w)

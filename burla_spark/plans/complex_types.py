@@ -80,19 +80,22 @@ def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# COALESCE on every array_to_string: DuckDB returns NULL for an empty
+# list where Spark's array_join returns '' (fixture text is never NULL,
+# so '' is the one convention both engines can agree on).
 HIGHER_ORDER_SQL = r"""
 WITH d AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
   FROM documents WHERE doc_id < 200
 )
 SELECT doc_id,
-  array_to_string(list_transform(toks, t -> CAST(LENGTH(t) AS VARCHAR)), '|') AS token_lengths,
-  array_to_string(list_filter(toks, t -> LENGTH(t) > 5), '|') AS long_tokens,
+  COALESCE(array_to_string(list_transform(toks, t -> CAST(LENGTH(t) AS VARCHAR)), '|'), '') AS token_lengths,
+  COALESCE(array_to_string(list_filter(toks, t -> LENGTH(t) > 5), '|'), '') AS long_tokens,
   len(list_filter(toks, t -> t = 'spark')) > 0 AS mentions_spark,
   len(list_filter(toks, t -> NOT LENGTH(t) < 30)) = 0 AS all_short,
   CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS BIGINT) AS total_chars,
-  array_to_string(list_transform(generate_series(1, len(toks)),
-    i -> toks[i] || '|' || toks[len(toks) - i + 1]), '~') AS palindrome_pairs
+  COALESCE(array_to_string(list_transform(generate_series(1, len(toks)),
+    i -> toks[i] || '|' || toks[len(toks) - i + 1]), '~'), '') AS palindrome_pairs
 FROM d
 """
 

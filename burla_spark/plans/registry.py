@@ -32,23 +32,35 @@ def all_specs() -> list[QuerySpec]:
         udf_surface,
     )
 
+    layers: list[list[QuerySpec]] = [
+        relational.SPECS,
+        relational2.SPECS,
+        relational3.SPECS,
+        relational4.SPECS,
+        relational5.SPECS,
+        relational6.SPECS,
+        relational7.SPECS,
+        reshape.SPECS,
+        scale_ops.SPECS,
+        complex_types.SPECS,
+        timeseries.SPECS,
+        llm.SPECS,
+        mlprep.SPECS,
+        quality_queries.SPECS,
+        streaming_queries.SPECS,
+        udf_surface.SPECS,
+    ]
+    # Round-robin interleave across plan modules so ANY prefix of the
+    # registry — the driver samples the first 50 specs for its
+    # correctness scoreboard — spans every layer (relational,
+    # timeseries, LLM/dedup/ANN, ML-prep, quality, streaming, UDF)
+    # instead of only the relational modules that happen to sort first.
     specs: list[QuerySpec] = []
-    specs += relational.SPECS
-    specs += relational2.SPECS
-    specs += relational3.SPECS
-    specs += relational4.SPECS
-    specs += relational5.SPECS
-    specs += relational6.SPECS
-    specs += relational7.SPECS
-    specs += reshape.SPECS
-    specs += scale_ops.SPECS
-    specs += complex_types.SPECS
-    specs += timeseries.SPECS
-    specs += llm.SPECS
-    specs += mlprep.SPECS
-    specs += quality_queries.SPECS
-    specs += streaming_queries.SPECS
-    specs += udf_surface.SPECS
+    longest = max(len(layer) for layer in layers)
+    for i in range(longest):
+        for layer in layers:
+            if i < len(layer):
+                specs.append(layer[i])
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
     return specs

@@ -28,6 +28,7 @@ any other table — a million inputs is a small DataFrame.
 
 from __future__ import annotations
 
+import contextlib
 import io
 import pickle
 import sys
@@ -127,32 +128,46 @@ def _cloudpickle():
         return cloudpickle
 
 
-def _register_user_module_by_value(cp, function_: Callable) -> None:
+@contextlib.contextmanager
+def _user_module_by_value(cp, function_: Callable):
     """Ship user-module functions by value, like the reference's
     environment sync does for custom modules
     (_remote_parallel_map.py:560-628: custom modules are cloudpickled
     by value; PyPI packages are assumed installed). Without this, a
     function defined in a non-installed module pickles by reference
-    and executors raise ModuleNotFoundError."""
-    mod = sys.modules.get(getattr(function_, "__module__", ""), None)
-    if mod is None or mod.__name__ in ("__main__", "builtins"):
-        return
-    mod_file = getattr(mod, "__file__", None)
-    if not mod_file:
-        return
-    import sysconfig
+    and executors raise ModuleNotFoundError.
 
-    installed_roots = {
-        sysconfig.get_paths().get("stdlib", ""),
-        sysconfig.get_paths().get("purelib", ""),
-        sysconfig.get_paths().get("platlib", ""),
-    }
-    if any(r and mod_file.startswith(r) for r in installed_roots):
-        return  # installed package — importable on executors
+    Context manager: the registration is global cloudpickle state, so
+    it is unregistered on exit — leaving it would silently switch EVERY
+    later pickle of that module (other jobs, Spark's own UDF plumbing)
+    to by-value for the life of the process."""
+    mod = sys.modules.get(getattr(function_, "__module__", ""), None)
+    registered = False
+    if mod is not None and mod.__name__ not in ("__main__", "builtins"):
+        mod_file = getattr(mod, "__file__", None)
+        if mod_file:
+            import sysconfig
+
+            installed_roots = {
+                sysconfig.get_paths().get("stdlib", ""),
+                sysconfig.get_paths().get("purelib", ""),
+                sysconfig.get_paths().get("platlib", ""),
+            }
+            # installed packages are importable on executors → skip
+            if not any(r and mod_file.startswith(r) for r in installed_roots):
+                try:
+                    cp.register_pickle_by_value(mod)
+                    registered = True
+                except Exception:  # pragma: no cover — best-effort parity
+                    pass
     try:
-        cp.register_pickle_by_value(mod)
-    except Exception:  # pragma: no cover — best-effort parity
-        pass
+        yield
+    finally:
+        if registered:
+            try:
+                cp.unregister_pickle_by_value(mod)
+            except Exception:  # pragma: no cover
+                pass
 
 
 def _make_udf(function_pkl: bytes, capture_stdout: bool):
@@ -287,24 +302,25 @@ def remote_parallel_map(
         return iter(()) if generator else []
 
     cp = _cloudpickle()
-    _register_user_module_by_value(cp, function_)
-    function_pkl = cp.dumps(function_)
-    if len(function_pkl) > MAX_FUNCTION_SIZE_BYTES:
-        raise FunctionTooBig(
-            f"pickled function is {len(function_pkl)} bytes "
-            f"(max {MAX_FUNCTION_SIZE_BYTES})"
-        )
-
-    rows = []
-    for i, item in enumerate(inputs):
-        # cloudpickle (not plain pickle): inputs may be locally-defined
-        # classes/closures, exactly like the reference's input path.
-        blob = cp.dumps(item)
-        if len(blob) > MAX_INPUT_SIZE_BYTES:
-            raise InputTooBig(
-                f"input {i} pickles to {len(blob)} bytes (max {MAX_INPUT_SIZE_BYTES})"
+    with _user_module_by_value(cp, function_):
+        function_pkl = cp.dumps(function_)
+        if len(function_pkl) > MAX_FUNCTION_SIZE_BYTES:
+            raise FunctionTooBig(
+                f"pickled function is {len(function_pkl)} bytes "
+                f"(max {MAX_FUNCTION_SIZE_BYTES})"
             )
-        rows.append((i, blob))
+
+        rows = []
+        for i, item in enumerate(inputs):
+            # cloudpickle (not plain pickle): inputs may be locally-defined
+            # classes/closures, exactly like the reference's input path.
+            blob = cp.dumps(item)
+            if len(blob) > MAX_INPUT_SIZE_BYTES:
+                raise InputTooBig(
+                    f"input {i} pickles to {len(blob)} bytes "
+                    f"(max {MAX_INPUT_SIZE_BYTES})"
+                )
+            rows.append((i, blob))
 
     default_par = max(1, spark.sparkContext.defaultParallelism // max(func_cpu, 1))
     n_parts = min(len(rows), max_parallelism or default_par * 2)

@@ -35,26 +35,39 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a session-TZ TIMESTAMP
+    regardless of how the runtime surfaced the parquet TIMESTAMP(NANOS)
+    physical type — the one ingestion contract batch and stream share.
+
+    - Spark 4.1+: the column loads as TIMESTAMP_NTZ (ns truncated to µs
+      by the reader); cast to TIMESTAMP — exact under the session's
+      pinned UTC timezone (session.py).
+    - Older runtimes with ``spark.sql.legacy.parquet.nanosAsLong=true``:
+      the column loads as raw int64 nanos; truncate ns→µs (the same
+      truncation DuckDB applies).
+    - Re-written copies of the table (sinks/tests/replicas) already
+      store µs TIMESTAMP — pass through unchanged.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame."""
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read the raw int64 nanos and truncate to
-        # microseconds — the same ns→us truncation DuckDB applies.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        # re-written copies of the table (sinks/tests/replicas) already
-        # store µs timestamps — only the original ns-encoded file needs
-        # the truncation.
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = normalize_events_ts(df)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

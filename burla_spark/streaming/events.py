@@ -22,19 +22,24 @@ from burla_spark.functions.numeric import dec
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (nanos ts → µs, like the
-    batch loader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
+    """readStream over the events parquet, sharing the batch loader's
+    ts-ingestion contract.
+
+    The stream schema is derived from a one-footer batch read (not
+    hardcoded) so whatever physical type the runtime surfaces for the
+    parquet TIMESTAMP(NANOS) column — TIMESTAMP_NTZ on Spark 4.1+, raw
+    int64 nanos on legacy-conf runtimes — is normalized identically to
+    ``load_table`` by ``normalize_events_ts``. Batch oracle and stream
+    therefore always agree on event time."""
+    from burla_spark.sources.tables import normalize_events_ts, table_path
+
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 # State-store width for the hermetic single-file replays: each stateful

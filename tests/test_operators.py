@@ -155,6 +155,32 @@ def test_asof_tolerance(spark):
     assert narrow[0].rv is None
 
 
+def test_asof_duplicate_ts_deterministic(spark):
+    """Two right rows with identical (key, ts) must yield a stable
+    winner regardless of partitioning: the payload-struct tiebreaker
+    picks max payload backward / min payload forward."""
+    left = spark.createDataFrame(
+        [(1, 10, 0.0)], "k long, t long, lv double"
+    ).select("k", F.timestamp_seconds("t").alias("lt"), "lv")
+    dup_rows = [(1, 10, float(v)) for v in (3, 1, 2)]
+    for nparts in (1, 3, 7):
+        right = (
+            spark.createDataFrame(dup_rows, "k long, t long, rv double")
+            .repartition(nparts)
+            .select("k", F.timestamp_seconds("t").alias("rt"), "rv")
+        )
+        back = asof_join(
+            left, right, on="k", left_ts="lt", right_ts="rt",
+            right_cols=("rv",), direction="backward",
+        ).collect()
+        assert back[0].rv == 3.0, f"nparts={nparts}"
+        fwd = asof_join(
+            left, right, on="k", left_ts="lt", right_ts="rt",
+            right_cols=("rv",), direction="forward",
+        ).collect()
+        assert fwd[0].rv == 1.0, f"nparts={nparts}"
+
+
 def test_asof_no_match_is_null(spark):
     left = spark.createDataFrame([(1, 5, 9.0)], "k long, t long, lv double").select(
         "k", F.timestamp_seconds("t").alias("lt"), "lv"
@@ -251,6 +277,28 @@ def test_connected_components_vs_union_find(spark, sf_dir):
         union(a, b)
     want = {(n, find(n)) for n in parent}
     assert got == want
+
+
+def test_connected_components_path_graph_log_rounds(spark):
+    """Pointer doubling must close a long path graph (worst-case
+    diameter) in ~log rounds: a 10k-node path converges within the
+    50-round cap — min-label propagation alone would need 10k rounds —
+    and every node lands in component 0. Also asserts the scoped cache
+    cleanup: no pinned RDDs survive the call."""
+    edges = spark.range(9_999).selectExpr("id as id_a", "id + 1 as id_b")
+    rows = dd.connected_components(edges).collect()
+    assert len(rows) == 10_000
+    assert all(r.component == 0 for r in rows)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_minhash_releases_signature_cache(spark, sf_dir):
+    """minhash_lsh_pairs must not leak its persisted signature cache
+    into the session (a real leak in long-lived sessions before r3)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+    assert pairs.count() >= 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
 
 
 def test_dedup_components_on_minhash_pairs(spark, sf_dir):
