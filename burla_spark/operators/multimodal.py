@@ -11,11 +11,16 @@ shared bucket and decoding inside worker UDFs (``blobstore.py:1-13``,
     thumbs  = decode_and_resize(blob_df, 64, 64)
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing,
-init-once-per-partition decoding) is real and tested; the actual codec
-call is stubbed behind an import-try — this container has no
-PIL/librosa — with a deterministic fallback featureizer so pipelines
-are testable end-to-end. Swap ``_decode_image`` for a real decoder and
-nothing else changes.
+init-once-per-partition decoding) is real and tested. The codec is
+three-tier, chosen at runtime per payload:
+
+1. PIL, when installed (runtime-detected once per worker) — any format;
+2. the pure-stdlib codec in :mod:`burla_spark.operators.imagecodec` —
+   real header parsing for PNG/BMP/GIF/JPEG and true pixel
+   decode/resize for 8-bit RGB PNG and 24-bit BMP (value-tested with
+   real generated image bytes);
+3. a deterministic fake for unrecognized payloads, so pipelines built
+   on synthetic fixtures still run end-to-end.
 """
 
 from __future__ import annotations
@@ -47,21 +52,37 @@ def attach_blob_metadata(df: DataFrame, payload_col: str, content_type: str) -> 
     )
 
 
-def _decode_image(payload: bytes) -> tuple[int, int]:
-    """Decode → (width, height). Real codec when available, else a
-    deterministic fake derived from the payload header (the container
-    ships no imaging libs — SURVEY.md §2.C stub contract)."""
+def _pil():
+    """Runtime-detect PIL once per process; None when not installed."""
     try:
-        import io
-
         from PIL import Image  # type: ignore
 
-        img = Image.open(io.BytesIO(payload))
-        return img.width, img.height
+        return Image
     except ImportError:
-        # deterministic fake: dimensions derived from payload bytes.
-        h = payload[:8].ljust(8, b"\0")
-        return 16 + h[0] % 64, 16 + h[1] % 64
+        return None
+
+
+def _decode_image(payload: bytes) -> tuple[int, int]:
+    """Decode → (width, height): PIL when installed, else real header
+    parsing for PNG/BMP/GIF/JPEG (imagecodec), else a deterministic
+    fake derived from the payload bytes."""
+    Image = _pil()
+    if Image is not None:
+        try:
+            import io
+
+            img = Image.open(io.BytesIO(payload))
+            return img.width, img.height
+        except Exception:  # noqa: BLE001 — fall to the stdlib tier
+            pass
+    from burla_spark.operators.imagecodec import image_dims
+
+    dims = image_dims(payload)
+    if dims is not None:
+        return dims
+    # deterministic fake: dimensions derived from payload bytes.
+    h = payload[:8].ljust(8, b"\0")
+    return 16 + h[0] % 64, 16 + h[1] % 64
 
 
 def _byte_histogram(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -93,20 +114,44 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
+def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
+    """One payload → resized-image bytes via the best available tier:
+    PIL (any format) → stdlib codec (RGB PNG / 24-bit BMP, true
+    nearest-neighbour resample, re-encoded as PNG) → deterministic
+    size-bounded fake."""
+    Image = _pil()
+    if Image is not None:
+        try:
+            import io
+
+            img = Image.open(io.BytesIO(payload)).resize((width, height))
+            out = io.BytesIO()
+            img.save(out, format="PNG")
+            return out.getvalue()
+        except Exception:  # noqa: BLE001 — fall to the stdlib tier
+            pass
+    from burla_spark.operators import imagecodec as ic
+
+    px = ic.decode_rgb(payload)
+    if px is not None:
+        return ic.encode_png(ic.resize_nearest(px, width, height))
+    return payload[: width * height // 8]
+
+
 def decode_and_resize(
     df: DataFrame, width: int, height: int, payload_col: str = "payload"
 ) -> DataFrame:
-    """Resize stage: emits a (deterministically fake) resized payload +
-    target dims. Real resize drops in at the marked call."""
+    """Resize stage: decode → nearest-neighbour resample → re-encode,
+    per Arrow batch. Real pixels for PIL-supported or PNG/BMP payloads
+    (tier docs in the module docstring); deterministic fake otherwise."""
     out_schema = f"{', '.join(f'{c} {t}' for c, t in df.dtypes)}, resized binary, out_w long, out_h long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             batch = batch.copy()
-            # REAL RESIZE GOES HERE; the fake keeps a deterministic,
-            # size-bounded payload so plumbing is testable.
             batch["resized"] = [
-                bytes(p)[: width * height // 8] for p in batch[payload_col]
+                _resize_payload(bytes(p), width, height)
+                for p in batch[payload_col]
             ]
             batch["out_w"] = width
             batch["out_h"] = height

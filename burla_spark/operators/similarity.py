@@ -177,9 +177,83 @@ def lsh_bucketed_topk(
     )
 
 
+def _normed(vec):
+    norm = F.sqrt(
+        F.aggregate(
+            vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return F.transform(vec, lambda x: x.cast("double") / norm)
+
+
+class IvfIndex:
+    """A built inverted-file index: the (tiny) centroid table plus the
+    cell-assigned corpus, both decoupled from the build pipeline.
+
+    Build once, query many — at 100 TB the KMeans fit + cell assignment
+    is a one-time indexing job whose output lives in a table; re-running
+    it inside every query (as rounds 1-2 did) re-pays the whole fit per
+    lookup."""
+
+    def __init__(self, centroids: list[list[float]], inverted: DataFrame):
+        self.centroids = centroids  # n_clusters × dim (driver-side, tiny)
+        self.inverted = inverted  # (neighbor_id, __cvec, __cell)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    fit_sample_rows: int = 100_000,
+) -> IvfIndex:
+    """Fit the IVF routing structure and materialize the inverted file.
+
+    The KMeans fit runs on a bounded SAMPLE of the corpus
+    (``fit_sample_rows``) — routing cells only need to capture the
+    density shape, exactness comes from the re-rank, and a fixed-size
+    sample keeps the fit O(1) in corpus size. Cell assignment then
+    scans the full corpus once and the inverted file is spilled to a
+    session-temp parquet (the local twin of writing the index to a
+    table), so nothing stays pinned and later queries read the
+    assignment instead of recomputing it."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from burla_spark.operators.dedup import _spill_to_temp_parquet
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cvec"),
+        array_to_vector(_normed(F.col(corpus_vec))).alias("features"),
+    )
+    n = corpus.count()
+    feats = c.select("features")
+    if n > fit_sample_rows:
+        feats = feats.sample(fraction=fit_sample_rows / n, seed=seed)
+    # cache the features for Lloyd's iterations (MLlib re-scans the
+    # input once per iteration; 8 iterations is plenty for routing-
+    # quality cells — exactness comes from the re-rank, not the fit)
+    feats = feats.cache()
+    try:
+        model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(feats)
+    finally:
+        feats.unpersist()
+    inverted = _spill_to_temp_parquet(
+        model.transform(c).select(
+            "neighbor_id", "__cvec", F.col("prediction").alias("__cell")
+        ),
+        "ivf_inverted",
+    )
+    centroids = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+    return IvfIndex(centroids, inverted)
+
+
 def ivf_topk(
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     query_id: str,
     corpus_id: str,
     query_vec: str,
@@ -189,60 +263,42 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     max_iter: int = 8,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the learned-partition
     scale path, complementing the data-independent LSH one.
 
-    Build: L2-normalize vectors, KMeans the corpus into n_clusters
-    cells (normalized euclidean ≈ cosine order), invert corpus rows by
-    cell id. Search: each query probes its n_probe nearest centroids
-    (rank against a broadcast n_clusters-row centroid table), candidates
-    come from an equi-join on the cell id, then exact cosine re-rank.
+    Build (see :func:`build_ivf_index`, reused when ``index`` is
+    passed): L2-normalize vectors, KMeans a corpus sample into
+    n_clusters cells (normalized euclidean ≈ cosine order), invert
+    corpus rows by cell id. Search: each query probes its n_probe
+    nearest centroids (rank against a broadcast n_clusters-row centroid
+    table), candidates come from an equi-join on the cell id, then
+    exact cosine re-rank.
 
-    At scale: the corpus shuffles once on cell id; per-query candidate
-    work is ~n_probe/n_clusters of the corpus instead of all of it, and
-    the centroid table stays tiny (n_clusters × dim) no matter how big
-    the corpus grows — raise n_clusters with corpus size (√N rule).
-    Centroids are seeded but float-accumulation-order dependent, so
-    results are reproducible per session, not hash-stable across
-    partitionings (rows-only check; recall asserted in tests).
+    At scale: the corpus shuffles once on cell id AT BUILD TIME; per-
+    query candidate work is ~n_probe/n_clusters of the corpus instead
+    of all of it, and the centroid table stays tiny (n_clusters × dim)
+    no matter how big the corpus grows — raise n_clusters with corpus
+    size (√N rule). Centroids are seeded but float-accumulation-order
+    dependent, so results are reproducible per session, not hash-stable
+    across partitionings (rows-only check; recall asserted in tests).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    def normed(vec):
-        norm = F.sqrt(
-            F.aggregate(
-                vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-            )
+    if index is None:
+        if corpus is None:
+            raise ValueError("pass either corpus or a prebuilt index")
+        index = build_ivf_index(
+            corpus, corpus_id, corpus_vec, n_clusters, seed, max_iter
         )
-        return F.transform(vec, lambda x: x.cast("double") / norm)
-
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).alias("__cvec"),
-        array_to_vector(normed(F.col(corpus_vec))).alias("__feat"),
-    )
-    # cache the features for Lloyd's iterations (MLlib re-scans the
-    # input once per iteration; 8 iterations is plenty for routing-
-    # quality cells — exactness comes from the re-rank, not the fit)
-    feats = c.select("__feat").withColumnRenamed("__feat", "features").cache()
-    try:
-        model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(feats)
-    finally:
-        feats.unpersist()
-    inverted = (
-        model.transform(c.withColumnRenamed("__feat", "features"))
-        .select("neighbor_id", "__cvec", F.col("prediction").alias("__cell"))
-    )
+    inverted = index.inverted
 
     centroids = queries.sparkSession.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        [(i, ctr) for i, ctr in enumerate(index.centroids)],
         "__cell int, __centroid array<double>",
     )
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")
-    ).withColumn("__qnorm", normed(F.col("__qvec")))
+    ).withColumn("__qnorm", _normed(F.col("__qvec")))
     probe_w = Window.partitionBy("query_id").orderBy(F.desc("__cdot"), F.asc("__cell"))
     probes = (
         q.crossJoin(F.broadcast(centroids))
@@ -309,6 +365,13 @@ def embedding_neardup_pairs(
         .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # materialize candidate ids (duplicate-mass-sized) so the signature
+    # cache can be released instead of leaking into the session — same
+    # contract as minhash_lsh_pairs.
+    from burla_spark.operators.dedup import _spill_to_temp_parquet
+
+    candidates = _spill_to_temp_parquet(candidates, "neardup_candidates")
+    sig.unpersist()
     vecs = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__v"))
     return (
         candidates.join(

@@ -170,9 +170,16 @@ def _user_module_by_value(cp, function_: Callable):
                 pass
 
 
-def _make_udf(function_pkl: bytes, capture_stdout: bool):
+def _make_udf(function_pkl: bytes, capture_stdout: bool, log_addr: tuple[str, int] | None = None):
     """Build the mapInPandas worker: unpickle once per task, run each
-    input, emit (idx, is_error, payload, stdout, error fields)."""
+    input, emit (idx, is_error, payload, stdout, error fields).
+
+    With ``log_addr``, each input's stdout is pushed LIVE to the
+    driver's log listener the moment the input finishes (reference
+    parity: worker_client.py:154-338 streams logs while the job runs);
+    a successful push clears the row's stdout so delivery is
+    exactly-once, and any push failure falls back to with-result
+    delivery."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -183,6 +190,15 @@ def _make_udf(function_pkl: bytes, capture_stdout: bool):
             from pyspark import cloudpickle as result_pickler  # type: ignore
         except ImportError:  # pragma: no cover
             import cloudpickle as result_pickler  # type: ignore
+
+        log_client = None
+        if log_addr is not None:
+            try:
+                from burla_spark.logs import LogStreamClient
+
+                log_client = LogStreamClient(*log_addr)
+            except Exception:  # noqa: BLE001 — log channel is best-effort
+                log_client = None
 
         fn = pickle.loads(function_pkl)
         for batch in batches:
@@ -200,19 +216,25 @@ def _make_udf(function_pkl: bytes, capture_stdout: bool):
                             result = fn(*arg) if isinstance(arg, tuple) else fn(arg)
                     else:
                         result = fn(*arg) if isinstance(arg, tuple) else fn(arg)
+                    text = buf.getvalue()
+                    if log_client is not None and log_client.send(int(idx), text):
+                        text = ""  # delivered live — don't re-deliver with the row
                     out["idx"].append(int(idx))
                     out["is_error"].append(False)
                     out["payload"].append(result_pickler.dumps(result))
-                    out["stdout"].append(buf.getvalue())
+                    out["stdout"].append(text)
                     out["error_type"].append(None)
                     out["error_msg"].append(None)
                     out["error_tb"].append(None)
                     out["error_pkl"].append(None)
                 except Exception as exc:  # noqa: BLE001 — user code may raise anything
+                    text = buf.getvalue()
+                    if log_client is not None and log_client.send(int(idx), text):
+                        text = ""
                     out["idx"].append(int(idx))
                     out["is_error"].append(True)
                     out["payload"].append(None)
-                    out["stdout"].append(buf.getvalue())
+                    out["stdout"].append(text)
                     out["error_type"].append(type(exc).__name__)
                     out["error_msg"].append(str(exc))
                     out["error_tb"].append(traceback.format_exc())
@@ -235,6 +257,8 @@ def _make_udf(function_pkl: bytes, capture_stdout: bool):
                         blob = None
                     out["error_pkl"].append(blob)
             yield pd.DataFrame(out)
+        if log_client is not None:
+            log_client.close()
 
     return run
 
@@ -324,6 +348,26 @@ def remote_parallel_map(
 
     default_par = max(1, spark.sparkContext.defaultParallelism // max(func_cpu, 1))
     n_parts = min(len(rows), max_parallelism or default_par * 2)
+
+    # One delivery sink for BOTH channels: the live TCP push (arrives
+    # while tasks run) and the with-result fallback. Exactly-once per
+    # input — a worker clears row stdout iff its live push succeeded.
+    def deliver(idx: int, text: str) -> None:
+        if stdout_sink is not None:
+            stdout_sink(idx, text)
+        else:
+            sys.stdout.write(text)
+
+    log_server = None
+    if capture_stdout:
+        try:
+            from burla_spark.logs import LogStreamServer
+
+            host = spark.conf.get("spark.driver.host", None) or "127.0.0.1"
+            log_server = LogStreamServer(deliver, host)
+        except Exception:  # noqa: BLE001 — live logs are best-effort
+            log_server = None
+
     # pandas + Arrow ships the input batch to the JVM ~35% faster than
     # the row-list path (one Arrow buffer vs per-row pickling).
     import pandas as pd
@@ -332,13 +376,18 @@ def remote_parallel_map(
         {"idx": [r[0] for r in rows], "payload": [r[1] for r in rows]}
     )
     df = spark.createDataFrame(pdf, "idx long, payload binary").repartition(n_parts)
-    result_df = df.mapInPandas(_make_udf(function_pkl, capture_stdout), RESULT_SCHEMA)
+    result_df = df.mapInPandas(
+        _make_udf(
+            function_pkl,
+            capture_stdout,
+            log_server.advertise if log_server is not None else None,
+        ),
+        RESULT_SCHEMA,
+    )
 
     def handle(row):
-        if row.stdout and stdout_sink is not None:
-            stdout_sink(row.idx, row.stdout)
-        elif row.stdout:
-            sys.stdout.write(row.stdout)
+        if row.stdout:
+            deliver(row.idx, row.stdout)
         if row.is_error:
             raise _rehydrate_error(
                 row.error_pkl, row.error_type, row.error_msg, row.error_tb, row.idx
@@ -350,19 +399,28 @@ def remote_parallel_map(
         def stream():
             # toLocalIterator: partition-ordered streaming (divergence
             # from the reference's completion order — SURVEY.md §7.3.2).
-            for row in result_df.toLocalIterator(prefetchPartitions=True):
-                yield handle(row)
+            try:
+                if log_server is not None:
+                    log_server.__enter__()
+                for row in result_df.toLocalIterator(prefetchPartitions=True):
+                    yield handle(row)
+            finally:
+                if log_server is not None:
+                    log_server.__exit__()
 
         return stream()
 
     def collect_all():
-        if spinner:
-            from burla_spark.progress import ProgressReporter
+        import contextlib as _ctx
 
-            with ProgressReporter(spark):
+        with log_server if log_server is not None else _ctx.nullcontext():
+            if spinner:
+                from burla_spark.progress import ProgressReporter
+
+                with ProgressReporter(spark):
+                    rows_out = result_df.collect()
+            else:
                 rows_out = result_df.collect()
-        else:
-            rows_out = result_df.collect()
         return [handle(row) for row in rows_out]
 
     if detach:

@@ -163,3 +163,37 @@ def test_local_class_results_roundtrip(spark):
 
     results = remote_parallel_map(lambda x: Box(x * 3), range(6), spark=spark)
     assert sorted(r.v for r in results) == [x * 3 for x in range(6)]
+
+
+def test_live_log_streaming_mid_job(spark):
+    """Per-input stdout must surface WHILE the job runs (reference
+    parity: live log relay), not only with the results: a straggler
+    input holds the job open ~4s; the fast inputs' prints must have
+    arrived well before completion, each exactly once."""
+    import threading
+    import time
+
+    received = []
+    lock = threading.Lock()
+
+    def sink(idx, text):
+        with lock:
+            received.append((idx, text, time.time()))
+
+    def fn(x):
+        print(f"msg-{x}")
+        if x == 99:
+            time.sleep(4)
+        return x
+
+    inputs = list(range(8)) + [99]
+    res = remote_parallel_map(fn, inputs, spark=spark, stdout_sink=sink)
+    t_done = time.time()
+    assert sorted(res) == sorted(inputs)
+    with lock:
+        got = list(received)
+    assert sorted(i for i, _, _ in got) == list(range(9))  # exactly once
+    for i, text, _ in got:
+        assert text == f"msg-{inputs[i]}\n"
+    earliest = min(t for _, _, t in got)
+    assert t_done - earliest > 2.0, "no stdout arrived before job completion"
