@@ -30,11 +30,13 @@ class BackgroundJob:
     """Handle for a detached action: poll .done, await .result(),
     or .cancel() — exactly-one-of result/error/canceled."""
 
+    _UNSET = object()  # distinguishes "no result yet" from a None result
+
     def __init__(self, spark: SparkSession, tag: str, thread: threading.Thread):
         self._spark = spark
         self._tag = tag
         self._thread = thread
-        self._result: Any = None
+        self._result: Any = BackgroundJob._UNSET
         self._error: BaseException | None = None
         self._canceled = False
         self._finished = threading.Event()
@@ -44,17 +46,32 @@ class BackgroundJob:
         return self._finished.is_set()
 
     def cancel(self) -> None:
+        # cancel-after-complete is a no-op: a finished job's result
+        # stands (the reference's cancel endpoint likewise only flips
+        # RUNNING jobs). Without this, a late cancel() made result()
+        # raise JobCanceled for work that had already succeeded.
+        if self._finished.is_set():
+            return
         self._canceled = True
-        self._spark.interruptTag(self._tag)
+        # SparkContext-level job tags, NOT SparkSession.interruptTag:
+        # session tags only attach to SQL executions, so a raw RDD
+        # action (rdd.count) runs untagged and interruptTag is a no-op
+        # on it (verified under Spark 4.1). cancelJobsWithTag cancels
+        # at the DAGScheduler, which covers every job type.
+        self._spark.sparkContext.cancelJobsWithTag(self._tag)
 
     def result(self, timeout: float | None = None) -> Any:
         if not self._finished.wait(timeout):
             raise TimeoutError(f"job {self._tag} still running")
+        # success first: a cancel that lost the race with completion
+        # (flag set but the action finished cleanly) reports the result.
+        if self._result is not BackgroundJob._UNSET:
+            return self._result
         if self._canceled:
             raise JobCanceled(f"job {self._tag} was canceled")
         if self._error is not None:
             raise self._error
-        return self._result
+        return None  # pragma: no cover — action returned without setting state
 
 
 class sigint_policy:
@@ -113,13 +130,15 @@ def submit(spark: SparkSession, action: Callable[[], Any], tag: str | None = Non
 
     def run() -> None:
         try:
-            spark.addTag(tag)
+            # context-level tag (thread-local): every job this thread
+            # submits — SQL or raw RDD — carries it. See cancel().
+            spark.sparkContext.addJobTag(tag)
             job._result = action()
         except BaseException as exc:  # noqa: BLE001 — report, don't swallow
             job._error = exc
         finally:
             try:
-                spark.removeTag(tag)
+                spark.sparkContext.removeJobTag(tag)
             except Exception:
                 pass
             job._finished.set()

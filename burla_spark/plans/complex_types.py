@@ -14,6 +14,13 @@ from burla_spark.operators.text import tokens
 from burla_spark.plans.base import QuerySpec
 from burla_spark.sources.tables import load_table
 
+# Stringified-array separators: ASCII unit/record separators cannot
+# appear in the fixture text (tokens are printable), so distinct arrays
+# can never serialize to equal strings — '|' could collide with
+# punctuation-bearing tokens and weaken the driver's row-hash compare.
+US = "\x1f"  # element separator
+RS = "\x1e"  # pair separator (nested one level up)
+
 
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a per-user event_type→count map (map_from_entries over a
@@ -30,9 +37,9 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return entries.select(
         "user_id",
-        F.array_join(F.map_keys("type_counts"), "|").alias("types"),
+        F.array_join(F.map_keys("type_counts"), US).alias("types"),
         F.array_join(
-            F.transform(F.map_values("type_counts"), lambda x: x.cast("string")), "|"
+            F.transform(F.map_values("type_counts"), lambda x: x.cast("string")), US
         ).alias("counts"),
         F.coalesce(F.element_at("type_counts", "purchase"), F.lit(0)).alias("n_purchases"),
         F.size("type_counts").cast("long").alias("n_distinct_types"),
@@ -53,6 +60,7 @@ SELECT user_id,
 FROM per_type
 GROUP BY user_id
 """
+MAP_FUNCTIONS_SQL = MAP_FUNCTIONS_SQL.replace("'|'", f"'{US}'")
 
 
 def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,9 +71,9 @@ def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.array_join(
-            F.transform(toks, lambda t: F.length(t).cast("string")), "|"
+            F.transform(toks, lambda t: F.length(t).cast("string")), US
         ).alias("token_lengths"),
-        F.array_join(F.filter(toks, lambda t: F.length(t) > 5), "|").alias(
+        F.array_join(F.filter(toks, lambda t: F.length(t) > 5), US).alias(
             "long_tokens"
         ),
         F.exists(toks, lambda t: t == F.lit("spark")).alias("mentions_spark"),
@@ -74,8 +82,8 @@ def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
         ).alias("total_chars"),
         F.array_join(
-            F.zip_with(toks, F.reverse(toks), lambda a, b: F.concat_ws("|", a, b)),
-            "~",
+            F.zip_with(toks, F.reverse(toks), lambda a, b: F.concat_ws(US, a, b)),
+            RS,
         ).alias("palindrome_pairs"),
     )
 
@@ -98,6 +106,7 @@ SELECT doc_id,
     i -> toks[i] || '|' || toks[len(toks) - i + 1]), '~'), '') AS palindrome_pairs
 FROM d
 """
+HIGHER_ORDER_SQL = HIGHER_ORDER_SQL.replace("'|'", f"'{US}'").replace("'~'", f"'{RS}'")
 
 
 def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -221,15 +221,18 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 # array functions over tokenized text
 # ---------------------------------------------------------------------------
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # \x1f separator: tokens are free text, so a printable separator
+    # could let distinct arrays serialize to equal strings (see
+    # complex_types.US).
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     toks = tokens(F.col("text"))
     return d.select(
         "doc_id",
-        F.array_join(F.slice(toks, 1, 3), "|").alias("first3"),
+        F.array_join(F.slice(toks, 1, 3), "\x1f").alias("first3"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.array_position(toks, "data").cast("long").alias("data_pos"),
-        F.array_join(F.array_sort(F.array_distinct(toks)), "|").alias("vocab"),
-        F.array_join(F.reverse(toks), "|").alias("reversed_tokens"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), "\x1f").alias("vocab"),
+        F.array_join(F.reverse(toks), "\x1f").alias("reversed_tokens"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.element_at(toks, -1).alias("last_token"),
         F.array_join(F.slice(toks, 1, 2), "_").alias("joined2"),
@@ -252,6 +255,7 @@ SELECT doc_id,
   array_to_string(toks[1:2], '_') AS joined2
 FROM d
 """
+ARRAY_FUNCTIONS_SQL = ARRAY_FUNCTIONS_SQL.replace("'|'", "'\x1f'")
 
 
 # ---------------------------------------------------------------------------

@@ -204,13 +204,14 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0)
-        .agg(money_avg("c_acctbal", "avg_bal"))
-        .collect()[0][0]
+    # scalar subquery as crossJoin(broadcast(1-row agg)) — one lazy
+    # plan, no driver round-trip, and the filter stays pushable.
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        money_avg("c_acctbal", "__avg_bal")
     )
     return (
-        c.filter(F.col("c_acctbal") > avg_bal)
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(

@@ -170,9 +170,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_suppkey")
         .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("total_revenue"))
     )
-    max_rev = revenue.agg(F.max("total_revenue")).collect()[0][0]
+    # scalar-max as crossJoin(broadcast(1-row agg)): one lazy plan (the
+    # revenue exchange is shared via ReuseExchange), no driver round-trip.
+    max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     return (
-        revenue.filter(F.col("total_revenue") == max_rev)
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
         .join(F.broadcast(s), revenue.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")

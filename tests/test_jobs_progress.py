@@ -11,10 +11,10 @@ from burla_spark.jobs import BackgroundJob, JobCanceled, submit
 from burla_spark.progress import ProgressReporter, progress_snapshot
 
 
-def _slow_df(spark, n=2_000_000, parts=8):
+def _slow_df(spark, n=2_000_000, parts=8, sleep=0.5):
     # sleep-per-partition keeps the job running long enough to observe
     def slow(it):
-        time.sleep(0.5)
+        time.sleep(sleep)
         yield from it
 
     return spark.range(n).repartition(parts).rdd.mapPartitions(slow)
@@ -37,7 +37,9 @@ def test_background_job_error_propagates(spark):
 
 
 def test_background_job_cancel(spark):
-    rdd = _slow_df(spark)
+    # 10s/partition: the job is provably still RUNNING at cancel time
+    # (cancel-after-complete is a no-op by contract, tested separately)
+    rdd = _slow_df(spark, sleep=10.0)
     job = submit(spark, rdd.count)
     time.sleep(1.0)  # let tasks start
     job.cancel()
@@ -74,7 +76,7 @@ def test_sigint_policy_cancel(spark):
 
     from burla_spark.jobs import sigint_policy
 
-    rdd = _slow_df(spark)
+    rdd = _slow_df(spark, sleep=10.0)
     job = submit(spark, rdd.count)
     time.sleep(1.0)
     with sigint_policy(job, on_interrupt="cancel") as policy:
@@ -98,3 +100,14 @@ def test_sigint_policy_detach(spark):
         assert policy.interrupted
     # detached: job keeps running to completion
     assert job.result(timeout=60) == 100000
+
+
+def test_cancel_after_complete_is_noop(spark):
+    """A cancel() that arrives after the job finished must not poison
+    the already-computed result (cancel-after-complete race)."""
+    from burla_spark.jobs import submit
+
+    job = submit(spark, lambda: 42)
+    assert job.result(timeout=60) == 42
+    job.cancel()
+    assert job.result() == 42

@@ -32,6 +32,8 @@ BNLJ_OK = {
     "embedding_cosine_topk",  # 5 query vectors × corpus (exact baseline)
     "embedding_ivf_topk",  # query set × centroid set (both small)
     "class_weights",  # 1-row total-count broadcast join-back
+    "q22_idle_customers",  # 1-row global-avg-balance broadcast
+    "q15_top_supplier",  # 1-row max-revenue broadcast
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]
