@@ -35,18 +35,19 @@ _LEN = struct.Struct(">I")
 _MAX_MSG = 1_000_000  # mirror the reference's 1 MB log-response cap
 
 
-class LogStreamServer:
+class MessageStreamServer:
     """Driver-side listener: accepts worker connections and invokes
-    ``sink(idx, text)`` as messages arrive (from listener threads — the
-    sink must be thread-safe; appending to a list or writing a line to
-    a stream both are, under the GIL).
+    ``sink(obj)`` for each pickled message as it arrives (from listener
+    threads — the sink must be thread-safe; appending to a list or
+    putting on a queue.Queue both are).
 
     Use as a context manager around the job action; ``advertise`` is
     the (host, port) workers should connect to."""
 
-    def __init__(self, sink: Callable[[int, str], None], host: str):
-        self._sink = sink
+    def __init__(self, sink: Callable[[object], None], host: str, max_msg: int = _MAX_MSG):
+        self._obj_sink = sink
         self._host = host
+        self._max_msg = max_msg
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind(("0.0.0.0", 0))
@@ -83,17 +84,17 @@ class LogStreamServer:
                     if head is None:
                         return
                     (size,) = _LEN.unpack(head)
-                    if size > _MAX_MSG:
+                    if size > self._max_msg:
                         return
                     body = self._recv_exact(conn, size)
                     if body is None:
                         return
-                    idx, text = pickle.loads(body)
+                    obj = pickle.loads(body)
                     try:
-                        self._sink(int(idx), text)
+                        self._obj_sink(obj)
                     except Exception:  # noqa: BLE001 — sink bugs can't kill the reader
                         pass
-        except Exception:  # noqa: BLE001 — log channel is best-effort
+        except Exception:  # noqa: BLE001 — message channel is best-effort
             pass
 
     @staticmethod
@@ -114,25 +115,34 @@ class LogStreamServer:
             pass
 
 
-class LogStreamClient:
-    """Worker-side push channel: one lazy connection per task. Every
-    method is failure-proof — a dead driver socket degrades to
-    with-result stdout delivery, never to a task failure."""
+class LogStreamServer(MessageStreamServer):
+    """MessageStreamServer specialized to (input_index, stdout_text)
+    log messages: invokes ``sink(idx, text)``."""
 
-    def __init__(self, host: str, port: int):
+    def __init__(self, sink: Callable[[int, str], None], host: str):
+        super().__init__(lambda obj: sink(int(obj[0]), obj[1]), host)
+
+
+class MessageStreamClient:
+    """Worker-side push channel: one lazy connection per task. Every
+    method is failure-proof — a dead driver socket degrades to the
+    fallback delivery path, never to a task failure."""
+
+    def __init__(self, host: str, port: int, max_msg: int = _MAX_MSG):
         self._addr = (host, port)
+        self._max_msg = max_msg
         self._sock: socket.socket | None = None
         self._dead = False
 
-    def send(self, idx: int, text: str) -> bool:
-        """Push one input's stdout; True iff delivered."""
-        if self._dead or not text:
+    def send_obj(self, obj: object) -> bool:
+        """Push one pickled message; True iff delivered."""
+        if self._dead:
             return False
         try:
             if self._sock is None:
                 self._sock = socket.create_connection(self._addr, timeout=2)
-            body = pickle.dumps((idx, text))
-            if len(body) > _MAX_MSG:
+            body = pickle.dumps(obj)
+            if len(body) > self._max_msg:
                 return False
             self._sock.sendall(_LEN.pack(len(body)) + body)
             return True
@@ -153,3 +163,12 @@ class LogStreamClient:
         except Exception:  # noqa: BLE001
             pass
         self._sock = None
+
+
+class LogStreamClient(MessageStreamClient):
+    """MessageStreamClient specialized to (input_index, stdout_text)."""
+
+    def send(self, idx: int, text: str) -> bool:
+        if not text:
+            return False
+        return self.send_obj((idx, text))

@@ -475,11 +475,18 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("label").alias("nbr_label"))
             )
-            hooked = labels.join(nbr, labels.node == nbr.a, "left").select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "label"
-                ),
+            # lazy checkpoint: the shortcut join below reads hooked on
+            # BOTH sides — without this the hook join+agg runs twice per
+            # round (measured 40% slower at sf0.1).
+            hooked = (
+                labels.join(nbr, labels.node == nbr.a, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", "label")
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=False)
             )
             # shortcut (pointer doubling): L(u) ← min(L(u), L(L(u)))
             parent = hooked.select(

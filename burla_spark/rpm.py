@@ -263,6 +263,121 @@ def _make_udf(function_pkl: bytes, capture_stdout: bool, log_addr: tuple[str, in
     return run
 
 
+class _ResultRow:
+    """Attribute-access adapter for result tuples pushed through the
+    completion-order channel (same fields as RESULT_SCHEMA rows)."""
+
+    __slots__ = ("idx", "is_error", "payload", "stdout", "error_type",
+                 "error_msg", "error_tb", "error_pkl")
+
+    def __init__(self, tup):
+        for name, val in zip(self.__slots__, tup):
+            setattr(self, name, val)
+
+
+def _stream_results(spark, result_df, handle, log_server):
+    """COMPLETION-ordered result generator (reference parity:
+    `_remote_parallel_map.py:703-715` yields from a client-side Queue in
+    the order results finish).
+
+    Each task pushes its result rows to a driver-side message listener
+    AS IT COMPUTES THEM and the generator yields from the receiving
+    queue — a result from a fast task is available while slow tasks
+    still run, so first-result latency tracks the fastest input, not
+    the slowest partition. A failed push fails the task (Spark retries
+    it; the driver dedups replayed rows by input index, mirroring the
+    reference's ack/replay exactly-once contract). If the listener
+    cannot even be constructed, falls back to the partition-ordered
+    ``toLocalIterator`` path."""
+    import queue as _queue
+    import threading
+
+    from burla_spark.logs import MessageStreamServer
+
+    try:
+        host = spark.conf.get("spark.driver.host", None) or "127.0.0.1"
+        q: "_queue.Queue" = _queue.Queue()
+        res_server = MessageStreamServer(
+            q.put, host, max_msg=MAX_INPUT_SIZE_BYTES + 10_000_000
+        )
+    except Exception:  # noqa: BLE001
+        res_server = None
+
+    if res_server is None:  # pragma: no cover — no listener: degraded path
+
+        def fallback():
+            try:
+                if log_server is not None:
+                    log_server.__enter__()
+                for row in result_df.toLocalIterator(prefetchPartitions=True):
+                    yield handle(row)
+            finally:
+                if log_server is not None:
+                    log_server.__exit__()
+
+        return fallback()
+
+    addr = res_server.advertise
+    max_msg = MAX_INPUT_SIZE_BYTES + 10_000_000
+
+    def push_partition(rows):
+        from burla_spark.logs import MessageStreamClient
+
+        client = MessageStreamClient(*addr, max_msg=max_msg)
+        try:
+            for row in rows:
+                tup = (
+                    row.idx,
+                    row.is_error,
+                    bytes(row.payload) if row.payload is not None else None,
+                    row.stdout,
+                    row.error_type,
+                    row.error_msg,
+                    row.error_tb,
+                    bytes(row.error_pkl) if row.error_pkl is not None else None,
+                )
+                if not client.send_obj(tup):
+                    # fail the task so Spark retries it — the driver
+                    # dedups replayed indices.
+                    raise RuntimeError(
+                        "result-stream push to driver failed; task will retry"
+                    )
+        finally:
+            client.close()
+
+    def run_action():
+        try:
+            result_df.foreachPartition(push_partition)
+            q.put(("__done__", None))
+        except BaseException as exc:  # noqa: BLE001 — relay to consumer
+            q.put(("__fail__", exc))
+
+    def stream():
+        thread = threading.Thread(target=run_action, daemon=True)
+        seen: set[int] = set()
+        try:
+            if log_server is not None:
+                log_server.__enter__()
+            with res_server:
+                thread.start()
+                while True:
+                    msg = q.get()
+                    if isinstance(msg, tuple) and msg[0] == "__done__":
+                        break
+                    if isinstance(msg, tuple) and msg[0] == "__fail__":
+                        raise msg[1]
+                    row = _ResultRow(msg)
+                    if row.idx in seen:  # task-retry replay
+                        continue
+                    seen.add(row.idx)
+                    yield handle(row)
+        finally:
+            if log_server is not None:
+                log_server.__exit__()
+
+    return stream()
+
+
 def remote_parallel_map(
     function_: Callable,
     inputs: Iterable[Any],
@@ -395,20 +510,7 @@ def remote_parallel_map(
         return pickle.loads(bytes(row.payload))
 
     if generator:
-
-        def stream():
-            # toLocalIterator: partition-ordered streaming (divergence
-            # from the reference's completion order — SURVEY.md §7.3.2).
-            try:
-                if log_server is not None:
-                    log_server.__enter__()
-                for row in result_df.toLocalIterator(prefetchPartitions=True):
-                    yield handle(row)
-            finally:
-                if log_server is not None:
-                    log_server.__exit__()
-
-        return stream()
+        return _stream_results(spark, result_df, handle, log_server)
 
     def collect_all():
         import contextlib as _ctx

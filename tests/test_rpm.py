@@ -197,3 +197,22 @@ def test_live_log_streaming_mid_job(spark):
         assert text == f"msg-{inputs[i]}\n"
     earliest = min(t for _, _, t in got)
     assert t_done - earliest > 2.0, "no stdout arrived before job completion"
+
+
+def test_generator_completion_order(spark):
+    """generator=True must yield in COMPLETION order (reference
+    parity): input 0 sleeps 3s — under the old partition-ordered
+    iterator it would be yielded first; completion order yields a fast
+    input first."""
+    import time
+
+    def fn(x):
+        if x == 0:
+            time.sleep(3)
+        return x
+
+    gen = remote_parallel_map(fn, range(10), spark=spark, generator=True)
+    first = next(gen)
+    assert first != 0, "slowest input yielded first — not completion order"
+    rest = list(gen)
+    assert sorted([first, *rest]) == list(range(10))
