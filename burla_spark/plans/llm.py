@@ -145,6 +145,55 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over DETERMINISTIC edges (the exact n-gram
+    Jaccard pairs) so the transitive-closure operator itself is
+    oracle-checked: DuckDB recomputes the same closure with a recursive
+    CTE and both engines must agree on every (node, component) row.
+    Complements `dedup_components` (same operator over MinHash edges,
+    rows-only because the edges are hash-dependent)."""
+    edges = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    return dd.connected_components(edges).orderBy("node")
+
+
+DEDUP_COMPONENTS_EXACT_SQL = r"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, source,
+    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 2
+         THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+         ELSE list_distinct(list_transform(
+                generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 1),
+                i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                     regexp_split_to_array(trim(text), '\s+')[i + 1]))
+    END AS grams
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b
+    ON a.source = b.source
+   AND len(a.grams) // 8 = len(b.grams) // 8
+   AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (CAST(len(a.grams) + len(b.grams) AS DOUBLE) - len(list_intersect(a.grams, b.grams))) >= 0.4
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+)
+SELECT a AS node, LEAST(a, MIN(b)) AS component
+FROM reach
+GROUP BY a
+ORDER BY node
+"""
+
+
 def simhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dd.simhash_collision_groups(d, "doc_id", "text").withColumn(
@@ -766,6 +815,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "dedup_components", dedup_components, None, ("dedup", "graph"),
         doc="Transitive dedup-cluster resolution via min-label propagation.",
+    ),
+    QuerySpec(
+        "dedup_components_exact",
+        dedup_components_exact,
+        DEDUP_COMPONENTS_EXACT_SQL,
+        ("dedup", "graph"),
+        doc="Connected components over exact jaccard edges — closure oracle-checked vs recursive CTE.",
     ),
     QuerySpec(
         "fuzzy_name_pairs",

@@ -263,6 +263,45 @@ def _make_udf(function_pkl: bytes, capture_stdout: bool, log_addr: tuple[str, in
     return run
 
 
+def _ram_parallelism_cap(spark: SparkSession, func_ram) -> int:
+    """RAM half of the reference's packing rule (catalog.py:94-101):
+    how many func_ram-sized tasks fit in executor memory. 'dynamic'
+    means 4 GB (the reference's default); int means GB; strings accept
+    '8', '8G', '8GB', '512M'. Unparseable values fall back to no cap —
+    sizing must never fail a job."""
+    try:
+        if isinstance(func_ram, str):
+            s = func_ram.strip().upper()
+            if s == "DYNAMIC":
+                gb = 4.0
+            elif s.endswith("GB") or s.endswith("G"):
+                gb = float(s.rstrip("GB"))
+            elif s.endswith("MB") or s.endswith("M"):
+                gb = float(s.rstrip("MB")) / 1024
+            else:
+                gb = float(s)
+        else:
+            gb = float(func_ram)
+        if gb <= 0:
+            return 1 << 30
+        mem = (
+            spark.conf.get("spark.executor.memory", None)
+            or spark.conf.get("spark.driver.memory", None)
+            or "1g"
+        ).strip().upper()
+        if mem.endswith("G"):
+            mem_gb = float(mem[:-1])
+        elif mem.endswith("M"):
+            mem_gb = float(mem[:-1]) / 1024
+        elif mem.endswith("K"):
+            mem_gb = float(mem[:-1]) / (1024 * 1024)
+        else:
+            mem_gb = float(mem) / (1024**3)  # raw bytes
+        return max(1, int(mem_gb // gb))
+    except Exception:  # noqa: BLE001 — sizing is best-effort
+        return 1 << 30
+
+
 class _ResultRow:
     """Attribute-access adapter for result tuples pushed through the
     completion-order channel (same fields as RESULT_SCHEMA rows)."""
@@ -402,9 +441,13 @@ def remote_parallel_map(
     Spark mapping:
     * func_cpu — width divisor: concurrent tasks ≈ total_cores/func_cpu
       (per-task CPU pinning is spark.task.cpus at session level).
-    * func_ram — accepted for compatibility; executor memory is a
-      session/cluster setting; the reference's dynamic repacking (A16)
-      has no Spark analogue (SURVEY.md §7.3.3).
+    * func_ram — RAM-aware parallelism cap, the static half of the
+      reference's packing rule (catalog.py:94-101:
+      ``min(cpus // func_cpu, ram_gb // func_ram)``): concurrent tasks
+      are additionally capped at executor_memory_gb // func_ram_gb
+      ('dynamic' = 4 GB like the reference). MID-JOB repacking (A16)
+      remains a documented divergence (SURVEY.md §7.3.3) — Spark cannot
+      resize a running stage.
     * func_gpu — stage-level ResourceProfiles on a GPU cluster; raises
       here (no GPUs in this environment).
     * image / grow — container image and autoscaling are cluster-level
@@ -461,7 +504,9 @@ def remote_parallel_map(
                 )
             rows.append((i, blob))
 
-    default_par = max(1, spark.sparkContext.defaultParallelism // max(func_cpu, 1))
+    cpu_cap = spark.sparkContext.defaultParallelism // max(func_cpu, 1)
+    ram_cap = _ram_parallelism_cap(spark, func_ram)
+    default_par = max(1, min(cpu_cap, ram_cap))
     n_parts = min(len(rows), max_parallelism or default_par * 2)
 
     # One delivery sink for BOTH channels: the live TCP push (arrives

@@ -216,3 +216,22 @@ def test_generator_completion_order(spark):
     assert first != 0, "slowest input yielded first — not completion order"
     rest = list(gen)
     assert sorted([first, *rest]) == list(range(10))
+
+
+def test_func_ram_caps_parallelism(spark):
+    """func_ram applies the reference's static packing rule
+    (min(cpus//func_cpu, ram_gb//func_ram)): a huge per-task RAM ask
+    must shrink the input partitioning to the RAM cap, and 'dynamic'
+    (4 GB) must still run fine."""
+    from burla_spark.rpm import _ram_parallelism_cap
+
+    mem = (spark.conf.get("spark.driver.memory", None) or "1g").upper()
+    assert _ram_parallelism_cap(spark, "dynamic") >= 1
+    # per-task ask = all of executor memory → cap 1
+    assert _ram_parallelism_cap(spark, mem.rstrip("GMK")
+                                + ("G" if mem.endswith("G") else "M")) >= 1
+    big = _ram_parallelism_cap(spark, "100000G")
+    assert big == 1
+    assert sorted(
+        remote_parallel_map(lambda x: x + 1, range(6), func_ram="100000G", spark=spark)
+    ) == list(range(1, 7))
