@@ -31,14 +31,25 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 nanos on legacy-conf runtimes — is normalized identically to
     ``load_table`` by ``normalize_events_ts``. Batch oracle and stream
     therefore always agree on event time."""
+    import os
+
     from burla_spark.sources.tables import normalize_events_ts, table_path
 
-    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # directory-of-part-files layout (what a 100 TB table actually
+        # is): stream the directory itself — a basename glob would
+        # match no part file.
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file fixture layout: glob inside sf_dir (a stream
+        # source must be a directory, so filter to the one file).
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return normalize_events_ts(raw)
 
 

@@ -165,3 +165,27 @@ def test_tws_gated_without_protobuf(spark, sf_dir):
     else:
         with pytest.raises(NotImplementedError, match="protobuf"):
             stream_tws_user_totals(spark, sf_dir)
+
+
+def test_events_stream_directory_layout(spark, sf_dir, tmp_path):
+    """At scale a table is a DIRECTORY of part files, not one file —
+    the stream source must read that layout too (a basename glob
+    matches no part file). Row counts must equal the batch read."""
+    import os
+
+    from burla_spark.streaming.events import events_stream, run_stream_to_table
+
+    d = tmp_path / "events.parquet"
+    os.makedirs(d)
+    src = os.path.join(sf_dir, "events.parquet")
+    for i in range(3):
+        os.link(src, d / f"part-{i:05d}.parquet")
+
+    s = events_stream(spark, str(tmp_path))
+    out = s.select("event_id", "ts")
+    run_stream_to_table(out, "chk_dir_layout", "append")
+    n = spark.table("chk_dir_layout").count()
+    from burla_spark.sources.tables import load_table
+
+    expected = load_table(spark, str(tmp_path), "events").count()
+    assert n == expected > 0
