@@ -27,7 +27,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine similarity; matches DuckDB list_cosine_similarity semantics."""
+    """Cosine similarity; matches DuckDB list_cosine_similarity on
+    non-degenerate vectors. A zero vector yields NULL (ranks last under
+    DESC ordering) — under Spark 4's default ANSI mode a plain divide
+    would ABORT the whole query with DIVIDE_BY_ZERO the first time a
+    zero embedding appears, and real corpora contain them."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
-    return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+    return F.try_divide(dot(ad, bd), l2_norm(ad) * l2_norm(bd))

@@ -30,7 +30,22 @@ def kmeans_assign(
         F.col(id_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    # degrade gracefully on small/filtered inputs: MLlib aborts when
+    # the data has fewer rows than k. One metadata-cheap count guards
+    # it; n == 0 returns an empty, correctly-typed assignment table.
+    n = feats.count()
+    if n == 0:
+        id_type = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, cluster long"
+        )
+    try:
+        model = KMeans(k=min(k, n), seed=seed, maxIter=max_iter).fit(feats)
+    except Exception:  # noqa: BLE001 — degenerate input, not config
+        # MLlib also aborts when DISTINCT points < k; only this
+        # degraded path pays for the distinct count.
+        k2 = max(1, min(k, feats.select("features").distinct().count()))
+        model = KMeans(k=k2, seed=seed, maxIter=max_iter).fit(feats)
     return model.transform(feats).select(
         F.col(id_col), F.col("prediction").cast("long").alias("cluster")
     )

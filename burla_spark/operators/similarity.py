@@ -178,12 +178,16 @@ def lsh_bucketed_topk(
 
 
 def _normed(vec):
+    # zero vectors map to zeros, not NaNs: a NaN feature row aborts the
+    # whole MLlib fit (ArithmeticException), and real corpora do
+    # contain zero embeddings (failed upstream encoders).
     norm = F.sqrt(
         F.aggregate(
             vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
     )
-    return F.transform(vec, lambda x: x.cast("double") / norm)
+    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    return F.transform(vec, lambda x: x.cast("double") / safe)
 
 
 class IvfIndex:
@@ -230,15 +234,34 @@ def build_ivf_index(
         array_to_vector(_normed(F.col(corpus_vec))).alias("features"),
     )
     n = corpus.count()
+    if n == 0:
+        # empty corpus → empty index (queries then return zero rows);
+        # MLlib aborts on a zero-row fit.
+        empty = c.select("neighbor_id", "__cvec").withColumn(
+            "__cell", F.lit(0).cast("int")
+        )
+        return IvfIndex([], empty)
+    # MLlib also aborts when rows < k — clamp the cell count.
+    n_clusters = max(1, min(n_clusters, n))
     feats = c.select("features")
     if n > fit_sample_rows:
-        feats = feats.sample(fraction=fit_sample_rows / n, seed=seed)
+        # floor keeps the sample comfortably above k even for large k
+        frac = max(fit_sample_rows, n_clusters * 10) / n
+        if frac < 1.0:
+            feats = feats.sample(fraction=frac, seed=seed)
     # cache the features for Lloyd's iterations (MLlib re-scans the
     # input once per iteration; 8 iterations is plenty for routing-
     # quality cells — exactness comes from the re-rank, not the fit)
     feats = feats.cache()
     try:
-        model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(feats)
+        try:
+            model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(feats)
+        except Exception:  # noqa: BLE001 — degenerate input, not config
+            # MLlib aborts when DISTINCT points < k (duplicates collapse
+            # during init). Only the failure path pays for the distinct
+            # count.
+            k2 = max(1, min(n_clusters, feats.distinct().count()))
+            model = KMeans(k=k2, seed=seed, maxIter=max_iter).fit(feats)
     finally:
         feats.unpersist()
     inverted = _spill_to_temp_parquet(

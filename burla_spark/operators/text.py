@@ -70,13 +70,16 @@ def quality_columns(text: Column) -> dict[str, Column]:
     n_stop = F.expr(
         f"size(filter(split(trim(text), '\\\\s+'), t -> lower(t) IN ({stop_list})))"
     ).cast("double")
+    # try_divide: under Spark 4's default ANSI mode a plain ratio ABORTS
+    # the whole query on the first empty-text row (DIVIDE_BY_ZERO);
+    # empty docs get NULL ratios instead and filter out naturally.
     return {
         "n_chars_d": n_chars,
         "n_tokens": n_tokens.cast("long"),
-        "punct_ratio": n_punct / n_chars,
-        "digit_ratio": n_digits / n_chars,
-        "stopword_ratio": n_stop / n_tokens,
-        "avg_token_len": (n_chars - (n_tokens - 1)) / n_tokens,
+        "punct_ratio": F.try_divide(n_punct, n_chars),
+        "digit_ratio": F.try_divide(n_digits, n_chars),
+        "stopword_ratio": F.try_divide(n_stop, n_tokens),
+        "avg_token_len": F.try_divide(n_chars - (n_tokens - 1), n_tokens),
     }
 
 

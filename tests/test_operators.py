@@ -311,3 +311,63 @@ def test_dedup_components_on_minhash_pairs(spark, sf_dir):
     for g in groups:
         assert g.keep_id == min(g.member_ids)
         assert g.n_members == len(g.member_ids) >= 2
+
+
+def test_kmeans_and_ivf_degrade_on_small_inputs(spark):
+    """MLlib aborts when rows < k; the operators must clamp instead —
+    filtered/partitioned inputs with few (or zero) rows are routine."""
+    from burla_spark.operators.clustering import cluster_sizes, kmeans_assign
+    from burla_spark.operators.similarity import build_ivf_index, ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kmeans_assign(empty, "vec_id", "embedding", k=10).count() == 0
+
+    three = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(3)], "vec_id long, embedding array<float>"
+    )
+    sizes = cluster_sizes(kmeans_assign(three, "vec_id", "embedding", k=10)).collect()
+    assert sum(r.n_members for r in sizes) == 3
+
+    idx_empty = build_ivf_index(empty, "vec_id", "embedding", n_clusters=16)
+    out = ivf_topk(three, None, "vec_id", "vec_id", "embedding", "embedding",
+                   k=5, index=idx_empty)
+    assert out.count() == 0
+
+    idx3 = build_ivf_index(three, "vec_id", "embedding", n_clusters=16)
+    out3 = ivf_topk(three, None, "vec_id", "vec_id", "embedding", "embedding",
+                    k=5, n_probe=4, index=idx3)
+    assert out3.count() > 0
+
+
+def test_quality_and_cosine_survive_degenerate_rows(spark):
+    """Empty text and zero embeddings are routine in real corpora; under
+    Spark 4's default ANSI mode a plain division would abort the whole
+    query (DIVIDE_BY_ZERO) on the first such row."""
+    from burla_spark.functions.vectors import cosine_similarity
+    from burla_spark.operators.text import quality_columns, quality_score
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "a normal sentence with the usual words")],
+        "doc_id long, text string",
+    )
+    rows = docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+        *[v.alias(k) for k, v in quality_columns(F.col("text")).items()],
+    ).orderBy("doc_id").collect()
+    assert rows[0].punct_ratio is None  # empty text → NULL ratio, no crash
+    assert rows[1].q is not None
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    sims = (
+        a.crossJoin(b)
+        .select(cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("s"))
+        .collect()
+    )
+    assert any(r.s is None for r in sims)  # zero vector → NULL, no crash
+    assert any(r.s is not None for r in sims)
