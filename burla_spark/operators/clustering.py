@@ -26,7 +26,8 @@ def kmeans_assign(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = df.select(
+    # NULL vectors cannot be assigned (array_to_vector aborts on null)
+    feats = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )

@@ -212,6 +212,9 @@ def minhash_lsh_pairs(
     # Jaccard verification all work on the long arrays (collision odds
     # ~2^-64 per pair — immaterial for dedup).
     fold = minhash_signature_udf(num_hashes)
+    # NULL text carries no content to dedup and would crash the numpy
+    # signature fold (len(None)); exclude it up front.
+    df = df.filter(F.col(text_col).isNotNull())
     # CPU-heavy per-doc stage: make sure it fans out across cores even
     # when the source is a single small file (a TB-scale scan arrives
     # pre-partitioned; a fixture file does not).
@@ -368,6 +371,8 @@ def simhash_collision_groups(df: DataFrame, id_col: str, text_col: str) -> DataF
     from burla_spark.operators.text import tokens
 
     fold = _simhash_fold_udf()
+    # NULL text → no signature (and len(None) crashes the numpy fold)
+    df = df.filter(F.col(text_col).isNotNull())
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     df = df.repartition(n_parts, F.col(id_col))
     sigs = df.select(

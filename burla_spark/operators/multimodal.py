@@ -103,12 +103,13 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # init-once-per-partition hook (model load would go here).
         for batch in batches:
-            payloads = batch[payload_col]
-            dims = [_decode_image(bytes(p)) for p in payloads]
+            # NULL payloads decode as empty blobs — never crash a batch
+            payloads = [b"" if p is None else bytes(p) for p in batch[payload_col]]
+            dims = [_decode_image(p) for p in payloads]
             batch = batch.copy()
             batch["width"] = [d[0] for d in dims]
             batch["height"] = [d[1] for d in dims]
-            batch["features"] = [_byte_histogram(bytes(p)) for p in payloads]
+            batch["features"] = [_byte_histogram(p) for p in payloads]
             yield batch
 
     return df.mapInPandas(run, out_schema)
@@ -150,7 +151,7 @@ def decode_and_resize(
         for batch in batches:
             batch = batch.copy()
             batch["resized"] = [
-                _resize_payload(bytes(p), width, height)
+                _resize_payload(b"" if p is None else bytes(p), width, height)
                 for p in batch[payload_col]
             ]
             batch["out_w"] = width
@@ -176,7 +177,8 @@ def sample_frames(
             rows = {c: [] for c in id_cols}
             frame_no, frames = [], []
             for _, row in batch.iterrows():
-                payload = bytes(row[payload_col])
+                raw = row[payload_col]
+                payload = b"" if raw is None else bytes(raw)
                 n = max(1, len(payload) // every_n_bytes)
                 for i in range(n):
                     for c in id_cols:

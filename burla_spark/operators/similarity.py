@@ -119,9 +119,10 @@ def _lsh_bucket_udf(num_planes: int, num_tables: int, dim: int):
 
 
 def _with_table_buckets(df: DataFrame, vec_col: str, num_planes: int, num_tables: int, dim: int) -> DataFrame:
-    """Explode a vector column into (table, bucket) candidate keys."""
+    """Explode a vector column into (table, bucket) candidate keys.
+    NULL vectors have no buckets (and would crash the numpy matmul)."""
     udf = _lsh_bucket_udf(num_planes, num_tables, dim)
-    return df.select(
+    return df.filter(F.col(vec_col).isNotNull()).select(
         "*", F.posexplode(udf(F.col(vec_col))).alias("__table", "__bucket")
     )
 
@@ -228,12 +229,12 @@ def build_ivf_index(
 
     from burla_spark.operators.dedup import _spill_to_temp_parquet
 
-    c = corpus.select(
+    c = corpus.filter(F.col(corpus_vec).isNotNull()).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cvec"),
         array_to_vector(_normed(F.col(corpus_vec))).alias("features"),
     )
-    n = corpus.count()
+    n = c.count()
     if n == 0:
         # empty corpus → empty index (queries then return zero rows);
         # MLlib aborts on a zero-row fit.

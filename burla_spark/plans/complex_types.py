@@ -65,8 +65,14 @@ MAP_FUNCTIONS_SQL = MAP_FUNCTIONS_SQL.replace("'|'", f"'{US}'")
 
 def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transform / filter / exists / forall / aggregate over token
-    arrays — the lambda-expression surface, all JVM codegen."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    arrays — the lambda-expression surface, all JVM codegen.
+
+    NULL text is excluded on BOTH sides: Spark and DuckDB disagree on
+    NULL-array lambda semantics (NULL vs '' propagation), so the
+    convention is explicit rather than engine-accidental."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & F.col("text").isNotNull()
+    )
     toks = tokens(F.col("text"))
     return d.select(
         "doc_id",
@@ -94,7 +100,7 @@ def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIGHER_ORDER_SQL = r"""
 WITH d AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-  FROM documents WHERE doc_id < 200
+  FROM documents WHERE doc_id < 200 AND text IS NOT NULL
 )
 SELECT doc_id,
   COALESCE(array_to_string(list_transform(toks, t -> CAST(LENGTH(t) AS VARCHAR)), '|'), '') AS token_lengths,

@@ -223,8 +223,11 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # \x1f separator: tokens are free text, so a printable separator
     # could let distinct arrays serialize to equal strings (see
-    # complex_types.US).
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    # complex_types.US). NULL text excluded on both sides — the engines
+    # disagree on NULL-array function semantics.
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & F.col("text").isNotNull()
+    )
     toks = tokens(F.col("text"))
     return d.select(
         "doc_id",
@@ -242,7 +245,7 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 ARRAY_FUNCTIONS_SQL = r"""
 WITH d AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-  FROM documents WHERE doc_id < 100
+  FROM documents WHERE doc_id < 100 AND text IS NOT NULL
 )
 SELECT doc_id,
   array_to_string(toks[1:3], '|') AS first3,

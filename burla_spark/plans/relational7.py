@@ -280,7 +280,11 @@ ORDER BY user_id, ts, event_id
 def array_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from burla_spark.operators.text import tokens
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    # NULL text excluded on both sides: Spark array_union(NULL, x) is
+    # NULL while DuckDB list_concat(NULL, x) is x — pick a convention.
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 50) & F.col("text").isNotNull()
+    )
     probe = F.array(*[F.lit(w) for w in ("data", "spark", "big", "fast")])
     vocab = F.array_sort(F.array_distinct(tokens(F.col("text"))))
     return d.select(
@@ -299,7 +303,7 @@ ARRAY_SET_OPS_SQL = r"""
 WITH d AS (
   SELECT doc_id,
          list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS vocab
-  FROM documents WHERE doc_id < 50
+  FROM documents WHERE doc_id < 50 AND text IS NOT NULL
 )
 SELECT doc_id,
        array_to_string(list_sort(list_intersect(vocab, ['data','spark','big','fast'])), '|') AS common_words,

@@ -156,6 +156,8 @@ def python_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="token: string, pos: long")
     class Tokenize:
         def eval(self, text: str):  # noqa: D401
+            if text is None:  # NULL docs produce no tokens, not a crash
+                return
             for pos, token in enumerate(text.split(), start=1):
                 yield token, pos
 
@@ -212,7 +214,8 @@ def process_aggregate_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
                 "n_purchases": [int(pdf["is_purchase"].sum())],
-                "total_value": [math.fsum(pdf["value"])],
+                # dropna: SQL SUM ignores NULLs; fsum would propagate NaN
+                "total_value": [math.fsum(pdf["value"].dropna())],
             }
         )
 

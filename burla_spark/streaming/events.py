@@ -144,7 +144,9 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         values = []
         for pdf in pdfs:
             count += len(pdf)
-            values.extend(pdf["value"].tolist())
+            # dropna: SQL SUM ignores NULLs; a NaN would poison the
+            # running total (and diverge from the batch oracle)
+            values.extend(pdf["value"].dropna().tolist())
         total = math.fsum([total, *values])
         state.update((count, total))
         yield pd.DataFrame(

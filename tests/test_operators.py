@@ -371,3 +371,39 @@ def test_quality_and_cosine_survive_degenerate_rows(spark):
     )
     assert any(r.s is None for r in sims)  # zero vector → NULL, no crash
     assert any(r.s is not None for r in sims)
+
+
+def test_operators_ignore_null_inputs(spark):
+    """NULL text/payload/embedding rows are routine in real corpora:
+    every operator must exclude them (SQL semantics), not crash its
+    numpy/pandas worker on len(None)/bytes(None)."""
+    from burla_spark.operators.clustering import kmeans_assign
+    from burla_spark.operators.similarity import lsh_bucketed_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, None),
+         (3, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 3)}
+    groups = dd.simhash_collision_groups(docs, "doc_id", "text").collect()
+    assert [g.member_ids for g in groups] == [[1, 3]]
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, None), (3, [1.0, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    topk = lsh_bucketed_topk(vecs, vecs, "vec_id", "vec_id", "embedding",
+                             "embedding", k=2, dim=4).collect()
+    assert all(r.neighbor_id != 2 and r.query_id != 2 for r in topk)
+    assigned = kmeans_assign(vecs, "vec_id", "embedding", k=2).collect()
+    assert sorted(r.vec_id for r in assigned) == [1, 3]
+
+    blobs = spark.createDataFrame(
+        [(1, b"\x07\x03payload"), (2, None)], "blob_id long, payload binary"
+    )
+    feats = mm.extract_features(blobs).collect()
+    assert len(feats) == 2  # null payload decodes as empty, no crash
+    assert mm.decode_and_resize(blobs, 4, 4).count() == 2
+    assert mm.sample_frames(blobs, 4).count() >= 2
