@@ -506,14 +506,18 @@ FROM documents
 # ---------------------------------------------------------------------------
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column pipeline through the driver gate: documents'
-    text bytes stand in for media payloads (the container has no image
-    fixtures); metadata attach + mapInPandas feature extraction are the
-    real production plumbing (operators/multimodal.py). Rows-only:
-    feature values come from the stubbed decoder."""
+    text bytes stand in for media payloads; metadata attach +
+    mapInPandas feature extraction are the real production plumbing
+    (operators/multimodal.py). ORACLE-CHECKED: the metadata (n_bytes,
+    sha256) and the deterministic fallback featureizer (header-byte
+    dims, byte-histogram bucket 0) are all byte-arithmetic DuckDB can
+    replay — fixture text is pure ASCII, so char ops equal byte ops."""
     from burla_spark.operators import multimodal as mm
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     blobs = mm.attach_blob_metadata(d, "payload", "text/plain")
     feats = mm.extract_features(blobs)
@@ -525,6 +529,20 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round(F.element_at("features", 1), 6).alias("f0"),
     )
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  sha256(text) AS sha,
+  CAST(16 + (CASE WHEN length(text) >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END) % 64 AS BIGINT) AS width,
+  CAST(16 + (CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END) % 64 AS BIGINT) AS height,
+  ROUND(CAST(len(list_filter(generate_series(1, length(text)),
+                             i -> ascii(substr(text, i, 1)) % 16 = 0)) AS DOUBLE)
+        / greatest(length(text), 1), 6) AS f0
+FROM documents
+WHERE text IS NOT NULL
+"""
 
 
 def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -836,7 +854,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL, ("text",)),
     QuerySpec("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINT_SQL, ("text",)),
     QuerySpec("kmeans_cluster_sizes", kmeans_cluster_sizes, None, ("clustering",)),
-    QuerySpec("multimodal_feature_extract", multimodal_feature_extract, None, ("multimodal",)),
+    QuerySpec(
+        "multimodal_feature_extract",
+        multimodal_feature_extract,
+        MULTIMODAL_FEATURES_SQL,
+        ("multimodal",),
+    ),
     QuerySpec(
         "multimodal_decode_resize",
         multimodal_decode_resize,
