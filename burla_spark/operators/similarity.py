@@ -120,7 +120,15 @@ def _lsh_bucket_udf(num_planes: int, num_tables: int, dim: int):
 
 def _with_table_buckets(df: DataFrame, vec_col: str, num_planes: int, num_tables: int, dim: int) -> DataFrame:
     """Explode a vector column into (table, bucket) candidate keys.
-    NULL vectors have no buckets (and would crash the numpy matmul)."""
+    NULL vectors have no buckets (and would crash the numpy matmul).
+
+    NOTE: first-collision emission (admit a pair only from its first
+    colliding table, as interval_overlap_join does per-bucket) was
+    A/B-measured HERE and LOST (~60% slower): the predicate needs
+    per-row array slice/zip allocations over the full join fanout,
+    while dropDuplicates already partial-aggregates map-side so the
+    dedup shuffle is small. The trick only pays when the first-bucket
+    predicate is scalar arithmetic."""
     udf = _lsh_bucket_udf(num_planes, num_tables, dim)
     return df.filter(F.col(vec_col).isNotNull()).select(
         "*", F.posexplode(udf(F.col(vec_col))).alias("__table", "__bucket")
