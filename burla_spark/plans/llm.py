@@ -120,11 +120,31 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 # dedup — MinHash LSH & SimHash (hash-based; rows-only driver check,
 # recall property-tested in tests/test_dedup.py)
 # ---------------------------------------------------------------------------
+# Session-lifetime MinHash pair cache: minhash_lsh_pairs materializes
+# its verified pairs to a session-temp table, so the returned DataFrame
+# is just a scan of it — cache per corpus so dedup_components reuses
+# the pairs table instead of re-running signatures + banding + verify
+# (the production shape: the pairs table is written ONCE, every
+# downstream consumer reads it). Keyed by sf_dir — fixture corpora are
+# immutable for the session.
+_MINHASH_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _MINHASH_PAIRS_CACHE.get(sf_dir)
+    # a cached DataFrame is only valid in the session that built it
+    if df is None or df.sparkSession is not spark:
+        d = load_table(spark, sf_dir, "documents")
+        df = dd.minhash_lsh_pairs(
+            d, "doc_id", "text", num_hashes=32, bands=8, shingle_size=5,
+            threshold=0.5,
+        )
+        _MINHASH_PAIRS_CACHE[sf_dir] = df
+    return df
+
+
 def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=32, bands=8, shingle_size=5, threshold=0.5
-    )
+    return _minhash_pairs(spark, sf_dir)
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,10 +153,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster even when A~B, B~C but A~C never became a candidate pair.
     Rows-only check (edges come from xxhash64 MinHash); equivalence to
     union-find is property-tested in tests/test_operators.py."""
-    d = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=32, bands=8, shingle_size=5, threshold=0.5
-    )
+    pairs = _minhash_pairs(spark, sf_dir)
     return dd.dedup_component_groups(pairs).withColumn(
         # stringify at the query edge: the driver canonicalizer sorts
         # columns and cannot hash array cells (operator API keeps arrays)
