@@ -18,8 +18,12 @@ from burla_spark.sources.tables import load_table
 
 
 def _ids_to_str(col: str):
-    """array<long> → '|'-joined string (atomic output for the driver)."""
-    return F.array_join(F.transform(F.col(col), lambda x: x.cast("string")), "|")
+    """array<long> → unit-separator-joined string (atomic output for the
+    driver).  Longs can't contain the separator, so distinct arrays can
+    never stringify equal (same convention as plans/complex_types.py)."""
+    return F.array_join(
+        F.transform(F.col(col), lambda x: x.cast("string")), "\x1f"
+    )
 
 
 # ---------------------------------------------------------------------------

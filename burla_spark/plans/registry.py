@@ -61,9 +61,49 @@ def all_specs() -> list[QuerySpec]:
         for layer in layers:
             if i < len(layer):
                 specs.append(layer[i])
+    # Stable-partition: front-load the specs that most need an external
+    # driver verdict (rounds 1-3 sampled 81/130 — the driver takes the
+    # first 50 each round): those never sampled, plus the two whose round-3
+    # rows need re-greening (pivot_status_matrix oracle cast fix,
+    # q9_profit_by_nation non-vacuous filter fix).  The interleave above is
+    # preserved inside each partition, so the sampled prefix still spans
+    # every layer.
+    specs = [s for s in specs if s.name in _DRIVER_PRIORITY] + [
+        s for s in specs if s.name not in _DRIVER_PRIORITY
+    ]
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
     return specs
+
+
+# Names with no row in CORRECTNESS_r01-r03 (driver samples 50/round), plus
+# the two round-3 rows invalidated by fixes this round.
+# corpus_curation_pipeline is deliberately deferred to slot 51: it is a
+# composite of ops that are all individually in the window, and the two
+# re-green rows outrank it for the 50-slot budget.
+_DRIVER_PRIORITY = frozenset(
+    {
+        "pivot_status_matrix", "q9_profit_by_nation",
+        "regexp_groups", "q20_heavy_shippers", "array_set_operations",
+        "null_handling", "posexplode_token_positions", "variant_json_agg",
+        "events_asof_join", "ngram_jaccard_pairs", "class_weights",
+        "stream_key_dedup", "applyinpandas_grouped", "mapinarrow_projection",
+        "q21_sole_failing_supplier", "grouping_id_flags", "scd2_merge",
+        "stratified_sample_stats", "events_sessionize", "minhash_dedup_pairs",
+        "group_sample_rows", "stream_sliding_counts", "mapinpandas_iterator",
+        "applyinarrow_grouped", "hash_encoding_functions",
+        "events_resample_gapfill", "simhash_dedup_groups",
+        "stream_watermark_dedup", "python_udtf_tokens", "join_null_safe",
+        "embedding_cosine_topk", "stream_stateful_user_stats",
+        "process_aggregate_predict", "agg_bitwise_stringagg",
+        "embedding_lsh_topk", "try_arithmetic_nullsafe", "embedding_ivf_topk",
+        "dedup_components", "dedup_components_exact", "fuzzy_name_pairs",
+        "text_token_stats", "text_quality_scores", "lang_id_heuristic",
+        "doc_fingerprints", "kmeans_cluster_sizes",
+        "multimodal_feature_extract", "multimodal_decode_resize",
+        "multimodal_blob_metadata", "token_pieces_stats", "embedding_neardup",
+    }
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -494,7 +494,7 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set/list as sorted arrays — sorted so the result is
     deterministic under any partitioning (collect order never is), then
-    serialized to a '|'-joined string at the query edge so the output
+    serialized to a unit-separator-joined string at the query edge so the output
     schema stays atomic (driver canonicalizer sorts columns; arrays are
     unhashable in pandas)."""
     n = load_table(spark, sf_dir, "nation")
@@ -503,7 +503,7 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.array_join(F.array_sort(F.collect_set("n_name")), "|").alias("nations"),
+            F.array_join(F.array_sort(F.collect_set("n_name")), "\x1f").alias("nations"),
             F.count("*").cast("long").alias("n_nations"),
         )
         .orderBy("r_name")
@@ -512,7 +512,7 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_COLLECT_SQL = """
 SELECT r_name,
-       array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nations,
+       array_to_string(list_sort(list(DISTINCT n_name)), '\x1f') AS nations,
        COUNT(*) AS n_nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
@@ -704,7 +704,7 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.levenshtein("p_brand", F.lit("Brand#1")).cast("long").alias("brand_dist"),
         F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
-        F.array_join(F.split(F.col("p_name"), " "), "|").alias("name_tokens"),
+        F.array_join(F.split(F.col("p_name"), " "), "\x1f").alias("name_tokens"),
         F.trim(F.col("p_name")).alias("name_trim"),
         F.lpad(F.col("p_brand"), 12, "0").alias("brand_padded"),
         F.col("p_name").startswith("a").alias("starts_a"),
@@ -722,7 +722,7 @@ SELECT
   CONCAT_WS('|', p_brand, p_type) AS brand_type,
   levenshtein(p_brand, 'Brand#1') AS brand_dist,
   regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
-  array_to_string(string_split(p_name, ' '), '|') AS name_tokens,
+  array_to_string(string_split(p_name, ' '), '\x1f') AS name_tokens,
   TRIM(p_name) AS name_trim,
   LPAD(p_brand, 12, '0') AS brand_padded,
   starts_with(p_name, 'a') AS starts_a,

@@ -85,7 +85,7 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("key"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
     cost = (
         F.col("p_retailprice").cast(D12)
         * F.col("l_quantity").cast(D12)
@@ -116,7 +116,7 @@ JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
-WHERE contains(p_name, 'key')
+WHERE contains(p_name, 'gear')
 GROUP BY n_name, YEAR(o_orderdate)
 ORDER BY nation, order_year DESC
 """

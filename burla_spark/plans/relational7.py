@@ -289,7 +289,7 @@ def array_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = F.array_sort(F.array_distinct(tokens(F.col("text"))))
     return d.select(
         "doc_id",
-        F.array_join(F.array_sort(F.array_intersect(vocab, probe)), "|").alias(
+        F.array_join(F.array_sort(F.array_intersect(vocab, probe)), "\x1f").alias(
             "common_words"
         ),
         F.size(F.array_sort(F.array_union(vocab, probe)))
@@ -306,7 +306,7 @@ WITH d AS (
   FROM documents WHERE doc_id < 50 AND text IS NOT NULL
 )
 SELECT doc_id,
-       array_to_string(list_sort(list_intersect(vocab, ['data','spark','big','fast'])), '|') AS common_words,
+       array_to_string(list_sort(list_intersect(vocab, ['data','spark','big','fast'])), chr(31)) AS common_words,
        len(list_distinct(list_concat(vocab, ['data','spark','big','fast']))) AS n_union,
        len(list_filter(vocab, x -> NOT list_contains(['data','spark','big','fast'], x))) AS n_rest
 FROM d
