@@ -32,16 +32,40 @@ def _spill_to_temp_parquet(df: DataFrame, label: str) -> DataFrame:
     Decouples a result from the (persisted) intermediates that produced
     it, so caches can be unpersisted immediately instead of leaking
     into a long-lived session. Distributed write + read — no driver
-    round-trip, no pinned RDDs. The temp dir is removed at interpreter
-    exit."""
+    round-trip, no pinned RDDs.
+
+    Spill location: executors do the writing, so on a multi-node
+    cluster the directory MUST be on shared storage — a driver-local
+    tempdir would scatter part files across executor-local disks and
+    the read-back would silently drop rows. Resolution order:
+    1. ``spark.burla.spillDir`` (session conf; set this to a bucket /
+       shared-FS path on a real cluster),
+    2. the session's checkpoint dir (already required to be shared),
+    3. a driver-local tempdir — ONLY safe in local mode, so raise
+       rather than corrupt when the master isn't local."""
     import atexit
     import shutil
     import tempfile
+    import uuid
 
-    out_dir = tempfile.mkdtemp(prefix=f"burla_spark_{label}_")
-    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    spark = df.sparkSession
+    base = spark.conf.get("spark.burla.spillDir", None)
+    if not base:
+        base = spark.sparkContext.getCheckpointDir()  # None unless set
+    if base:
+        out_dir = f"{base.rstrip('/')}/burla_spark_{label}_{uuid.uuid4().hex[:12]}"
+    else:
+        master = spark.conf.get("spark.master", "")
+        if not master.startswith("local"):
+            raise RuntimeError(
+                "spill requires shared storage on a cluster: set "
+                "spark.burla.spillDir (or a checkpoint dir) to a path "
+                "all executors can reach"
+            )
+        out_dir = tempfile.mkdtemp(prefix=f"burla_spark_{label}_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     df.write.mode("overwrite").parquet(out_dir)
-    return df.sparkSession.read.parquet(out_dir)
+    return spark.read.parquet(out_dir)
 
 
 # ---------------------------------------------------------------------------

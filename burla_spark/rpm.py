@@ -170,7 +170,11 @@ def _user_module_by_value(cp, function_: Callable):
                 pass
 
 
-def _make_udf(function_pkl: bytes, capture_stdout: bool, log_addr: tuple[str, int] | None = None):
+def _make_udf(
+    function_pkl: bytes,
+    capture_stdout: bool,
+    log_addr: tuple[str, int, bytes] | None = None,
+):
     """Build the mapInPandas worker: unpickle once per task, run each
     input, emit (idx, is_error, payload, stdout, error fields).
 
@@ -265,7 +269,11 @@ def _make_udf(function_pkl: bytes, capture_stdout: bool, log_addr: tuple[str, in
 
 def _ram_parallelism_cap(spark: SparkSession, func_ram) -> int:
     """RAM half of the reference's packing rule (catalog.py:94-101):
-    how many func_ram-sized tasks fit in executor memory. 'dynamic'
+    how many func_ram-sized tasks fit in ONE executor's memory, times
+    the executor count — the reference packs per node
+    (a 10-executor × 8 GB cluster at func_ram=4G runs 20 concurrent
+    tasks, not 2; spark.executor.instances defaults to 1 which also
+    covers local mode). 'dynamic'
     means 4 GB (the reference's default); int means GB; strings accept
     '8', '8G', '8GB', '512M'. Unparseable values fall back to no cap —
     sizing must never fail a job."""
@@ -297,7 +305,11 @@ def _ram_parallelism_cap(spark: SparkSession, func_ram) -> int:
             mem_gb = float(mem[:-1]) / (1024 * 1024)
         else:
             mem_gb = float(mem) / (1024**3)  # raw bytes
-        return max(1, int(mem_gb // gb))
+        try:
+            n_exec = int(spark.conf.get("spark.executor.instances", "1") or 1)
+        except (TypeError, ValueError):
+            n_exec = 1  # local mode / dynamic allocation: one JVM
+        return max(1, int(mem_gb // gb)) * max(1, n_exec)
     except Exception:  # noqa: BLE001 — sizing is best-effort
         return 1 << 30
 
@@ -325,19 +337,26 @@ def _stream_results(spark, result_df, handle, log_server):
     still run, so first-result latency tracks the fastest input, not
     the slowest partition. A failed push fails the task (Spark retries
     it; the driver dedups replayed rows by input index, mirroring the
-    reference's ack/replay exactly-once contract). If the listener
-    cannot even be constructed, falls back to the partition-ordered
-    ``toLocalIterator`` path."""
+    reference's ack/replay exactly-once contract). The action runs
+    under a unique job tag; if the consumer abandons the generator or
+    an error row raises, the finally CANCELS the tag before closing
+    the listener — otherwise every still-running task's push would
+    fail and retry maxFailures times, re-executing user code. If the
+    listener cannot even be constructed, falls back to the
+    partition-ordered ``toLocalIterator`` path."""
     import queue as _queue
     import threading
+    import uuid
 
-    from burla_spark.logs import MessageStreamServer
+    from burla_spark.logs import MessageStreamServer, decode_result_row
 
     try:
         host = spark.conf.get("spark.driver.host", None) or "127.0.0.1"
         q: "_queue.Queue" = _queue.Queue()
         res_server = MessageStreamServer(
-            q.put, host, max_msg=MAX_INPUT_SIZE_BYTES + 10_000_000
+            lambda frame: q.put(decode_result_row(frame)),
+            host,
+            max_msg=MAX_INPUT_SIZE_BYTES + 10_000_000,
         )
     except Exception:  # noqa: BLE001
         res_server = None
@@ -360,7 +379,7 @@ def _stream_results(spark, result_df, handle, log_server):
     max_msg = MAX_INPUT_SIZE_BYTES + 10_000_000
 
     def push_partition(rows):
-        from burla_spark.logs import MessageStreamClient
+        from burla_spark.logs import MessageStreamClient, encode_result_row
 
         client = MessageStreamClient(*addr, max_msg=max_msg)
         try:
@@ -375,7 +394,7 @@ def _stream_results(spark, result_df, handle, log_server):
                     row.error_tb,
                     bytes(row.error_pkl) if row.error_pkl is not None else None,
                 )
-                if not client.send_obj(tup):
+                if not client.send_frame(encode_result_row(tup)):
                     # fail the task so Spark retries it — the driver
                     # dedups replayed indices.
                     raise RuntimeError(
@@ -384,12 +403,22 @@ def _stream_results(spark, result_df, handle, log_server):
         finally:
             client.close()
 
+    tag = f"burla-rpm-stream-{uuid.uuid4().hex[:12]}"
+
     def run_action():
         try:
+            # context-level tag (thread-local, like jobs.submit): lets
+            # the consumer cancel the action at the DAGScheduler.
+            spark.sparkContext.addJobTag(tag)
             result_df.foreachPartition(push_partition)
             q.put(("__done__", None))
         except BaseException as exc:  # noqa: BLE001 — relay to consumer
             q.put(("__fail__", exc))
+        finally:
+            try:
+                spark.sparkContext.removeJobTag(tag)
+            except Exception:  # noqa: BLE001
+                pass
 
     def stream():
         thread = threading.Thread(target=run_action, daemon=True)
@@ -397,20 +426,29 @@ def _stream_results(spark, result_df, handle, log_server):
         try:
             if log_server is not None:
                 log_server.__enter__()
-            with res_server:
-                thread.start()
-                while True:
-                    msg = q.get()
-                    if isinstance(msg, tuple) and msg[0] == "__done__":
-                        break
-                    if isinstance(msg, tuple) and msg[0] == "__fail__":
-                        raise msg[1]
-                    row = _ResultRow(msg)
-                    if row.idx in seen:  # task-retry replay
-                        continue
-                    seen.add(row.idx)
-                    yield handle(row)
+            res_server.__enter__()
+            thread.start()
+            while True:
+                msg = q.get()
+                if msg[0] == "__done__":
+                    break
+                if msg[0] == "__fail__":
+                    raise msg[1]
+                row = _ResultRow(msg)
+                if row.idx in seen:  # task-retry replay
+                    continue
+                seen.add(row.idx)
+                yield handle(row)
         finally:
+            # cancel BEFORE tearing down the listener: abandonment or
+            # an error row must stop the action, not strand tasks whose
+            # pushes now fail into Spark's retry loop.
+            if thread.is_alive():
+                try:
+                    spark.sparkContext.cancelJobsWithTag(tag)
+                except Exception:  # noqa: BLE001
+                    pass
+            res_server.__exit__()
             if log_server is not None:
                 log_server.__exit__()
 
@@ -511,12 +549,18 @@ def remote_parallel_map(
 
     # One delivery sink for BOTH channels: the live TCP push (arrives
     # while tasks run) and the with-result fallback. Exactly-once per
-    # input — a worker clears row stdout iff its live push succeeded.
-    def deliver(idx: int, text: str) -> None:
+    # input — a worker clears row stdout iff its live push succeeded,
+    # and the driver additionally dedups by index (first delivery
+    # wins; see logs.once_per_index for the retry/speculation races).
+    from burla_spark.logs import once_per_index
+
+    def _deliver_raw(idx: int, text: str) -> None:
         if stdout_sink is not None:
             stdout_sink(idx, text)
         else:
             sys.stdout.write(text)
+
+    deliver = once_per_index(_deliver_raw)
 
     log_server = None
     if capture_stdout:

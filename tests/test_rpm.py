@@ -235,3 +235,28 @@ def test_func_ram_caps_parallelism(spark):
     assert sorted(
         remote_parallel_map(lambda x: x + 1, range(6), func_ram="100000G", spark=spark)
     ) == list(range(1, 7))
+
+
+def test_generator_abandonment_cancels_job(spark):
+    """Closing the generator mid-job must CANCEL the underlying action
+    (via its job tag), not strand tasks whose result pushes now fail
+    into Spark's retry loop re-running user code (round-3 review)."""
+    import time
+
+    def slow(x):
+        import time as t
+
+        t.sleep(5)
+        return x
+
+    gen = remote_parallel_map(slow, range(64), spark=spark, generator=True)
+    next(gen)
+    gen.close()  # abandon with most inputs still queued/running
+    # Without the tag cancel the action would stay active for the
+    # remaining ~2 waves of 5s sleeps (>>6s); with it, active jobs
+    # drain almost immediately.
+    st = spark.sparkContext.statusTracker()
+    deadline = time.time() + 6
+    while time.time() < deadline and st.getActiveJobsIds():
+        time.sleep(0.2)
+    assert not st.getActiveJobsIds(), "job still running after abandonment"
