@@ -213,6 +213,49 @@ class IvfIndex:
         self.inverted = inverted  # (neighbor_id, __cvec, __cell)
 
 
+def _lloyds(sample: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
+    """k-means++ init + Lloyd's on a driver-side sample. A 100k × dim
+    float64 block is ~50 MB at dim=64 and each iteration is one
+    (n × k) matmul — milliseconds where the round-3 MLlib fit paid JVM
+    vector conversion plus a distributed scan per iteration for the
+    same bounded sample. Duplicate points and empty cells are fine
+    (an empty cell keeps its centroid), unlike MLlib's distinct<k
+    abort."""
+    rng = np.random.default_rng(seed)
+    n = sample.shape[0]
+    k = max(1, min(k, n))
+    centers = np.empty((k, sample.shape[1]), dtype=np.float64)
+    centers[0] = sample[rng.integers(n)]
+    d2 = np.sum((sample - centers[0]) ** 2, axis=1)
+    for i in range(1, k):
+        total = d2.sum()
+        idx = rng.choice(n, p=d2 / total) if total > 0 else rng.integers(n)
+        centers[i] = sample[idx]
+        d2 = np.minimum(d2, np.sum((sample - centers[i]) ** 2, axis=1))
+    for _ in range(max_iter):
+        # nearest center by argmin ||x-c||² = argmin |c|² - 2 x·c
+        # (|x|² is constant per row)
+        assign = np.argmin(
+            np.sum(centers * centers, axis=1)[None, :] - 2.0 * (sample @ centers.T),
+            axis=1,
+        )
+        new = centers.copy()
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                new[j] = members.mean(axis=0)
+        if np.allclose(new, centers):
+            break
+        centers = new
+    return centers
+
+
+def _norm_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0  # zero vectors stay zero, not NaN
+    return mat / norms
+
+
 def build_ivf_index(
     corpus: DataFrame,
     corpus_id: str,
@@ -224,63 +267,76 @@ def build_ivf_index(
 ) -> IvfIndex:
     """Fit the IVF routing structure and materialize the inverted file.
 
-    The KMeans fit runs on a bounded SAMPLE of the corpus
+    The fit runs on a bounded SAMPLE of the corpus
     (``fit_sample_rows``) — routing cells only need to capture the
     density shape, exactness comes from the re-rank, and a fixed-size
-    sample keeps the fit O(1) in corpus size. Cell assignment then
-    scans the full corpus once and the inverted file is spilled to a
-    session-temp parquet (the local twin of writing the index to a
+    sample keeps the fit O(1) in corpus size. The sample is collected
+    to the driver and clustered with a numpy Lloyd's (see
+    :func:`_lloyds` — the bounded collect is the point: the fit is
+    driver-local no matter the corpus size). Cell assignment then
+    scans the full corpus ONCE through a vectorized pandas UDF (one
+    numpy matmul per Arrow batch) and the inverted file is spilled to
+    a session-temp parquet (the local twin of writing the index to a
     table), so nothing stays pinned and later queries read the
     assignment instead of recomputing it."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     from burla_spark.operators.dedup import _spill_to_temp_parquet
 
     c = corpus.filter(F.col(corpus_vec).isNotNull()).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cvec"),
-        array_to_vector(_normed(F.col(corpus_vec))).alias("features"),
     )
-    n = c.count()
-    if n == 0:
-        # empty corpus → empty index (queries then return zero rows);
-        # MLlib aborts on a zero-row fit.
-        empty = c.select("neighbor_id", "__cvec").withColumn(
-            "__cell", F.lit(0).cast("int")
-        )
+    # Probe with a LIMIT first: if the whole corpus fits in the sample
+    # budget (every test/bench corpus does), this one early-terminating
+    # job IS the fit set and the count + uniform-sample scans are
+    # skipped entirely. Only a corpus larger than the budget pays for
+    # the count that sizes a uniform sample fraction (limit rows are
+    # scan-order-biased — fine as a fits-entirely fast path, not as a
+    # sample of a 100 TB table).
+    probe = c.select("__cvec").limit(fit_sample_rows + 1).toPandas()["__cvec"]
+    if len(probe) == 0:
+        # empty corpus → empty index (queries then return zero rows)
+        empty = c.withColumn("__cell", F.lit(0).cast("int"))
         return IvfIndex([], empty)
-    # MLlib also aborts when rows < k — clamp the cell count.
-    n_clusters = max(1, min(n_clusters, n))
-    feats = c.select("features")
-    if n > fit_sample_rows:
-        # floor keeps the sample comfortably above k even for large k
+    known_n: int | None = None
+    if len(probe) <= fit_sample_rows:
+        vectors = probe
+        known_n = len(probe)
+    else:
+        n = c.count()
         frac = max(fit_sample_rows, n_clusters * 10) / n
+        feats = c.select("__cvec")
         if frac < 1.0:
             feats = feats.sample(fraction=frac, seed=seed)
-    # cache the features for Lloyd's iterations (MLlib re-scans the
-    # input once per iteration; 8 iterations is plenty for routing-
-    # quality cells — exactness comes from the re-rank, not the fit)
-    feats = feats.cache()
-    try:
-        try:
-            model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(feats)
-        except Exception:  # noqa: BLE001 — degenerate input, not config
-            # MLlib aborts when DISTINCT points < k (duplicates collapse
-            # during init). Only the failure path pays for the distinct
-            # count.
-            k2 = max(1, min(n_clusters, feats.distinct().count()))
-            model = KMeans(k=k2, seed=seed, maxIter=max_iter).fit(feats)
-    finally:
-        feats.unpersist()
-    inverted = _spill_to_temp_parquet(
-        model.transform(c).select(
-            "neighbor_id", "__cvec", F.col("prediction").alias("__cell")
-        ),
-        "ivf_inverted",
-    )
-    centroids = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
-    return IvfIndex(centroids, inverted)
+        vectors = feats.toPandas()["__cvec"]
+    sample = _norm_rows(np.array(vectors.to_list(), dtype=np.float64))
+    n_clusters = max(1, min(n_clusters, sample.shape[0]))
+    centers = _lloyds(sample, n_clusters, seed, max_iter)
+    c2 = np.sum(centers * centers, axis=1)
+
+    # Assignment kernel: argmin(|c|² - 2 x·c) as one numpy matmul per
+    # Arrow batch against the closure-shipped k × dim centroid block.
+    # Measured against a JVM expression-tree variant (unrolled literal
+    # folds): the matmul wins ~1.5× even at k=16, dim=64 — this is the
+    # canonical vectorized-Python-beats-expressions kernel.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        block = _norm_rows(np.array(vecs.to_list(), dtype=np.float64))
+        return pd.Series(
+            np.argmin(c2[None, :] - 2.0 * (block @ centers.T), axis=1).astype(
+                np.int32
+            )
+        )
+
+    assigned = c.withColumn("__cell", cell_of(F.col("__cvec")))
+    if known_n is not None:
+        # the probe proved the corpus is small — write the inverted
+        # file in ~500k-row files instead of one near-empty part file
+        # per input partition (32 tasks for 2000 rows otherwise).
+        assigned = assigned.coalesce(max(1, known_n // 500_000 + 1))
+    inverted = _spill_to_temp_parquet(assigned, "ivf_inverted")
+    return IvfIndex([[float(x) for x in ctr] for ctr in centers], inverted)
 
 
 def ivf_topk(
