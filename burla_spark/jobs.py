@@ -1,24 +1,39 @@
-"""Background jobs + cancellation (reference A22 detach / A23 cancel).
+"""Background jobs + cancellation + the detached-job journal
+(reference A22 detach / A23 cancel).
 
 The reference detaches jobs so they outlive the client process
-(_remote_parallel_map.py:509-511) and cancels them from the dashboard
-(endpoints/jobs.py:93-108). Spark jobs live inside the driver, so the
-equivalent surface is: run the action on a background thread under a
-job TAG, hand back a future-like handle, and cancel by interrupting
-the tag (SparkContext-wide, thread-safe). Divergence from the
-reference — a Spark job cannot outlive its driver process — is
-documented in SURVEY.md §7.3.5; cross-process survival is what the
-checkpointed streaming queries in burla_spark/streaming are for.
+(_remote_parallel_map.py:509-511), lets a LATER client observe and
+fetch them (main_service job_watcher.py:259,294-301 keeps watching a
+detached job after the submitting client disconnects), and cancels
+them from the dashboard (endpoints/jobs.py:93-108). Spark jobs live
+inside the driver, so the in-process surface is: run the action on a
+background thread under a job TAG, hand back a future-like handle,
+and cancel by interrupting the tag (SparkContext-wide, thread-safe).
+
+A Spark job still cannot outlive its driver process (SURVEY.md
+§7.3.5) — but its RESULTS can: every detached RPM job journals its
+manifest (JSON) and raw result rows (parquet) to a journal directory,
+so a second process with its own SparkSession can ``list_jobs`` and
+``fetch_results`` for any COMPLETED detached job after the submitting
+process exited. That narrows the divergence to in-flight jobs only.
+The journal dir comes from ``spark.burla.jobJournalDir`` (point it at
+shared storage on a real cluster — executors write the parquet) and
+defaults to ``~/.burla_spark/jobs`` for the single-machine story.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import threading
+import time
 import uuid
 from collections.abc import Callable
 from typing import Any
 
 from pyspark.sql import SparkSession
+
+DEFAULT_JOURNAL_DIR = os.path.expanduser("~/.burla_spark/jobs")
 
 
 class JobCanceled(Exception):
@@ -117,6 +132,118 @@ class sigint_policy:
 
         if signal.getsignal(signal.SIGINT) is self._handler:
             signal.signal(signal.SIGINT, self._prev)
+
+
+# ---------------------------------------------------------------------------
+# detached-job journal
+# ---------------------------------------------------------------------------
+def _journal_dir(spark: SparkSession, journal_dir: str | None = None) -> str:
+    return (
+        journal_dir
+        or spark.conf.get("spark.burla.jobJournalDir", None)
+        or DEFAULT_JOURNAL_DIR
+    )
+
+
+def _manifest_path(base: str, job_id: str) -> str:
+    return os.path.join(base, job_id, "manifest.json")
+
+
+def _write_manifest(base: str, job_id: str, doc: dict) -> None:
+    path = _manifest_path(base, job_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, path)  # atomic: readers never see a torn manifest
+
+
+def journal_start(spark: SparkSession, job_id: str, n_inputs: int, journal_dir: str | None = None) -> None:
+    _write_manifest(
+        _journal_dir(spark, journal_dir),
+        job_id,
+        {"job_id": job_id, "status": "running", "n_inputs": n_inputs,
+         "started_at": time.time()},
+    )
+
+
+def journal_finish(
+    spark: SparkSession, job_id: str, result_rows, schema: str,
+    journal_dir: str | None = None,
+) -> None:
+    """Write the job's raw result rows as parquet, then flip the
+    manifest to done — order matters: a 'done' manifest guarantees the
+    results table is complete."""
+    base = _journal_dir(spark, journal_dir)
+    out = os.path.join(base, job_id, "results.parquet")
+    spark.createDataFrame(result_rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out)
+    _write_manifest(
+        base, job_id,
+        {"job_id": job_id, "status": "done", "n_results": len(result_rows),
+         "finished_at": time.time()},
+    )
+
+
+def journal_fail(spark: SparkSession, job_id: str, exc: BaseException, journal_dir: str | None = None) -> None:
+    _write_manifest(
+        _journal_dir(spark, journal_dir), job_id,
+        {"job_id": job_id, "status": "error", "error_type": type(exc).__name__,
+         "error_msg": str(exc), "finished_at": time.time()},
+    )
+
+
+def list_jobs(spark: SparkSession, journal_dir: str | None = None) -> list[dict]:
+    """Manifests of every journaled detached job (any process's),
+    newest first — the reference's dashboard job list, file-backed."""
+    base = _journal_dir(spark, journal_dir)
+    if not os.path.isdir(base):
+        return []
+    docs = []
+    for job_id in os.listdir(base):
+        try:
+            with open(_manifest_path(base, job_id)) as fh:
+                docs.append(json.load(fh))
+        except (OSError, json.JSONDecodeError):
+            continue  # torn/foreign entry — skip, don't fail the listing
+    docs.sort(key=lambda d: d.get("finished_at", d.get("started_at", 0)), reverse=True)
+    return docs
+
+
+def fetch_results(
+    spark: SparkSession,
+    job_id: str,
+    journal_dir: str | None = None,
+    stdout_sink: Callable[[int, str], None] | None = None,
+) -> list:
+    """Load a completed detached job's results from the journal — the
+    cross-process half of detach: works from a fresh SparkSession in a
+    new process after the submitter exited. Raises the job's error
+    with original-type fidelity if any input failed, exactly like a
+    live ``remote_parallel_map`` call would have."""
+    base = _journal_dir(spark, journal_dir)
+    try:
+        with open(_manifest_path(base, job_id)) as fh:
+            manifest = json.load(fh)
+    except OSError as exc:
+        raise KeyError(f"no journaled job {job_id!r} under {base}") from exc
+    status = manifest.get("status")
+    if status == "running":
+        raise RuntimeError(
+            f"job {job_id} is still running (or its driver died mid-job); "
+            "results are journaled only on completion"
+        )
+    if status == "error":
+        raise RuntimeError(
+            f"job {job_id} failed before journaling results: "
+            f"{manifest.get('error_type')}: {manifest.get('error_msg')}"
+        )
+    from burla_spark.rpm import materialize_results
+
+    rows = spark.read.parquet(os.path.join(base, job_id, "results.parquet")).collect()
+    rows.sort(key=lambda r: r.idx)  # journal order is file order — normalize
+    return materialize_results(rows, stdout_sink)
 
 
 def submit(spark: SparkSession, action: Callable[[], Any], tag: str | None = None) -> BackgroundJob:

@@ -314,6 +314,30 @@ def _ram_parallelism_cap(spark: SparkSession, func_ram) -> int:
         return 1 << 30
 
 
+def materialize_results(rows, stdout_sink=None) -> list:
+    """Turn raw RESULT_SCHEMA rows into the user-facing result list:
+    deliver any undelivered stdout (deduped by input index), re-raise
+    the first error row with original-type fidelity, unpickle payloads.
+    Shared by the live collect path and the detached-job journal fetch
+    (jobs.fetch_results), so a second process materializes identically."""
+    from burla_spark.logs import once_per_index
+
+    sink = stdout_sink if stdout_sink is not None else (
+        lambda idx, text: sys.stdout.write(text)
+    )
+    deliver = once_per_index(sink)
+    out = []
+    for row in rows:
+        if row.stdout:
+            deliver(row.idx, row.stdout)
+        if row.is_error:
+            raise _rehydrate_error(
+                row.error_pkl, row.error_type, row.error_msg, row.error_tb, row.idx
+            )
+        out.append(pickle.loads(bytes(row.payload)))
+    return out
+
+
 class _ResultRow:
     """Attribute-access adapter for result tuples pushed through the
     completion-order channel (same fields as RESULT_SCHEMA rows)."""
@@ -601,7 +625,7 @@ def remote_parallel_map(
     if generator:
         return _stream_results(spark, result_df, handle, log_server)
 
-    def collect_all():
+    def collect_rows():
         import contextlib as _ctx
 
         with log_server if log_server is not None else _ctx.nullcontext():
@@ -609,14 +633,48 @@ def remote_parallel_map(
                 from burla_spark.progress import ProgressReporter
 
                 with ProgressReporter(spark):
-                    rows_out = result_df.collect()
-            else:
-                rows_out = result_df.collect()
-        return [handle(row) for row in rows_out]
+                    return result_df.collect()
+            return result_df.collect()
+
+    def collect_all():
+        return [handle(row) for row in collect_rows()]
 
     if detach:
-        from burla_spark.jobs import submit
+        # Journal the detached job (reference job_watcher.py:259,294-301
+        # keeps a detached job observable after the client disconnects):
+        # manifest now, result rows on completion — a SECOND process can
+        # jobs.list_jobs / jobs.fetch_results after this driver exits.
+        # Journaling is best-effort: an unwritable journal dir degrades
+        # to in-process-only detach, never to a failed job.
+        import uuid as _uuid
 
-        return submit(spark, collect_all)
+        from burla_spark import jobs
+
+        job_id = f"burla-job-{_uuid.uuid4().hex[:12]}"
+        try:
+            jobs.journal_start(spark, job_id, len(rows))
+        except Exception:  # noqa: BLE001
+            pass
+
+        def journaled_action():
+            try:
+                rows_out = collect_rows()
+            except BaseException as exc:
+                try:
+                    jobs.journal_fail(spark, job_id, exc)
+                except Exception:  # noqa: BLE001
+                    pass
+                raise
+            try:
+                # error rows journal too — fetch_results re-raises them
+                # with the same fidelity a live call would have.
+                jobs.journal_finish(spark, job_id, rows_out, RESULT_SCHEMA)
+            except Exception:  # noqa: BLE001
+                pass
+            return [handle(row) for row in rows_out]
+
+        bg = jobs.submit(spark, journaled_action, tag=job_id)
+        bg.job_id = job_id
+        return bg
 
     return collect_all()

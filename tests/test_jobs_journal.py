@@ -1,0 +1,99 @@
+"""Detached-job journal (reference parity: a detached job stays
+observable after the submitting client disconnects —
+main_service job_watcher.py:259,294-301). A completed detach's results
+must be listable and fetchable from a DIFFERENT process with its own
+SparkSession; the in-flight-only divergence is documented in jobs.py."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+from burla_spark import jobs
+from burla_spark.rpm import remote_parallel_map
+
+
+@pytest.fixture()
+def journal_dir(spark, tmp_path):
+    d = str(tmp_path / "jobs")
+    spark.conf.set("spark.burla.jobJournalDir", d)
+    yield d
+    spark.conf.unset("spark.burla.jobJournalDir")
+
+
+def test_detach_journals_and_fetches_in_session(spark, journal_dir):
+    job = remote_parallel_map(lambda x: x * 10, range(20), spark=spark, detach=True)
+    assert sorted(job.result(timeout=120)) == [x * 10 for x in range(20)]
+    listed = jobs.list_jobs(spark)
+    assert [d["job_id"] for d in listed] == [job.job_id]
+    assert listed[0]["status"] == "done"
+    assert listed[0]["n_results"] == 20
+    fetched = jobs.fetch_results(spark, job.job_id)
+    assert sorted(fetched) == [x * 10 for x in range(20)]
+
+
+def test_journaled_error_rows_rehydrate_on_fetch(spark, journal_dir):
+    def boom(x):
+        if x == 3:
+            raise ValueError("input three is bad")
+        return x
+
+    job = remote_parallel_map(boom, range(5), spark=spark, detach=True)
+    with pytest.raises(ValueError):
+        job.result(timeout=120)
+    # the journal still completed (error rows journal too) and a later
+    # fetch re-raises with input attribution, like the live call.
+    assert jobs.list_jobs(spark)[0]["status"] == "done"
+    with pytest.raises(ValueError) as excinfo:
+        jobs.fetch_results(spark, job.job_id)
+    assert excinfo.value.burla_input_index == 3
+
+
+def test_fetch_unknown_job_raises_keyerror(spark, journal_dir):
+    with pytest.raises(KeyError):
+        jobs.fetch_results(spark, "burla-job-nope")
+
+
+def test_running_manifest_refuses_fetch(spark, journal_dir):
+    jobs.journal_start(spark, "burla-job-running", n_inputs=4)
+    with pytest.raises(RuntimeError, match="still running"):
+        jobs.fetch_results(spark, "burla-job-running")
+
+
+def test_cross_process_detach_fetch(spark, journal_dir):
+    """The contract the journal exists for: a job submitted and
+    completed in ANOTHER python process (its own SparkSession, now
+    exited) is listed and its results fetched here."""
+    child = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        from burla_spark.session import get_spark
+        from burla_spark.rpm import remote_parallel_map
+        spark = get_spark(app_name="journal_child", shuffle_partitions=4)
+        spark.conf.set("spark.burla.jobJournalDir", {journal_dir!r})
+        job = remote_parallel_map(lambda x: x + 100, range(8), spark=spark, detach=True)
+        job.result(timeout=120)
+        print("JOB_ID=" + job.job_id)
+        spark.stop()
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", child], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    job_id = [
+        line.split("=", 1)[1]
+        for line in proc.stdout.splitlines()
+        if line.startswith("JOB_ID=")
+    ][0]
+    # submitter process is gone; this session reads the journal.
+    assert any(d["job_id"] == job_id and d["status"] == "done" for d in jobs.list_jobs(spark))
+    assert sorted(jobs.fetch_results(spark, job_id)) == [x + 100 for x in range(8)]
+    with open(os.path.join(journal_dir, job_id, "manifest.json")) as fh:
+        assert json.load(fh)["n_results"] == 8
