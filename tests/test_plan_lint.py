@@ -38,11 +38,22 @@ BNLJ_OK = {
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]
 
+# Both parametrizations below inspect the same built DataFrame; some
+# specs are plan-time expensive (KMeans fit, label propagation), so
+# build each once per session instead of twice.
+_DF_CACHE: dict = {}
+
+
+def _built(spec, spark, sf_dir):
+    if spec.name not in _DF_CACHE:
+        _DF_CACHE[spec.name] = spec.spark(spark, sf_dir)
+    return _DF_CACHE[spec.name]
+
 
 @pytest.mark.parametrize("spec", BATCH_SPECS, ids=[s.name for s in BATCH_SPECS])
 def test_plan_lint(spec, spark, sf_dir):
     plan = (
-        spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        _built(spec, spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan, f"{spec.name}: cartesian product"
     if "BroadcastNestedLoopJoin" in plan:
@@ -68,7 +79,7 @@ def test_output_schema_atomic(spec, spark, sf_dir):
     with the mirrored DuckDB expression (ENGINEERING_NOTES rule 10)."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    schema = spec.spark(spark, sf_dir).schema
+    schema = _built(spec, spark, sf_dir).schema
     bad = [
         f.name
         for f in schema.fields
