@@ -416,6 +416,143 @@ FROM documents
 """
 
 
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the training-data step that
+    packs documents into fixed token-budget sequences (budget 512
+    here). Docs are concatenated in deterministic (source, doc_id)
+    order; a doc belongs to the bin where its first token lands.
+
+    100 TB shape: packing is per-source (the window partitions by
+    source, it is NEVER a global single-partition sort) — exactly how
+    sharded training-data prep packs each shard independently; the
+    groupBy then reduces to one row per output sequence."""
+    from burla_spark.operators import text as tx
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source", "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    packed = per_doc.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(512.0)).cast("long"),
+    )
+    return (
+        packed.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+SEQUENCE_PACKING_SQL = r"""
+WITH per_doc AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+  FROM per_doc
+)
+SELECT source,
+  CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+  MIN(doc_id) AS first_doc,
+  MAX(doc_id) AS last_doc
+FROM c GROUP BY source, bin ORDER BY source, bin
+"""
+
+
+BM25_TERMS = ("join", "vector", "stream", "spark")
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance per (doc, query-term) — the classic sparse
+    retrieval scorer (k1=1.2, b=0.75) over the documents table.
+
+    100 TB shape: one explode→filter→groupBy pass computes term
+    frequencies (the filter on the 4-term query set prunes the
+    exploded stream before the shuffle); document frequencies and the
+    corpus stats are tiny aggregates broadcast back — no shuffle ever
+    carries more than |matching (doc, term)| rows."""
+    from burla_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dl = d.select("doc_id", tx.token_count(F.col("text")).alias("dl"))
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(tx.token_count(F.col("text"))).cast("double") / F.count("*")
+        ).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+    )
+    score = idf * F.col("tf") * F.lit(2.2) / denom
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "term", "tf", F.round(score, 6).alias("bm25")
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+BM25_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ('join', 'vector', 'stream', 'spark')
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), dl AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+           / COUNT(*) AS avgdl
+  FROM documents
+)
+SELECT tf.doc_id, tf.term, tf.tf,
+  ROUND(
+    LN(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+    * tf.tf * 2.2
+    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+    6) AS bm25
+FROM tf
+JOIN dl ON tf.doc_id = dl.doc_id
+JOIN dfreq ON tf.term = dfreq.term
+CROSS JOIN stats
+ORDER BY tf.doc_id, tf.term
+"""
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (multi-table LSH + exact
     verify) — rows-only (hash-bucketed candidates). Threshold 0.45 ≈
@@ -898,4 +1035,18 @@ SPECS: list[QuerySpec] = [
     QuerySpec("token_pieces_stats", token_pieces_stats, TOKEN_PIECES_SQL, ("text",)),
     QuerySpec("embedding_neardup", embedding_neardup, None, ("similarity", "dedup", "lsh")),
     QuerySpec("corpus_curation_pipeline", corpus_curation_pipeline, CORPUS_CURATION_SQL, ("text", "dedup", "pipeline")),
+    QuerySpec(
+        "sequence_packing",
+        sequence_packing,
+        SEQUENCE_PACKING_SQL,
+        ("text", "mlprep"),
+        doc="concat-and-chunk token packing into 512-token training bins",
+    ),
+    QuerySpec(
+        "bm25_scores",
+        bm25_scores,
+        BM25_SQL,
+        ("text", "retrieval"),
+        doc="BM25 sparse-retrieval scoring per (doc, query term)",
+    ),
 ]

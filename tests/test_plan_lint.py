@@ -34,6 +34,7 @@ BNLJ_OK = {
     "class_weights",  # 1-row total-count broadcast join-back
     "q22_idle_customers",  # 1-row global-avg-balance broadcast
     "q15_top_supplier",  # 1-row max-revenue broadcast
+    "bm25_scores",  # 1-row (n_docs, avgdl) corpus-stats broadcast
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]
