@@ -919,6 +919,63 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data step that flags
+    train docs sharing any 4-token n-gram with a held-out eval set
+    (docs 0-4 stand in for the benchmark; real pipelines broadcast the
+    eval suite's grams the same way).
+
+    100 TB shape: the benchmark gram set is eval-suite-sized (tiny,
+    O(1) in corpus size) and broadcasts; the training side is ONE
+    explode → broadcast-semi-join pass, so non-matching grams are
+    dropped map-side and the only shuffle carries the contaminated
+    (doc, gram) hits."""
+    from burla_spark.functions.numeric import let
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    grams = let(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= 4,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 3),
+                lambda i: F.array_join(F.slice(t, i, 4), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    exploded = d.select("doc_id", F.explode(grams).alias("gram"))
+    bench = exploded.filter(F.col("doc_id") < 5).select("gram").distinct()
+    train = exploded.filter(F.col("doc_id") >= 5)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.count("*").alias("n_hits"),
+            F.min("gram").alias("sample_gram"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATION_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+  FROM d, LATERAL (SELECT UNNEST(generate_series(1, len(toks) - 3)) AS i)
+),
+bench AS (SELECT DISTINCT gram FROM w WHERE doc_id < 5),
+train AS (SELECT * FROM w WHERE doc_id >= 5)
+SELECT train.doc_id,
+  COUNT(DISTINCT train.gram) AS n_shared_grams,
+  COUNT(*) AS n_hits,
+  MIN(train.gram) AS sample_gram
+FROM train JOIN bench ON train.gram = bench.gram
+GROUP BY train.doc_id ORDER BY train.doc_id
+"""
+
+
 REPEATED_NGRAM_SQL = """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 w AS (
@@ -1048,5 +1105,12 @@ SPECS: list[QuerySpec] = [
         BM25_SQL,
         ("text", "retrieval"),
         doc="BM25 sparse-retrieval scoring per (doc, query term)",
+    ),
+    QuerySpec(
+        "decontamination_overlap",
+        decontamination_overlap,
+        DECONTAMINATION_SQL,
+        ("text", "dedup", "decontamination"),
+        doc="train docs sharing 4-gram spans with a broadcast benchmark set",
     ),
 ]
