@@ -269,14 +269,21 @@ def scalar_string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         F.translate("p_name", "aeiou", "AEIOU").alias("name_translated"),
-        F.instr(F.col("p_name"), "scan").cast("long").alias("scan_at"),
+        # COALESCE(…, 0) on both sides: NULL name → 0, matching the
+        # oracle (Spark instr propagates NULL, the not-found case is 0
+        # in both engines)
+        F.coalesce(F.instr(F.col("p_name"), "scan"), F.lit(0))
+        .cast("long")
+        .alias("scan_at"),
         F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
         F.reverse(F.col("p_brand")).alias("brand_reversed"),
         F.ascii(F.col("p_name")).cast("long").alias("first_char_code"),
         F.left(F.col("p_name"), F.lit(4)).alias("name_left4"),
         F.right(F.col("p_name"), F.lit(4)).alias("name_right4"),
         F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
-        F.position(F.lit("#"), F.col("p_brand")).cast("long").alias("hash_pos"),
+        F.coalesce(F.position(F.lit("#"), F.col("p_brand")), F.lit(0))
+        .cast("long")
+        .alias("hash_pos"),
     )
 
 

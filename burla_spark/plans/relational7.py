@@ -181,8 +181,14 @@ def string_format_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.lpad(F.col("c_mktsegment"), 12, "*").alias("seg_padded"),
         F.rpad(F.col("c_name"), 22, ".").alias("name_padded"),
+        # coalesce before formatting, mirrored in the SQL: Spark's
+        # format_string renders a NULL arg as the string 'null' while
+        # DuckDB's printf nulls the whole result — '' on both sides
+        # keeps the engines in agreement under NULL segments.
         F.format_string(
-            "%s-%05d", F.substring(F.col("c_mktsegment"), 1, 3), F.col("c_custkey")
+            "%s-%05d",
+            F.substring(F.coalesce(F.col("c_mktsegment"), F.lit("")), 1, 3),
+            F.col("c_custkey"),
         ).alias("report_key"),
         F.repeat(F.lit("-"), 4).alias("rule"),
     ).orderBy("c_custkey")
@@ -192,7 +198,7 @@ STRING_FORMAT_SQL = """
 SELECT c_custkey,
        lpad(c_mktsegment, 12, '*') AS seg_padded,
        rpad(c_name, 22, '.') AS name_padded,
-       printf('%s-%05d', substring(c_mktsegment, 1, 3), c_custkey) AS report_key,
+       printf('%s-%05d', substring(COALESCE(c_mktsegment, ''), 1, 3), c_custkey) AS report_key,
        repeat('-', 4) AS rule
 FROM customer WHERE c_custkey < 300
 ORDER BY c_custkey
