@@ -91,7 +91,11 @@ GROUP BY bucket_start
 
 # event_id is unique and the 31-day horizon covers the whole replay, so
 # the watermarked dedup equals batch DISTINCT exactly.
-STREAM_WM_DEDUP_SQL = "SELECT event_id, user_id, event_type FROM events"
+# DISTINCT, not a bare projection: with unique fixture event_ids the
+# two are identical, but a replayed/dup-injected feed must still match
+# the stream's dedup semantics (duplicates are bit-identical rows, so
+# row-DISTINCT ≡ dedup-by-event_id).
+STREAM_WM_DEDUP_SQL = "SELECT DISTINCT event_id, user_id, event_type FROM events"
 
 SPECS: list[QuerySpec] = [
     QuerySpec("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_SQL, ("streaming",)),

@@ -1,13 +1,20 @@
-"""Out-of-band NULL-injection parity sweep (too slow for the suite;
-ENGINEERING_NOTES documents it). Copies sf0.01, NULLs a deterministic
-slice of the nullable string columns, then runs the FULL oracle
-comparison on the degraded tables — both engines read the same files,
-so any failure is a real cross-engine NULL-convention divergence in a
-query (round 4 caught two: Spark instr propagating NULL where the
-oracle coalesced, and format_string rendering NULL as 'null' where
-printf nulls the row).
+"""Out-of-band degraded-data parity sweeps (too slow for the suite;
+ENGINEERING_NOTES documents them). Copies sf0.01, degrades it, then
+runs the FULL oracle comparison on the degraded tables — both engines
+read the same files, so any failure is a real cross-engine divergence
+in a query.
 
-Run: python tests/null_sweep.py   (~4 min; prints FAIL lines + summary)
+Two modes:
+* ``null`` — NULL a deterministic slice of the nullable string
+  columns. Round 4 caught two divergences: Spark instr propagating
+  NULL where the oracle coalesced, and format_string rendering NULL
+  as 'null' where printf nulls the row.
+* ``dup``  — duplicate every 17th row of the fact tables (a replayed
+  ingest). Exposes any window/dedup semantics that silently assumed
+  unique keys — round 4 caught the stream_watermark_dedup oracle
+  relying on fixture-unique event_ids.
+
+Run: python tests/null_sweep.py [null|dup]   (~4 min each)
 """
 
 from __future__ import annotations
@@ -48,20 +55,34 @@ INJECT = {
 }
 
 
-def build_degraded_dir() -> str:
+# dup mode: duplicate every 17th row (keys included) of the fact-ish
+# tables — the shape of a replayed ingest batch.
+DUP_TABLES = {"lineitem", "orders", "documents", "events"}
+
+
+def build_degraded_dir(mode: str) -> str:
     import duckdb
 
-    os.makedirs(DST, exist_ok=True)
+    dst = DST + ("" if mode == "null" else "_dup")
+    os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for f in glob.glob(SRC + "/*.parquet"):
         t = os.path.basename(f)[: -len(".parquet")]
-        if t in INJECT:
+        if mode == "null" and t in INJECT:
             con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM read_parquet('{f}')")
-            con.execute(f"COPY ({INJECT[t]}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+            con.execute(f"COPY ({INJECT[t]}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+        elif mode == "dup" and t in DUP_TABLES:
+            con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM read_parquet('{f}')")
+            cols = ", ".join(r[0] for r in con.execute("DESCRIBE t").fetchall())
+            con.execute(
+                f"COPY (SELECT * FROM t UNION ALL SELECT {cols} FROM "
+                f"(SELECT *, row_number() OVER () AS __rn FROM t) x "
+                f"WHERE __rn % 17 = 0) TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
         else:
-            shutil.copy(f, f"{DST}/{t}.parquet")
+            shutil.copy(f, f"{dst}/{t}.parquet")
     con.close()
-    return DST
+    return dst
 
 
 def main() -> int:
@@ -69,25 +90,27 @@ def main() -> int:
     from burla_spark.session import get_spark
     from tests.oracle import compare, duck_connection
 
-    build_degraded_dir()
-    spark = get_spark(app_name="null_sweep")
+    mode = sys.argv[1] if len(sys.argv) > 1 else "null"
+    assert mode in ("null", "dup"), f"unknown mode {mode!r}"
+    dst = build_degraded_dir(mode)
+    spark = get_spark(app_name=f"{mode}_sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = em.queries(), em.oracle_sql()
-    con = duck_connection(DST)
+    con = duck_connection(dst)
     fails = []
     for name in sorted(qs):
         try:
             if name in oracles:
                 compare(
-                    qs[name](spark, DST), con, oracles[name],
+                    qs[name](spark, dst), con, oracles[name],
                     exact=name != "embedding_cosine_topk",
                 )
             else:
-                qs[name](spark, DST).count()
+                qs[name](spark, dst).count()
         except Exception as exc:  # noqa: BLE001 — report every divergence
             fails.append(name)
             print(f"FAIL {name}: {exc!r}"[:300], file=sys.stderr)
-    print(f"null-sweep: {len(qs) - len(fails)}/{len(qs)} pass; fails={fails}",
+    print(f"{mode}-sweep: {len(qs) - len(fails)}/{len(qs)} pass; fails={fails}",
           file=sys.stderr)
     return 1 if fails else 0
 
