@@ -477,24 +477,37 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance per (doc, query-term) — the classic sparse
     retrieval scorer (k1=1.2, b=0.75) over the documents table.
 
-    100 TB shape: one explode→filter→groupBy pass computes term
-    frequencies (the filter on the 4-term query set prunes the
-    exploded stream before the shuffle); document frequencies and the
-    corpus stats are tiny aggregates broadcast back — no shuffle ever
-    carries more than |matching (doc, term)| rows."""
+    100 TB shape: ONE exploded corpus scan computes term frequencies
+    (the filter on the 4-term query set prunes map-side before the
+    shuffle, and the doc length rides the tf groupBy as MIN(dl) — no
+    corpus-sized tf⋈dl join exists); document frequencies and the
+    1-row corpus stats are tiny aggregates broadcast back (the stats
+    scan is the only second corpus pass, column-pruned to text). No
+    shuffle ever carries more than |matching (doc, term)| rows."""
     from burla_spark.operators import text as tx
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
-        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+        "doc_id", tx.tokens(F.lower(F.col("text"))).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        F.explode("toks").alias("term"),
     )
     tf = (
         tok.filter(F.col("term").isin(*BM25_TERMS))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    dl = d.select("doc_id", tx.token_count(F.col("text")).alias("dl"))
+    # document frequency as a window over tf — a dfreq aggregate branch
+    # would re-execute the whole exploded scan (aliases share the plan,
+    # not the computation); the window is one narrow shuffle of the
+    # already-small tf set.
+    from pyspark.sql import Window
+
+    tf = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    )
     stats = d.agg(
         F.count("*").alias("n_docs"),
         (
@@ -510,9 +523,7 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     score = idf * F.col("tf") * F.lit(2.2) / denom
     return (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .select(
             "doc_id", "term", "tf", F.round(score, 6).alias("bm25")
         )
@@ -522,17 +533,18 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BM25_SQL = r"""
 WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-  FROM documents
-), tf AS (
-  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+    FROM documents
+  )
+), tf0 AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(MIN(dl) AS BIGINT) AS dl
   FROM tok WHERE term IN ('join', 'vector', 'stream', 'spark')
   GROUP BY doc_id, term
-), dfreq AS (
-  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
-), dl AS (
-  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl
-  FROM documents
+), tf AS (
+  SELECT *, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM tf0
 ), stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
@@ -541,13 +553,11 @@ WITH tok AS (
 )
 SELECT tf.doc_id, tf.term, tf.tf,
   ROUND(
-    LN(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+    LN(1.0 + (stats.n_docs - tf.df + 0.5) / (tf.df + 0.5))
     * tf.tf * 2.2
-    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)),
     6) AS bm25
 FROM tf
-JOIN dl ON tf.doc_id = dl.doc_id
-JOIN dfreq ON tf.term = dfreq.term
 CROSS JOIN stats
 ORDER BY tf.doc_id, tf.term
 """
