@@ -929,6 +929,56 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the classic corpus-quality
+    signal: a doc's mean log p(term) under the corpus's own unigram
+    distribution. Rare-token-heavy docs (gibberish, OOD boilerplate)
+    score very negative; importance-sampling and quality-filter
+    pipelines threshold exactly this.
+
+    100 TB shape: the vocab table is |vocab|-sized (zipf-bounded, far
+    smaller than the corpus) and joins back on term — broadcast when
+    small, shuffle otherwise, Catalyst's call; the per-doc mean is one
+    shuffle on doc_id. Two corpus scans total (vocab build + scoring),
+    both column-pruned to (doc_id, text)."""
+    from burla_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count("*").alias("n"))
+    stats = vocab.agg(F.sum("n").cast("double").alias("total"))
+    logp = F.log(F.col("n").cast("double") / F.col("total"))
+    return (
+        tok.join(vocab, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(logp), 6).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY term
+), stats AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS total FROM vocab
+)
+SELECT tok.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  ROUND(AVG(LN(CAST(vocab.n AS DOUBLE) / stats.total)), 6) AS mean_logprob
+FROM tok JOIN vocab ON tok.term = vocab.term CROSS JOIN stats
+GROUP BY tok.doc_id ORDER BY tok.doc_id
+"""
+
+
 def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the training-data step that flags
     train docs sharing any 4-token n-gram with a held-out eval set
@@ -1122,5 +1172,12 @@ SPECS: list[QuerySpec] = [
         DECONTAMINATION_SQL,
         ("text", "dedup", "decontamination"),
         doc="train docs sharing 4-gram spans with a broadcast benchmark set",
+    ),
+    QuerySpec(
+        "unigram_logprob_scores",
+        unigram_logprob_scores,
+        UNIGRAM_LOGPROB_SQL,
+        ("text", "quality"),
+        doc="mean unigram log-probability per doc — the quality-filter signal",
     ),
 ]

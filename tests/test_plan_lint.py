@@ -35,6 +35,7 @@ BNLJ_OK = {
     "q22_idle_customers",  # 1-row global-avg-balance broadcast
     "q15_top_supplier",  # 1-row max-revenue broadcast
     "bm25_scores",  # 1-row (n_docs, avgdl) corpus-stats broadcast
+    "unigram_logprob_scores",  # 1-row total-token-count broadcast
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]
