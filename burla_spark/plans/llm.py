@@ -979,6 +979,181 @@ GROUP BY tok.doc_id ORDER BY tok.doc_id
 """
 
 
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring — the KenLM-style fluency signal
+    one step up from `unigram_logprob_scores`: a doc's mean
+    log p(w2 | w1) under the corpus's own MLE bigram model. Word-salad
+    docs whose unigrams are common but whose transitions are rare score
+    far lower than fluent text with the same vocabulary — exactly the
+    gap perplexity filters exploit (CCNet-style pipelines threshold
+    this per-doc score).
+
+    100 TB shape: the model table is bigram-TYPE-bounded (zipf: far
+    smaller than the corpus token count) and the context table derives
+    from the model, not from another corpus scan; two corpus scans
+    total (model build + scoring), both column-pruned to
+    (doc_id, text). The score join shuffles on (w1, w2) — skew on
+    stop-word pairs is AQE-handled."""
+    from burla_spark.functions.numeric import let
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.lower(F.col("text")))
+    bigrams = let(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")),
+    )
+    big = d.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    model = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    logp = F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
+    return (
+        big.join(model, ["w1", "w2"])
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_LOGPROB_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), big AS (
+  SELECT doc_id,
+         unnest(toks[1:len(toks)-1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM t WHERE len(toks) >= 2
+), model AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM model GROUP BY w1
+)
+SELECT big.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(AVG(LN(CAST(model.c12 AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))), 6)
+    AS mean_logprob
+FROM big JOIN model USING (w1, w2) JOIN ctx USING (w1)
+GROUP BY big.doc_id ORDER BY big.doc_id
+"""
+
+
+# PII patterns shared by the Spark plan and the DuckDB oracle. Kept to
+# the regex subset Java's engine and RE2 interpret identically
+# (character classes, bounded repeats, non-capturing groups, \b).
+_PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every training corpus goes
+    through before the tokenizer sees it: detect and mask emails,
+    phone numbers, and IPv4 addresses, reporting per-doc hit counts
+    plus a digest of the scrubbed text.
+
+    The fixture corpus is synthetic word soup with no organic PII, so
+    the query first splices a deterministic email/phone/IP (derived
+    from doc_id and source) into each doc — BOTH engines derive the
+    identical splice, and the oracle then checks the detection counts
+    and the masked output byte-for-byte (sha256). Without the splice
+    the green row would be vacuous (the q9 lesson from VERDICT r3).
+
+    100 TB shape: ONE scan, zero shuffles, zero Python — the whole
+    pass is JVM regexp expressions inside WholeStageCodegen; ordering
+    is only for the driver hash. Masking runs email → phone → IP in a
+    fixed order on both sides so overlapping matches resolve
+    identically."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.col("source"),
+        F.lit("."),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    from burla_spark.functions.numeric import let
+
+    return d.select(
+        "doc_id",
+        let(
+            injected,
+            lambda t: F.struct(
+                F.regexp_count(t, F.lit(_PII_EMAIL_RE)).alias("n_emails"),
+                F.regexp_count(t, F.lit(_PII_PHONE_RE)).alias("n_phones"),
+                F.regexp_count(t, F.lit(_PII_IP_RE)).alias("n_ips"),
+                F.sha2(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.regexp_replace(t, _PII_EMAIL_RE, "<EMAIL>"),
+                            _PII_PHONE_RE,
+                            "<PHONE>",
+                        ),
+                        _PII_IP_RE,
+                        "<IP>",
+                    ),
+                    256,
+                ).alias("redacted_sha"),
+            ),
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.n_emails").cast("long").alias("n_emails"),
+        F.col("s.n_phones").cast("long").alias("n_phones"),
+        F.col("s.n_ips").cast("long").alias("n_ips"),
+        F.col("s.redacted_sha").alias("redacted_sha"),
+    ).orderBy("doc_id")
+
+
+PII_REDACTION_SQL = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact ' || source || '.' || CAST(doc_id AS VARCHAR)
+              || '@example.com call 555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+  sha256(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+  ) AS redacted_sha
+FROM injected
+ORDER BY doc_id
+"""
+
+
 def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the training-data step that flags
     train docs sharing any 4-token n-gram with a held-out eval set
@@ -1179,5 +1354,19 @@ SPECS: list[QuerySpec] = [
         UNIGRAM_LOGPROB_SQL,
         ("text", "quality"),
         doc="mean unigram log-probability per doc — the quality-filter signal",
+    ),
+    QuerySpec(
+        "bigram_logprob_scores",
+        bigram_logprob_scores,
+        BIGRAM_LOGPROB_SQL,
+        ("text", "quality"),
+        doc="mean bigram log p(w2|w1) per doc — the perplexity-filter signal",
+    ),
+    QuerySpec(
+        "pii_redaction",
+        pii_redaction,
+        PII_REDACTION_SQL,
+        ("text", "compliance"),
+        doc="email/phone/IP detection + masking, counts and sha of output",
     ),
 ]

@@ -220,6 +220,69 @@ ORDER BY event_type
 """
 
 
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixture weights — the domain-mixing
+    step of a pretraining pipeline: per source, sampling weight
+    ∝ n_tokens^alpha (alpha=0.3) normalized over sources, shown next
+    to the natural (proportional) weight so the flattening is visible.
+    Low temperatures up-sample small high-quality domains exactly this
+    way (GPT-3 / The Pile style mixture construction).
+
+    100 TB shape: ONE corpus scan column-pruned to (source, text) →
+    a source-cardinality aggregate (tiny); the normalizer is a 1-row
+    broadcast. Token counts stay exact BIGINTs; only the final
+    weights are doubles (rounded, per the determinism contract)."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+        ).alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "w_raw", F.pow(F.col("n_tokens").cast("double"), F.lit(0.3))
+    )
+    totals = per.agg(
+        F.sum("n_tokens").alias("tok_total"), F.sum("w_raw").alias("z")
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.col("tok_total").cast("double"),
+                6,
+            ).alias("natural_weight"),
+            F.round(F.col("w_raw") / F.col("z"), 6).alias("mixture_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+TEMPERATURE_MIXTURE_SQL = r"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT *, POW(CAST(n_tokens AS DOUBLE), 0.3) AS w_raw FROM per
+), totals AS (
+  SELECT SUM(n_tokens) AS tok_total, SUM(w_raw) AS z FROM w
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / CAST(tok_total AS DOUBLE), 6)
+         AS natural_weight,
+       ROUND(w_raw / z, 6) AS mixture_weight
+FROM w, totals
+ORDER BY source
+"""
+
+
 SPECS = [
     QuerySpec(
         "train_test_split_stats",
@@ -257,5 +320,12 @@ SPECS = [
         GROUP_SAMPLE_SQL,
         ("mlprep", "sampling", "window"),
         doc="Deterministic hash-ordered k-per-group sample.",
+    ),
+    QuerySpec(
+        "temperature_mixture_weights",
+        temperature_mixture_weights,
+        TEMPERATURE_MIXTURE_SQL,
+        ("mlprep", "agg", "mixture"),
+        doc="Temperature-scaled (alpha=0.3) source-mixture sampling weights.",
     ),
 ]

@@ -407,3 +407,44 @@ def test_operators_ignore_null_inputs(spark):
     assert len(feats) == 2  # null payload decodes as empty, no crash
     assert mm.decode_and_resize(blobs, 4, 4).count() == 2
     assert mm.sample_frames(blobs, 4).count() >= 2
+
+
+def test_pii_redaction_finds_exactly_the_injected_pii(spark, sf_dir):
+    """The fixture corpus has no organic PII — every doc gets exactly
+    one spliced email/phone/IP, so any count != 1 means the patterns
+    over- or under-match (and a vacuous all-zeros run is impossible)."""
+    from burla_spark.plans.llm import pii_redaction
+
+    rows = pii_redaction(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (r.n_emails, r.n_phones, r.n_ips) == (1, 1, 1), r
+
+
+def test_bigram_scores_are_log_probabilities(spark, sf_dir):
+    """MLE bigram scores are means of log p(w2|w1) with p in (0, 1]:
+    never positive, and strictly negative for any doc containing a
+    bigram whose context has more than one continuation."""
+    from burla_spark.plans.llm import bigram_logprob_scores
+
+    rows = bigram_logprob_scores(spark, sf_dir).collect()
+    assert rows
+    assert all(r.mean_logprob <= 0.0 for r in rows)
+    assert any(r.mean_logprob < 0.0 for r in rows)
+    assert all(r.n_bigrams >= 1 for r in rows)
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark, sf_dir):
+    """alpha < 1 compresses the source distribution: the largest
+    source's mixture weight must not exceed its natural weight, the
+    smallest's must not fall below it, and weights stay normalized."""
+    from burla_spark.plans.mlprep import temperature_mixture_weights
+
+    rows = temperature_mixture_weights(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    total = sum(r.mixture_weight for r in rows)
+    assert abs(total - 1.0) < 1e-4
+    biggest = max(rows, key=lambda r: r.n_tokens)
+    smallest = min(rows, key=lambda r: r.n_tokens)
+    assert biggest.mixture_weight <= biggest.natural_weight + 1e-9
+    assert smallest.mixture_weight >= smallest.natural_weight - 1e-9

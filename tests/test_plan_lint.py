@@ -36,6 +36,7 @@ BNLJ_OK = {
     "q15_top_supplier",  # 1-row max-revenue broadcast
     "bm25_scores",  # 1-row (n_docs, avgdl) corpus-stats broadcast
     "unigram_logprob_scores",  # 1-row total-token-count broadcast
+    "temperature_mixture_weights",  # 1-row (tok_total, z) normalizer broadcast
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]
