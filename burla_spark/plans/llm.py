@@ -293,6 +293,27 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_INDEX_CACHE: dict[str, "sim.PqIndex"] = {}
+
+
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN variant — compressed-domain ADC scan
+    (codes are 8 smallints per vector instead of 64 floats) + exact
+    re-rank of the survivors. No SQL oracle (codebooks are float-order
+    dependent, like IVF centroids); recall vs brute force asserted in
+    tests. Same build-once/query-many contract as the IVF index."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    index = _PQ_INDEX_CACHE.get(sf_dir)
+    if index is None:
+        index = sim.build_pq_index(e, "vec_id", "embedding")
+        _PQ_INDEX_CACHE[sf_dir] = index
+    return sim.pq_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k=10, refine=4, index=index,
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis (oracle-checked)
 # ---------------------------------------------------------------------------
@@ -1280,6 +1301,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_TOPK_SQL, ("similarity",)),
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, ("similarity", "lsh")),
     QuerySpec("embedding_ivf_topk", embedding_ivf_topk, None, ("similarity", "ivf")),
+    QuerySpec("embedding_pq_topk", embedding_pq_topk, None, ("similarity", "pq")),
     QuerySpec(
         "dedup_components", dedup_components, None, ("dedup", "graph"),
         doc="Transitive dedup-cluster resolution via min-label propagation.",

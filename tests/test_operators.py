@@ -448,3 +448,39 @@ def test_temperature_mixture_flattens_toward_uniform(spark, sf_dir):
     smallest = min(rows, key=lambda r: r.n_tokens)
     assert biggest.mixture_weight <= biggest.natural_weight + 1e-9
     assert smallest.mixture_weight >= smallest.natural_weight - 1e-9
+
+
+def test_pq_topk_recall_vs_bruteforce(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = sim.cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", k=10)
+    approx = sim.pq_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding", k=10, refine=4
+    )
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for r in approx.collect():
+        total += 1
+        if r.neighbor_id in exact_sets.get(r.query_id, set()):
+            hits += 1
+    assert total > 0
+    assert hits / total >= 0.5, f"PQ precision vs exact top-k: {hits}/{total}"
+
+
+def test_pq_index_codes_shape_and_determinism(spark, sf_dir):
+    """The code table carries exactly n_subspaces codes in
+    [0, n_codes) per vector, and rebuilding with the same seed encodes
+    identically (the reproducible-index contract)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    idx1 = sim.build_pq_index(e, "vec_id", "embedding", n_subspaces=8, n_codes=16)
+    rows = idx1.codes.collect()
+    assert len(rows) == e.filter(F.col("embedding").isNotNull()).count()
+    for r in rows[:50]:
+        assert len(r["__code"]) == 8
+        assert all(0 <= c < 16 for c in r["__code"])
+    idx2 = sim.build_pq_index(e, "vec_id", "embedding", n_subspaces=8, n_codes=16)
+    assert {(r.neighbor_id, tuple(r["__code"])) for r in rows} == {
+        (r.neighbor_id, tuple(r["__code"])) for r in idx2.codes.collect()
+    }

@@ -37,6 +37,7 @@ BNLJ_OK = {
     "bm25_scores",  # 1-row (n_docs, avgdl) corpus-stats broadcast
     "unigram_logprob_scores",  # 1-row total-token-count broadcast
     "temperature_mixture_weights",  # 1-row (tok_total, z) normalizer broadcast
+    "embedding_pq_topk",  # query-set LUT broadcast × codes scan (ADC contract)
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]
