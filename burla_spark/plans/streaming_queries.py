@@ -9,6 +9,7 @@ from __future__ import annotations
 from burla_spark.plans.base import QuerySpec
 from burla_spark.streaming.events import (
     stream_click_purchase_join,
+    stream_left_outer_join,
     stream_sliding_counts,
     stream_watermark_dedup,
     stream_key_dedup,
@@ -76,6 +77,20 @@ JOIN events p
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """
 
+STREAM_LEFT_OUTER_SQL = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS micros_to_purchase,
+       p.value AS purchase_value
+FROM events c
+LEFT JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click'
+"""
+
 STREAM_SLIDING_SQL = """
 WITH expanded AS (
   SELECT
@@ -105,6 +120,15 @@ SPECS: list[QuerySpec] = [
         STREAM_CLICK_PURCHASE_SQL,
         ("streaming", "join"),
         doc="Stream-stream interval join with two-sided watermarks.",
+    ),
+    QuerySpec(
+        "stream_left_outer_join",
+        stream_left_outer_join,
+        STREAM_LEFT_OUTER_SQL,
+        ("streaming", "join"),
+        doc="LEFT OUTER stream-stream join: watermark-flushed unmatched "
+        "clicks equal the batch left join (sentinel replay mechanics in "
+        "streaming/events.py).",
     ),
     QuerySpec("stream_session_aggregate", stream_session_aggregate, STREAM_SESSION_SQL, ("streaming",)),
     QuerySpec("stream_key_dedup", stream_key_dedup, STREAM_KEY_DEDUP_SQL, ("streaming",)),

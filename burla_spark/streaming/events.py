@@ -252,6 +252,152 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_click_purchase_join")
 
 
+# Sentinel-augmented stream directories, one per sf_dir per process
+# (building one copies the 2 MB fixture once, not per run).
+_SENTINEL_DIR_CACHE: dict[str, str] = {}
+
+
+def _events_dir_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
+    """Copy the events file into a session-temp stream directory and
+    append two sentinel files (a click + purchase pair per file) far
+    past the real horizon, with strictly increasing mod-times.
+
+    Purpose: append-mode outer joins hold back unmatched rows until
+    the watermark proves no future match can arrive. A finite replay's
+    watermark stops 1 h short of the newest real event, so the tail's
+    unmatched rows would be silently withheld at termination and the
+    result would not equal the batch left join. Replayed with
+    ``maxFilesPerTrigger=1`` the sentinels form their own trailing
+    micro-batches: the first advances the watermark past every real
+    event, the second triggers eviction under that watermark (a batch
+    evicts with the watermark derived from the PREVIOUS batch's data).
+    Sentinels carry negative event_ids so queries can drop them after
+    the stateful operator. Production streams don't need this — data
+    keeps arriving; it is the hermetic-replay twin of "the stream
+    outlives the watermark delay"."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from burla_spark.sources.tables import table_path
+
+    cached = _SENTINEL_DIR_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    src = table_path(sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="burla_stream_sentinel_")
+    if os.path.isdir(src):
+        for i, part in enumerate(sorted(os.listdir(src))):
+            if part.endswith(".parquet"):
+                shutil.copy(os.path.join(src, part), os.path.join(tmp, f"00_{i}.parquet"))
+    else:
+        shutil.copy(src, os.path.join(tmp, "00_events.parquet"))
+
+    schema = pq.read_schema(
+        os.path.join(tmp, sorted(os.listdir(tmp))[0])
+    )
+    max_ts = pq.read_table(
+        [os.path.join(tmp, f) for f in sorted(os.listdir(tmp))], columns=["ts"]
+    )["ts"].to_pandas().max()
+    ts_type = schema.field("ts").type
+    import pandas as pd
+
+    def sentinel_file(name: str, ts_value, base_mtime: float) -> None:
+        table = pa.Table.from_arrays(
+            [
+                pa.array([-1, -2], type=schema.field("event_id").type),
+                pa.array(
+                    pd.Series([ts_value, ts_value]), type=ts_type
+                ),
+                pa.array([-1, -1], type=schema.field("user_id").type),
+                pa.array(["click", "purchase"], type=schema.field("event_type").type),
+                pa.array([0.0, 0.0], type=schema.field("value").type),
+                pa.array([None, None], type=schema.field("props").type),
+            ],
+            schema=schema,
+        )
+        path = os.path.join(tmp, name)
+        pq.write_table(table, path)
+        os.utime(path, (base_mtime, base_mtime))
+
+    now = time.time()
+    for f in os.listdir(tmp):
+        os.utime(os.path.join(tmp, f), (now - 120, now - 120))
+    sentinel_file("90_sentinel_a.parquet", max_ts + pd.Timedelta(days=3), now - 60)
+    sentinel_file("91_sentinel_b.parquet", max_ts + pd.Timedelta(days=6), now - 30)
+    _SENTINEL_DIR_CACHE[sf_dir] = tmp
+    return tmp
+
+
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits —
+    joined to each same-user purchase in the following 30 minutes, or
+    once with NULL purchase columns when the watermark proves no match
+    can arrive. The append-mode-holdback semantics (unmatched rows
+    wait for watermark passage, not for end-of-input) are exactly what
+    an attribution pipeline needs: "clicks that did NOT convert" is
+    the interesting set, and it must be emitted incrementally, not
+    when the stream ends.
+
+    State stays bounded exactly as in the inner variant: two-sided
+    watermarks + both-sided event-time bounds in the condition. The
+    sentinel replay mechanics (see _events_dir_with_sentinels) exist
+    only to make the finite replay flush its tail so the batch LEFT
+    JOIN is an exact oracle."""
+    import os
+
+    from burla_spark.sources.tables import normalize_events_ts
+
+    stream_dir = _events_dir_with_sentinels(spark, sf_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    s = normalize_events_ts(raw)
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+        ).alias("micros_to_purchase"),
+        "purchase_value",
+    )
+    run_stream_to_table(joined, "stream_left_outer_join", "append")
+    return spark.table("stream_left_outer_join").filter(F.col("click_id") >= 0)
+
+
 def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transformWithStateInPandas (Spark 4's stateful-processor API,
     successor to applyInPandasWithState): per-user event count + exact

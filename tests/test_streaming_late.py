@@ -83,3 +83,17 @@ def test_watermark_bounds_state_and_emits_each_window_once(spark):
         # withheld: 11:00-11:30 and 11:30-12:00 both end after it
         assert "11:00" not in got
         assert "11:30" not in got
+
+
+def test_stream_left_outer_emits_unmatched_and_matched(spark, sf_dir):
+    """Non-vacuity: the left-outer stream join must contain BOTH
+    watermark-flushed unmatched clicks (NULL purchase columns) and
+    matched pairs — otherwise the oracle row proves nothing beyond the
+    inner variant."""
+    from pyspark.sql import functions as F
+
+    from burla_spark.streaming.events import stream_left_outer_join
+
+    df = stream_left_outer_join(spark, sf_dir)
+    assert df.filter(F.col("purchase_id").isNull()).count() > 0
+    assert df.filter(F.col("purchase_id").isNotNull()).count() > 0
