@@ -283,6 +283,186 @@ ORDER BY source
 """
 
 
+def winsorize_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile capping) — the outlier-handling prep
+    step: clamp each value to its group's [p05, p95] band and report
+    clamp counts and the before/after means. Integer-valued l_quantity
+    keeps the threshold comparisons engine-exact: a fractional
+    threshold can never equal an integer value, and when the
+    interpolation lands exactly on a data point both engines get the
+    same integer (see agg_percentiles).
+
+    100 TB shape: one scan builds the per-group thresholds (exact
+    percentile — swap in approx_percentile at real scale, same plan),
+    broadcast join-back, second scan clamps + aggregates. Both scans
+    column-pruned; the only shuffle is group-cardinality."""
+    l = load_table(spark, sf_dir, "lineitem")
+    bands = l.groupBy("l_linestatus").agg(
+        F.percentile("l_quantity", 0.05).alias("lo"),
+        F.percentile("l_quantity", 0.95).alias("hi"),
+    )
+    clamped = F.when(F.col("l_quantity") < F.col("lo"), F.col("lo")).when(
+        F.col("l_quantity") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("l_quantity").cast("double"))
+    return (
+        l.join(F.broadcast(bands), "l_linestatus")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum((F.col("l_quantity") < F.col("lo")).cast("long")).alias(
+                "n_clamped_low"
+            ),
+            F.sum((F.col("l_quantity") > F.col("hi")).cast("long")).alias(
+                "n_clamped_high"
+            ),
+            F.round(
+                F.sum(dec("l_quantity")).cast("double") / F.count("*"), 6
+            ).alias("mean_before"),
+            F.round(
+                F.sum(clamped.cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_after"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+WINSORIZE_SQL = """
+WITH bands AS (
+  SELECT l_linestatus,
+         quantile_cont(l_quantity, 0.05) AS lo,
+         quantile_cont(l_quantity, 0.95) AS hi
+  FROM lineitem GROUP BY l_linestatus
+)
+SELECT l.l_linestatus,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN l_quantity < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+  CAST(SUM(CASE WHEN l_quantity > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS mean_before,
+  ROUND(CAST(SUM(CAST(
+      CASE WHEN l_quantity < lo THEN lo
+           WHEN l_quantity > hi THEN hi
+           ELSE CAST(l_quantity AS DOUBLE) END AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS mean_after
+FROM lineitem l JOIN bands USING (l_linestatus)
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+"""
+
+
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target (mean) encoding — the categorical-feature
+    encoder that replaces each category with the mean target of the
+    OTHER rows in its category, preventing the self-leakage plain mean
+    encoding has. Sums stay exact DECIMAL; only the final division is
+    double (identical operands on both engines → identical bits).
+
+    100 TB shape: category stats are one group-cardinality aggregate,
+    broadcast back — each row's encoding is then map-side arithmetic,
+    no per-row window needed."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    stats = o.groupBy("o_orderpriority").agg(
+        F.sum(dec("o_totalprice")).alias("t_sum"),
+        F.count("*").alias("t_n"),
+    )
+    return (
+        o.join(F.broadcast(stats), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                (F.col("t_sum") - dec("o_totalprice")).cast("double")
+                / F.nullif(F.col("t_n") - 1, F.lit(0)).cast("double"),
+                6,
+            ).alias("loo_mean_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+TARGET_ENCODING_SQL = """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey < 2000),
+stats AS (
+  SELECT o_orderpriority,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS t_sum,
+         COUNT(*) AS t_n
+  FROM o GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o.o_orderpriority,
+  ROUND(CAST(t_sum - CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE)
+        / CAST(NULLIF(t_n - 1, 0) AS DOUBLE), 6) AS loo_mean_price
+FROM o JOIN stats USING (o_orderpriority)
+ORDER BY o_orderkey
+"""
+
+
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): per order-priority group, keep the top-10 orders by
+    priority u^(1/w) where u is a deterministic hash-uniform and
+    w = o_totalprice. The standard distributed weighted-subsample
+    trick: one scan, one top-k per group, NO global sort and no
+    rejection loop — and because u comes from the same multiplicative
+    hash as the train/test split, the sample is reproducible across
+    engines, runs, and partitionings (Spark's seeded sample() is not).
+
+    100 TB shape: priorities are map-side arithmetic; the only shuffle
+    is the per-group top-k window (or TakeOrderedAndProject when the
+    group count is 1)."""
+    o = load_table(spark, sf_dir, "orders")
+    # full-range hash-uniform (not _split_bucket's %100 coarsening:
+    # sampling needs a dense u, the split only needs percent buckets)
+    u = (
+        ((F.col("o_orderkey") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD) + 1)
+        .cast("double")
+        / F.lit(float(_HASH_MOD + 1))
+    )
+    priority = F.pow(u, F.lit(1.0) / F.col("o_totalprice").cast("double"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("sample_priority"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            priority.alias("sample_priority"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "o_orderpriority",
+            "rank",
+            "o_orderkey",
+            F.round("sample_priority", 6).alias("sample_priority"),
+        )
+        .orderBy("o_orderpriority", "rank")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH scored AS (
+  SELECT o_orderpriority, o_orderkey,
+    POW(
+      CAST((o_orderkey * {_HASH_MULT}) % {_HASH_MOD} + 1 AS DOUBLE) / {_HASH_MOD + 1}.0,
+      1.0 / CAST(o_totalprice AS DOUBLE)
+    ) AS sample_priority
+  FROM orders
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY o_orderpriority
+    ORDER BY sample_priority DESC, o_orderkey ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT o_orderpriority, rank, o_orderkey,
+       ROUND(sample_priority, 6) AS sample_priority
+FROM ranked WHERE rank <= 10
+ORDER BY o_orderpriority, rank
+"""
+
+
 SPECS = [
     QuerySpec(
         "train_test_split_stats",
@@ -327,5 +507,27 @@ SPECS = [
         TEMPERATURE_MIXTURE_SQL,
         ("mlprep", "agg", "mixture"),
         doc="Temperature-scaled (alpha=0.3) source-mixture sampling weights.",
+    ),
+    QuerySpec(
+        "winsorize_quantity_stats",
+        winsorize_quantity_stats,
+        WINSORIZE_SQL,
+        ("mlprep", "agg", "outliers"),
+        doc="Percentile capping at [p05, p95] per group, clamp accounting.",
+    ),
+    QuerySpec(
+        "target_encoding_loo",
+        target_encoding_loo,
+        TARGET_ENCODING_SQL,
+        ("mlprep", "encoding"),
+        doc="Leave-one-out mean target encoding via exact DECIMAL sums.",
+    ),
+    QuerySpec(
+        "weighted_sample_orders",
+        weighted_sample_orders,
+        WEIGHTED_SAMPLE_SQL,
+        ("mlprep", "sampling", "window"),
+        doc="Efraimidis-Spirakis weighted top-10 sample per group, "
+        "hash-deterministic across engines and partitionings.",
     ),
 ]
