@@ -10,6 +10,7 @@ from burla_spark.plans.base import QuerySpec
 from burla_spark.streaming.events import (
     stream_click_purchase_join,
     stream_left_outer_join,
+    stream_upsert_user_totals,
     stream_sliding_counts,
     stream_watermark_dedup,
     stream_key_dedup,
@@ -77,6 +78,12 @@ JOIN events p
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """
 
+STREAM_UPSERT_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""
+
 STREAM_LEFT_OUTER_SQL = """
 SELECT c.user_id,
        c.event_id AS click_id,
@@ -129,6 +136,14 @@ SPECS: list[QuerySpec] = [
         doc="LEFT OUTER stream-stream join: watermark-flushed unmatched "
         "clicks equal the batch left join (sentinel replay mechanics in "
         "streaming/events.py).",
+    ),
+    QuerySpec(
+        "stream_upsert_user_totals",
+        stream_upsert_user_totals,
+        STREAM_UPSERT_SQL,
+        ("streaming", "sink"),
+        doc="foreachBatch keyed upsert into a parquet table (idempotent "
+        "MERGE pattern, atomic snapshot swap); multi-batch replay.",
     ),
     QuerySpec("stream_session_aggregate", stream_session_aggregate, STREAM_SESSION_SQL, ("streaming",)),
     QuerySpec("stream_key_dedup", stream_key_dedup, STREAM_KEY_DEDUP_SQL, ("streaming",)),

@@ -398,6 +398,117 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_left_outer_join").filter(F.col("click_id") >= 0)
 
 
+# Multi-file copies of the events fixture, one per sf_dir per process —
+# gives maxFilesPerTrigger=1 replays real multi-batch upsert traffic.
+_SPLIT_DIR_CACHE: dict[str, str] = {}
+
+
+def _events_dir_split(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    import os
+    import tempfile
+
+    from burla_spark.sources.tables import load_table
+
+    cached = _SPLIT_DIR_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    tmp = tempfile.mkdtemp(prefix="burla_stream_split_")
+    load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    _SPLIT_DIR_CACHE[sf_dir] = tmp
+    return tmp
+
+
+def _merge_batch_into_dir(batch_df: DataFrame, target_dir: str, key_cols: list[str]) -> None:
+    """Keyed upsert of one micro-batch into a parquet 'table' — the
+    MERGE INTO pattern without a table format: rows whose key appears
+    in the batch are replaced, others kept. Idempotent by construction
+    (replaying a batch overwrites the same keys with the same values),
+    which is exactly the property foreachBatch needs for its
+    at-least-once redelivery to yield exactly-once TABLE contents.
+    The new snapshot is fully written BEFORE the swap, so readers
+    never observe a torn table (same tmp+rename discipline as the
+    detach journal)."""
+    import os
+    import shutil
+    import uuid
+
+    spark = batch_df.sparkSession
+    cur = os.path.join(target_dir, "current")
+    if os.path.isdir(cur):
+        old = spark.read.parquet(cur)
+        merged = old.join(
+            batch_df.select(*key_cols), key_cols, "left_anti"
+        ).unionByName(batch_df)
+    else:
+        merged = batch_df
+    stage = os.path.join(target_dir, f"stage_{uuid.uuid4().hex}")
+    merged.write.mode("overwrite").parquet(stage)  # materializes BEFORE swap
+    if os.path.isdir(cur):
+        trash = os.path.join(target_dir, f"trash_{uuid.uuid4().hex}")
+        os.rename(cur, trash)
+        os.rename(stage, cur)
+        shutil.rmtree(trash, ignore_errors=True)
+    else:
+        os.rename(stage, cur)
+
+
+def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert sink: per-user running totals merged into a
+    parquet table by key via ``foreachBatch`` — the exactly-once MERGE
+    pattern every warehouse-bound stream uses (Delta/Iceberg MERGE
+    INTO; emulated here with an atomic snapshot swap since no table
+    format ships in this container).
+
+    The replay streams a 4-file copy of the fixture one file per
+    micro-batch, so several batches carry overlapping user keys and
+    the merge genuinely exercises update-vs-insert paths; update-mode
+    aggregation emits cumulative totals, so last-write-wins per key
+    equals the batch aggregate — the exact oracle.
+
+    100 TB shape: state is user-cardinality; each batch rewrites only
+    its merged snapshot (a real table format makes that delta-sized
+    instead of table-sized — swap _merge_batch_into_dir for MERGE INTO
+    there; the pipeline definition is unchanged)."""
+    import os
+    import tempfile
+
+    from burla_spark.sources.tables import normalize_events_ts
+
+    stream_dir = _events_dir_split(spark, sf_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    s = normalize_events_ts(raw)
+    totals = s.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
+    target_dir = tempfile.mkdtemp(prefix="burla_upsert_target_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    narrow = min(int(prev), STREAM_REPLAY_SHUFFLE_PARTITIONS)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(narrow))
+        q = (
+            totals.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda batch_df, batch_id: _merge_batch_into_dir(
+                    batch_df, target_dir, ["user_id"]
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(os.path.join(target_dir, "current"))
+
+
 def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transformWithStateInPandas (Spark 4's stateful-processor API,
     successor to applyInPandasWithState): per-user event count + exact

@@ -97,3 +97,24 @@ def test_stream_left_outer_emits_unmatched_and_matched(spark, sf_dir):
     df = stream_left_outer_join(spark, sf_dir)
     assert df.filter(F.col("purchase_id").isNull()).count() > 0
     assert df.filter(F.col("purchase_id").isNotNull()).count() > 0
+
+
+def test_foreachbatch_merge_is_idempotent_and_upserts(spark, tmp_path):
+    """Replaying a batch must not change the table (at-least-once
+    redelivery → exactly-once contents), and a later batch must
+    replace matched keys while keeping unmatched ones."""
+    from burla_spark.streaming.events import _merge_batch_into_dir
+
+    target = str(tmp_path / "target")
+    import os
+
+    os.makedirs(target)
+    b1 = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    _merge_batch_into_dir(b1, target, ["k"])
+    _merge_batch_into_dir(b1, target, ["k"])  # redelivery
+    cur = spark.read.parquet(os.path.join(target, "current"))
+    assert sorted((r.k, r.v) for r in cur.collect()) == [(1, 10), (2, 20)]
+    b2 = spark.createDataFrame([(2, 99), (3, 30)], "k int, v int")
+    _merge_batch_into_dir(b2, target, ["k"])
+    cur = spark.read.parquet(os.path.join(target, "current"))
+    assert sorted((r.k, r.v) for r in cur.collect()) == [(1, 10), (2, 99), (3, 30)]
