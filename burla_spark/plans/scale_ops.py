@@ -235,6 +235,103 @@ ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank — iterative graph centrality with an EXACT
+# oracle. Float PageRank is accumulation-order dependent (rows-only
+# checkable at best); ranks in integer micro-units with floor division
+# make every iteration bit-exact on both engines, so a 3-iteration
+# unroll hash-matches a DuckDB CTE chain. Production variant: same
+# loop with doubles + convergence threshold + localCheckpoint every
+# few rounds (the dedup.py connected-components discipline).
+# ---------------------------------------------------------------------------
+_PR_SCALE = 1_000_000_000_000  # 1.0 of rank mass, in micro-units
+_PR_ITERS = 3
+
+
+def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph (undirected, so
+    no dangling-mass correction is needed — every node has degree ≥ 1),
+    damping 0.85, 3 synchronous iterations in exact BIGINT fixed-point.
+
+    100 TB shape: each iteration is ONE shuffle on the destination key
+    with map-side partial sums (Pregel's message-combine); the degree
+    table joins on the same key so AQE can reuse the exchange. Edge
+    construction is a distinct over the join keys only — no payload
+    columns move. Rank mass ≤ SCALE total keeps 85·sum far inside
+    int64 at any graph size."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    n = deg.agg(F.count("*").alias("n_nodes"))
+    base = F.expr(f"{15 * _PR_SCALE} div (100 * n_nodes)")
+    r = deg.crossJoin(F.broadcast(n)).select(
+        "node", F.expr(f"{_PR_SCALE} div n_nodes").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contribs = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("r div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("csum"))
+        )
+        r = contribs.crossJoin(F.broadcast(n)).select(
+            F.col("dst").alias("node"),
+            (base + F.expr("(85 * csum) div 100")).alias("r"),
+        )
+    return (
+        r.orderBy(F.desc("r"), F.asc("node"))
+        .limit(25)
+        .select("node", F.col("r").alias("rank_fp"))
+    )
+
+
+PAGERANK_SQL = f"""
+WITH edges0 AS (
+  SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's:' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0
+), deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+r0 AS (SELECT node, {_PR_SCALE} // n_nodes AS r FROM deg, n),
+it1 AS (
+  SELECT e.dst AS node,
+         {15 * _PR_SCALE} // (100 * n.n_nodes) + (85 * SUM(r.r // d.d)) // 100 AS r
+  FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.node = e.src, n
+  GROUP BY e.dst, n.n_nodes
+),
+it2 AS (
+  SELECT e.dst AS node,
+         {15 * _PR_SCALE} // (100 * n.n_nodes) + (85 * SUM(r.r // d.d)) // 100 AS r
+  FROM edges e JOIN it1 r ON r.node = e.src JOIN deg d ON d.node = e.src, n
+  GROUP BY e.dst, n.n_nodes
+),
+it3 AS (
+  SELECT e.dst AS node,
+         {15 * _PR_SCALE} // (100 * n.n_nodes) + (85 * SUM(r.r // d.d)) // 100 AS r
+  FROM edges e JOIN it2 r ON r.node = e.src JOIN deg d ON d.node = e.src, n
+  GROUP BY e.dst, n.n_nodes
+)
+SELECT node, r AS rank_fp FROM it3 ORDER BY r DESC, node LIMIT 25
+"""
+
+
 SPECS = [
     QuerySpec(
         name="salted_skew_aggregate",
@@ -263,6 +360,13 @@ SPECS = [
         oracle=POSEXPLODE_SQL,
         tags=("reshape", "array"),
         doc="ordinal explode (posexplode) with generate_series oracle",
+    ),
+    QuerySpec(
+        name="pagerank_fixed_point",
+        spark=pagerank_fixed_point,
+        oracle=PAGERANK_SQL,
+        tags=("graph", "iterative", "scale"),
+        doc="3-iteration fixed-point PageRank, bit-exact vs the oracle",
     ),
     QuerySpec(
         name="stratified_sample_stats",
