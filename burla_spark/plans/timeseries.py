@@ -352,6 +352,125 @@ LIMIT 100
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): per user the
+    first view, the first click strictly AFTER that view, the first
+    purchase strictly after that click — then stage reach counts and
+    the mean stage-transition time. The ordering constraint is what
+    separates a funnel from three independent mins (a click before any
+    view must not count), and exact integer-microsecond arithmetic
+    (SUM DIV COUNT) keeps the means engine-exact.
+
+    100 TB shape: three user-key aggregations/joins, all on the same
+    shuffle key so AQE reuses the exchange; per-stage tables shrink
+    monotonically (only users who reached stage k-1 are joined for
+    stage k)."""
+    e = load_table(spark, sf_dir, "events")
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros("ts").alias("us"))
+        .join(t1, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("us"))
+        .join(t2, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"), F.min("t2").alias("t2"))
+    )
+    return (
+        t1.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(
+            t2.agg(
+                F.count("*").alias("n_clicked_after_view"),
+                F.expr("sum(t2 - t1) div count(*)").alias("avg_view_to_click_us"),
+            )
+        )
+        .crossJoin(
+            t3.agg(
+                F.count("*").alias("n_purchased_after_click"),
+                F.expr("sum(t3 - t2) div count(*)").alias("avg_click_to_purchase_us"),
+            )
+        )
+    )
+
+
+FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2, MIN(t1.t1) AS t1
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3, MIN(t2.t2) AS t2
+  FROM events e JOIN t2 ON t2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+  GROUP BY e.user_id
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_viewed,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n_clicked_after_view,
+  (SELECT SUM(t2 - t1) // COUNT(*) FROM t2) AS avg_view_to_click_us,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n_purchased_after_click,
+  (SELECT SUM(t3 - t2) // COUNT(*) FROM t3) AS avg_click_to_purchase_us
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the product-analytics staple: users
+    grouped by first-activity week, counted in each later week they
+    were active. Week arithmetic runs on epoch days (integer DIV), not
+    engine week-truncation (Spark and DuckDB agree on Monday weeks,
+    but integer day math can't drift on TZ/locale edges).
+
+    100 TB shape: first-activity is one user-key aggregate; activity
+    weeks are a distinct over (user, week); the join-back is on the
+    user key again. The output is cohort² sized — tiny."""
+    e = load_table(spark, sf_dir, "events")
+    active = e.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000 div 7").alias("week_idx"),
+    ).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 // 7 AS week_idx
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(week_idx) AS cohort_week FROM active GROUP BY user_id
+)
+SELECT cohort.cohort_week,
+       active.week_idx - cohort.cohort_week AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active JOIN cohort USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "interval_overlap_join",
@@ -370,5 +489,19 @@ SPECS: list[QuerySpec] = [
         EVENTS_RESAMPLE_SQL,
         ("window", "timeseries"),
         doc="Hourly resample + gap-fill (0-fill counts, LOCF gauge).",
+    ),
+    QuerySpec(
+        "funnel_conversion",
+        funnel_conversion,
+        FUNNEL_SQL,
+        ("timeseries", "analytics"),
+        doc="Ordered view->click->purchase funnel with exact stage timings.",
+    ),
+    QuerySpec(
+        "cohort_retention",
+        cohort_retention,
+        COHORT_SQL,
+        ("timeseries", "analytics"),
+        doc="Weekly cohort retention on integer epoch-day arithmetic.",
     ),
 ]

@@ -39,6 +39,7 @@ BNLJ_OK = {
     "temperature_mixture_weights",  # 1-row (tok_total, z) normalizer broadcast
     "embedding_pq_topk",  # query-set LUT broadcast × codes scan (ADC contract)
     "pagerank_fixed_point",  # 1-row node-count broadcast per iteration
+    "funnel_conversion",  # crossJoin of three 1-row stage aggregates
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]
