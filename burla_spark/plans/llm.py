@@ -1073,6 +1073,69 @@ GROUP BY big.doc_id ORDER BY big.doc_id
 """
 
 
+_CHUNK_SIZE = 128
+_CHUNK_STRIDE = 96
+
+
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunking — the RAG/embedding-prep sibling of
+    `sequence_packing` (which packs without overlap): each doc is cut
+    into 128-token windows every 96 tokens (32-token overlap), the
+    rule every retrieval pipeline uses so no sentence straddles a
+    chunk boundary unseen. Chunk membership is a pure function of the
+    token index — deterministic on both engines, no windows needed.
+
+    100 TB shape: ONE scan, transform+posexplode map-side (the fanout
+    is ~size/stride per doc, bounded), no shuffle at all before the
+    driver-ordering; chunk ids are (doc_id, chunk_idx) so downstream
+    embedding jobs can join back without re-chunking."""
+    from burla_spark.functions.numeric import let
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    chunks = let(
+        toks,
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(0), F.floor((F.size(t) - 1) / F.lit(_CHUNK_STRIDE))
+            ),
+            lambda i: F.array_join(
+                F.slice(t, i * _CHUNK_STRIDE + 1, _CHUNK_SIZE), " "
+            ),
+        ),
+    )
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size(F.split(F.col("chunk"), " ", -1)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.sha2(F.col("chunk"), 256).alias("chunk_sha"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CHUNK_OVERLAP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id, UNNEST(generate_series(0, (len(toks) - 1) // {_CHUNK_STRIDE})) AS chunk_idx, toks
+  FROM t
+)
+SELECT doc_id,
+  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  CAST(len(list_slice(toks, chunk_idx * {_CHUNK_STRIDE} + 1,
+                      chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE})) AS BIGINT) AS n_tokens,
+  sha256(array_to_string(list_slice(toks, chunk_idx * {_CHUNK_STRIDE} + 1,
+                                    chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' ')) AS chunk_sha
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+
 # PII patterns shared by the Spark plan and the DuckDB oracle. Kept to
 # the regex subset Java's engine and RE2 interpret identically
 # (character classes, bounded repeats, non-capturing groups, \b).
@@ -1390,5 +1453,12 @@ SPECS: list[QuerySpec] = [
         PII_REDACTION_SQL,
         ("text", "compliance"),
         doc="email/phone/IP detection + masking, counts and sha of output",
+    ),
+    QuerySpec(
+        "chunk_documents_overlap",
+        chunk_documents_overlap,
+        CHUNK_OVERLAP_SQL,
+        ("text", "retrieval"),
+        doc="128-token chunks every 96 tokens (RAG overlap chunking)",
     ),
 ]
