@@ -285,11 +285,14 @@ def _events_dir_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
 
     from burla_spark.sources.tables import table_path
 
+    import atexit
+
     cached = _SENTINEL_DIR_CACHE.get(sf_dir)
     if cached is not None and os.path.isdir(cached):
         return cached
     src = table_path(sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="burla_stream_sentinel_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     if os.path.isdir(src):
         for i, part in enumerate(sorted(os.listdir(src))):
             if part.endswith(".parquet"):
@@ -409,10 +412,14 @@ def _events_dir_split(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str
 
     from burla_spark.sources.tables import load_table
 
+    import atexit
+    import shutil
+
     cached = _SPLIT_DIR_CACHE.get(sf_dir)
     if cached is not None and os.path.isdir(cached):
         return cached
     tmp = tempfile.mkdtemp(prefix="burla_stream_split_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
         "overwrite"
     ).parquet(tmp)
@@ -488,7 +495,11 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(dec("value")).cast("double").alias("total_value"),
     )
+    import atexit
+    import shutil
+
     target_dir = tempfile.mkdtemp(prefix="burla_upsert_target_")
+    atexit.register(shutil.rmtree, target_dir, ignore_errors=True)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     narrow = min(int(prev), STREAM_REPLAY_SHUFFLE_PARTITIONS)
     try:
