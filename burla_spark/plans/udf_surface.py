@@ -281,7 +281,73 @@ FROM orders GROUP BY 1 ORDER BY bucket
 """
 
 
+def sql_defined_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDFs (Spark 4 ``CREATE FUNCTION … RETURN expr``):
+    a scalar function used inside an aggregate and a table function
+    used as a relation. Unlike Python UDFs these are pure Catalyst —
+    the body inlines into the plan, stays in WholeStageCodegen, and
+    costs nothing over writing the expression by hand; they exist for
+    reuse/governance (one vetted money formula shared across queries).
+
+    Decimal discipline mirrors Q1 (DECIMAL(12,4) products, ROUND(…, 2)
+    before the DOUBLE cast) so the oracle inlines the same arithmetic."""
+    from burla_spark.plans.relational2 import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(12,4)
+        RETURN CAST(p AS DECIMAL(12,4))
+             * CAST(CAST(1 AS DECIMAL(12,4)) - CAST(d AS DECIMAL(12,4)) AS DECIMAL(12,4))
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION qty_bands()
+        RETURNS TABLE(band STRING, lo INT, hi INT)
+        RETURN SELECT * FROM VALUES
+          ('low', 0, 19), ('mid', 20, 39), ('high', 40, 60) t(band, lo, hi)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT b.band,
+               COUNT(*) AS n_rows,
+               CAST(ROUND(SUM(disc_price(l_extendedprice, l_discount)), 2)
+                 AS DOUBLE) AS revenue
+        FROM lineitem l JOIN qty_bands() b
+          ON l.l_quantity BETWEEN b.lo AND b.hi
+        GROUP BY b.band
+        ORDER BY b.band
+        """
+    )
+
+
+SQL_DEFINED_FN_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0, 19), ('mid', 20, 39), ('high', 40, 60)
+)
+SELECT b.band,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(
+         CAST(l_extendedprice AS DECIMAL(12,4))
+         * CAST(CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)) AS DECIMAL(12,4))
+       ), 2) AS DOUBLE) AS revenue
+FROM lineitem l JOIN bands b ON l.l_quantity BETWEEN b.lo AND b.hi
+GROUP BY b.band
+ORDER BY b.band
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "sql_defined_functions",
+        sql_defined_functions,
+        SQL_DEFINED_FN_SQL,
+        ("udf", "sql"),
+        doc="CREATE FUNCTION scalar + table UDFs, fully Catalyst-inlined",
+    ),
     QuerySpec(
         "arrow_python_udf",
         arrow_python_udf,

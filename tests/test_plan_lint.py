@@ -40,6 +40,7 @@ BNLJ_OK = {
     "embedding_pq_topk",  # query-set LUT broadcast × codes scan (ADC contract)
     "pagerank_fixed_point",  # 1-row node-count broadcast per iteration
     "funnel_conversion",  # crossJoin of three 1-row stage aggregates
+    "sql_defined_functions",  # 3-row quantity-band table, theta (BETWEEN) join
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]
