@@ -118,3 +118,32 @@ def test_feature_zscore_moments_broadcast(spark, sf_dir):
     plan = _plan(feature_zscore(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning — the feature that makes a 100 TB
+    date/priority-partitioned fact table readable through a selective
+    dim join: the fact scan's partition filter comes from the OTHER
+    side's runtime result, so only matching partitions are read even
+    though the literal filter sits on the dim. Asserted in the plan
+    (a dynamicpruning subquery on the fact scan)."""
+    from burla_spark.sources.tables import load_table
+
+    fact_dir = str(tmp_path / "orders_part")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .filter(F.col("o_orderpriority").startswith("1-"))
+    )
+    joined = fact.join(dim.hint("broadcast"), "o_orderpriority").groupBy(
+        "o_orderpriority"
+    ).count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    rows = joined.collect()
+    assert len(rows) == 1 and rows[0]["o_orderpriority"].startswith("1-")
