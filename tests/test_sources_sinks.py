@@ -217,3 +217,23 @@ def test_avro_roundtrip_if_available(spark, sf_dir):
         back = spark.read.format("avro").load(path)
         assert back.count() == o.count()
         assert back.exceptAll(o).count() == 0
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution on a growing table directory: day-2 files add a
+    column; mergeSchema=true reads the union schema with NULLs for the
+    old files — the contract a long-lived 100 TB table relies on when
+    new fields appear mid-history."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.range(3).select(
+        F.col("id"), F.lit("v1").alias("payload")
+    ).write.parquet(base + "/day=1")
+    spark.range(3, 6).select(
+        F.col("id"), F.lit("v2").alias("payload"), F.lit(7).alias("score")
+    ).write.parquet(base + "/day=2")
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"id", "payload", "score", "day"}
+    rows = {r.id: (r.score, r.day) for r in df.collect()}
+    assert rows[0] == (None, 1) and rows[5] == (7, 2)
