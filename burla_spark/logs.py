@@ -173,6 +173,10 @@ class MessageStreamServer:
     def advertise(self) -> tuple[str, int, bytes]:
         return (self._host, self._port, self._token)
 
+    @property
+    def closed(self) -> bool:
+        return self._closed
+
     def __enter__(self) -> "MessageStreamServer":
         self._thread = threading.Thread(target=self._serve, daemon=True)
         self._thread.start()

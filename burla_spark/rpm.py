@@ -376,9 +376,29 @@ def _stream_results(spark, result_df, handle, log_server):
 
     try:
         host = spark.conf.get("spark.driver.host", None) or "127.0.0.1"
-        q: "_queue.Queue" = _queue.Queue()
+        # BOUNDED queue (reference parity: the client yields from a
+        # SizedQueue) — a slow consumer must stall the pushers, not
+        # buffer the whole job on the driver. When it fills, the
+        # cooperative put below blocks the selector thread → the
+        # listener stops reading → TCP windows close → worker sends
+        # block inside their tasks: end-to-end backpressure with no
+        # extra protocol. The depth only bounds DRIVER memory;
+        # throughput is unaffected while the consumer keeps up.
+        depth = int(spark.conf.get("spark.burla.streamQueueDepth", "1024"))
+        q: "_queue.Queue" = _queue.Queue(maxsize=max(1, depth))
+        res_server: "MessageStreamServer | None" = None
+
+        def sink(frame: bytes) -> None:
+            item = decode_result_row(frame)
+            while True:
+                try:
+                    q.put(item, timeout=0.2)
+                    return
+                except _queue.Full:
+                    if res_server is None or res_server.closed:
+                        return  # consumer gone — drop; job is cancelling
         res_server = MessageStreamServer(
-            lambda frame: q.put(decode_result_row(frame)),
+            sink,
             host,
             max_msg=MAX_INPUT_SIZE_BYTES + 10_000_000,
         )
@@ -429,15 +449,27 @@ def _stream_results(spark, result_df, handle, log_server):
 
     tag = f"burla-rpm-stream-{uuid.uuid4().hex[:12]}"
 
+    def put_control(msg) -> None:
+        # control markers share the bounded queue; if the consumer is
+        # gone (server closed) give up instead of parking this thread
+        # on a queue nobody drains.
+        while True:
+            try:
+                q.put(msg, timeout=0.2)
+                return
+            except _queue.Full:
+                if res_server.closed:
+                    return
+
     def run_action():
         try:
             # context-level tag (thread-local, like jobs.submit): lets
             # the consumer cancel the action at the DAGScheduler.
             spark.sparkContext.addJobTag(tag)
             result_df.foreachPartition(push_partition)
-            q.put(("__done__", None))
+            put_control(("__done__", None))
         except BaseException as exc:  # noqa: BLE001 — relay to consumer
-            q.put(("__fail__", exc))
+            put_control(("__fail__", exc))
         finally:
             try:
                 spark.sparkContext.removeJobTag(tag)

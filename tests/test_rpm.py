@@ -260,3 +260,34 @@ def test_generator_abandonment_cancels_job(spark):
     while time.time() < deadline and st.getActiveJobsIds():
         time.sleep(0.2)
     assert not st.getActiveJobsIds(), "job still running after abandonment"
+
+
+def test_generator_bounded_queue_backpressure(spark):
+    """With a tiny stream-queue depth, a slow consumer must still
+    receive every result exactly once (pushers stall on TCP instead of
+    overflowing driver memory), and abandoning the generator while the
+    queue is full must not hang the session."""
+    import time
+
+    from burla_spark import remote_parallel_map
+
+    prev = spark.conf.get("spark.burla.streamQueueDepth", "1024")
+    spark.conf.set("spark.burla.streamQueueDepth", "4")
+    try:
+        gen = remote_parallel_map(
+            lambda x: x * 2, range(120), spark=spark, generator=True
+        )
+        out = []
+        for v in gen:
+            if len(out) < 5:
+                time.sleep(0.05)  # slow consumer while tasks are pushing
+            out.append(v)
+        assert sorted(out) == [x * 2 for x in range(120)]
+
+        gen2 = remote_parallel_map(
+            lambda x: x, range(120), spark=spark, generator=True
+        )
+        next(gen2)
+        gen2.close()  # abandon with a full queue → cancel, no hang
+    finally:
+        spark.conf.set("spark.burla.streamQueueDepth", prev)
