@@ -478,12 +478,32 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     its merged snapshot (a real table format makes that delta-sized
     instead of table-sized — swap _merge_batch_into_dir for MERGE INTO
     there; the pipeline definition is unchanged)."""
-    import os
+    import atexit
+    import shutil
     import tempfile
+
+    stream_dir = _events_dir_split(spark, sf_dir)
+    target_dir = tempfile.mkdtemp(prefix="burla_upsert_target_")
+    atexit.register(shutil.rmtree, target_dir, ignore_errors=True)
+    return run_upsert_totals(spark, stream_dir, target_dir)
+
+
+def run_upsert_totals(
+    spark: SparkSession,
+    stream_dir: str,
+    target_dir: str,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drive the per-user-totals upsert stream over ``stream_dir`` into
+    ``target_dir``. With ``checkpoint_dir`` the run is RESUMABLE: a
+    restart replays only files the checkpoint has not committed, and
+    the keyed merge makes redelivered batches idempotent — together
+    that is the exactly-once restart story (test_streaming_late drives
+    stop-grow-resume through this entry point)."""
+    import os
 
     from burla_spark.sources.tables import normalize_events_ts
 
-    stream_dir = _events_dir_split(spark, sf_dir)
     schema = spark.read.parquet(stream_dir).schema
     raw = (
         spark.readStream.schema(schema)
@@ -495,16 +515,11 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(dec("value")).cast("double").alias("total_value"),
     )
-    import atexit
-    import shutil
-
-    target_dir = tempfile.mkdtemp(prefix="burla_upsert_target_")
-    atexit.register(shutil.rmtree, target_dir, ignore_errors=True)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     narrow = min(int(prev), STREAM_REPLAY_SHUFFLE_PARTITIONS)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(narrow))
-        q = (
+        writer = (
             totals.writeStream.outputMode("update")
             .foreachBatch(
                 lambda batch_df, batch_id: _merge_batch_into_dir(
@@ -512,8 +527,10 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             .trigger(availableNow=True)
-            .start()
         )
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        q = writer.start()
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)

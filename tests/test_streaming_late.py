@@ -118,3 +118,56 @@ def test_foreachbatch_merge_is_idempotent_and_upserts(spark, tmp_path):
     _merge_batch_into_dir(b2, target, ["k"])
     cur = spark.read.parquet(os.path.join(target, "current"))
     assert sorted((r.k, r.v) for r in cur.collect()) == [(1, 10), (2, 99), (3, 30)]
+
+
+def test_upsert_stream_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """Exactly-once restart: run the upsert stream over half the input
+    files with a checkpoint, then add the rest and resume with the SAME
+    checkpoint and target — the second run must process only the new
+    files (checkpoint offsets) and the final table must equal the full
+    batch aggregate (keyed merge idempotency)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from burla_spark.functions.numeric import dec
+    from burla_spark.sources.tables import load_table
+    from burla_spark.streaming.events import run_upsert_totals
+
+    src = str(tmp_path / "stream_src")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    assert len(parts) == 4
+    held = str(tmp_path / "held")
+    os.makedirs(held)
+    for f in parts[2:]:
+        shutil.move(os.path.join(src, f), os.path.join(held, f))
+
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(target)
+    partial = run_upsert_totals(spark, src, target, checkpoint_dir=ckpt)
+    partial_counts = {r.user_id: r.n_events for r in partial.collect()}
+    assert partial_counts
+    # the interesting failure mode is double-counting on resume: if the
+    # restart re-read the already-committed files on top of checkpoint
+    # state, per-user counts would exceed the batch truth below.
+    assert sum(partial_counts.values()) < load_table(spark, sf_dir, "events").count()
+
+    for f in parts[2:]:
+        shutil.move(os.path.join(held, f), os.path.join(src, f))
+    final = run_upsert_totals(spark, src, target, checkpoint_dir=ckpt)
+
+    expected = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    got = {(r.user_id, r.n_events, r.total_value) for r in final.collect()}
+    assert got == expected
