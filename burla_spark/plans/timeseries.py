@@ -471,6 +471,130 @@ ORDER BY cohort_week, week_offset
 """
 
 
+def error_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring-style spike detection: error counts per 10-minute
+    bucket compared against the trailing 6-bucket mean (frame: 6
+    preceding through 1 preceding — the current bucket must not smooth
+    its own spike). A bucket flags when it exceeds twice the trailing
+    mean. Counts are exact BIGINTs; the mean is SUM/COUNT over those
+    integers, so both engines agree bit-for-bit.
+
+    100 TB shape: the window frame runs over the BUCKETED aggregate
+    (O(time-range) rows), never over raw events — one shuffle to
+    bucket, one tiny single-partition window over the bucket series."""
+    e = load_table(spark, sf_dir, "events")
+    buckets = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(
+            (F.expr("unix_micros(ts) div 600000000") * 600_000_000).alias(
+                "bucket_us"
+            )
+        )
+        .agg(F.count("*").alias("n_errors"))
+    )
+    w = (
+        Window.orderBy("bucket_us").rowsBetween(-6, -1)
+    )
+    trailing = (
+        F.sum("n_errors").over(w).cast("double")
+        / F.count("n_errors").over(w).cast("double")
+    )
+    return (
+        buckets.select(
+            "bucket_us",
+            "n_errors",
+            F.round(trailing, 6).alias("trailing_mean"),
+            F.when(
+                F.col("n_errors").cast("double") > 2 * trailing, 1
+            ).otherwise(0).cast("long").alias("is_spike"),
+        )
+        .orderBy("bucket_us")
+    )
+
+
+ERROR_SPIKES_SQL = """
+WITH buckets AS (
+  SELECT (epoch_us(ts) // 600000000) * 600000000 AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS n_errors
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1
+)
+SELECT bucket_us, n_errors,
+  ROUND(CAST(SUM(n_errors) OVER w AS DOUBLE)
+        / CAST(COUNT(n_errors) OVER w AS DOUBLE), 6) AS trailing_mean,
+  CAST(CASE WHEN CAST(n_errors AS DOUBLE) >
+        2 * (CAST(SUM(n_errors) OVER w AS DOUBLE)
+             / CAST(COUNT(n_errors) OVER w AS DOUBLE))
+       THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+FROM buckets
+WINDOW w AS (ORDER BY bucket_us ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+ORDER BY bucket_us
+"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each user's
+    time-ordered event stream, count (prev_type → next_type) pairs and
+    the conditional probability p(next | prev) — the Markov-chain view
+    of user behavior that personalization and anomaly models start
+    from. Ordering ties break on event_id, so the lag sequence is a
+    total order on both engines; probabilities divide exact BIGINTs.
+
+    100 TB shape: ONE shuffle on user_id for the lag window, then a
+    type²-cardinality aggregate (tiny); the probability join-back is
+    on prev_type (broadcast)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type", 1).over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.col("n_from").cast("double"),
+                6,
+            ).alias("p_next_given_prev"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+EVENT_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+), totals AS (
+  SELECT prev_type, SUM(n_transitions) AS n_from FROM pairs GROUP BY 1
+)
+SELECT p.prev_type, p.next_type, p.n_transitions,
+       ROUND(CAST(p.n_transitions AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6)
+         AS p_next_given_prev
+FROM pairs p JOIN totals t USING (prev_type)
+ORDER BY p.prev_type, p.next_type
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "interval_overlap_join",
@@ -503,5 +627,19 @@ SPECS: list[QuerySpec] = [
         COHORT_SQL,
         ("timeseries", "analytics"),
         doc="Weekly cohort retention on integer epoch-day arithmetic.",
+    ),
+    QuerySpec(
+        "error_rate_spikes",
+        error_rate_spikes,
+        ERROR_SPIKES_SQL,
+        ("timeseries", "window", "monitoring"),
+        doc="Error-count spikes vs a trailing 6-bucket window frame.",
+    ),
+    QuerySpec(
+        "event_transition_matrix",
+        event_transition_matrix,
+        EVENT_TRANSITION_SQL,
+        ("timeseries", "analytics", "window"),
+        doc="Markov (prev,next) event-type transition counts + p(next|prev).",
     ),
 ]
