@@ -1091,6 +1091,51 @@ GROUP BY big.doc_id ORDER BY big.doc_id
 """
 
 
+def compression_ratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (Gopher/RedPajama rule family):
+    highly repetitive or templated docs compress far below natural
+    text, so zlib ratio is a cheap repetition detector that catches
+    what token-level stats miss (long-range boilerplate). zlib with a
+    fixed level is bit-deterministic, so results are stable across
+    runs and partitionings — but no SQL engine exposes it, so this is
+    a rows-only spec; the monotone repetitive-vs-varied property is
+    asserted in tests.
+
+    100 TB shape: ONE scan through an Arrow-batched pandas UDF (zlib
+    releases the GIL; C-speed per batch), zero shuffles before the
+    driver ordering."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no pd.Series annotations: pandas is function-local here and the
+    # PEP-563 string hints would not resolve at decoration time
+    @pandas_udf("long")
+    def compressed_len(texts):
+        return texts.fillna("").map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            compressed_len(F.col("text")).alias("n_compressed"),
+        )
+        .withColumn(
+            "ratio",
+            F.round(
+                F.col("n_compressed").cast("double")
+                / F.nullif(F.col("n_bytes"), F.lit(0)).cast("double"),
+                6,
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _CHUNK_SIZE = 128
 _CHUNK_STRIDE = 96
 
@@ -1478,5 +1523,12 @@ SPECS: list[QuerySpec] = [
         CHUNK_OVERLAP_SQL,
         ("text", "retrieval"),
         doc="128-token chunks every 96 tokens (RAG overlap chunking)",
+    ),
+    QuerySpec(
+        "compression_ratio_scores",
+        compression_ratio_scores,
+        None,  # zlib has no SQL twin; deterministic, property-tested
+        ("text", "quality"),
+        doc="zlib compression-ratio repetition signal (Gopher rule family)",
     ),
 ]

@@ -502,3 +502,24 @@ def test_funnel_stages_are_monotone_and_ordered(spark, sf_dir):
     viewers = {r.user_id for r in e.filter(F.col("event_type") == "view").select("user_id").distinct().collect()}
     clickers = {r.user_id for r in e.filter(F.col("event_type") == "click").select("user_id").distinct().collect()}
     assert row.n_clicked_after_view <= len(viewers & clickers)
+
+
+def test_compression_ratio_flags_repetition(spark, sf_dir):
+    """A doc made of one repeated token must compress far below a
+    varied doc, and the signal must be partition-invariant."""
+    from burla_spark.plans.llm import compression_ratio_scores
+
+    rows = compression_ratio_scores(spark, sf_dir).collect()
+    assert rows and all(0 < r.ratio for r in rows if r.n_bytes)
+    ratios = {r.doc_id: r.ratio for r in rows}
+    df = spark.createDataFrame(
+        [(1, "spam " * 200), (2, " ".join(f"w{i}" for i in range(200)))],
+        "doc_id long, text string",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    synth = {r.doc_id: r.ratio for r in compression_ratio_scores(spark, d).collect()}
+    assert synth[1] < synth[2] / 3  # repetition compresses dramatically better
+    again = {r.doc_id: r.ratio for r in compression_ratio_scores(spark, sf_dir).collect()}
+    assert again == ratios
