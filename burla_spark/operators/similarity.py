@@ -256,6 +256,47 @@ def _norm_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _fit_sample(
+    c: DataFrame, fit_sample_rows: int, min_rows: int, seed: int
+) -> tuple["np.ndarray | None", int | None]:
+    """Bounded driver-side fit sample shared by the IVF and PQ builds.
+
+    Probe with a LIMIT first: if the whole corpus fits in the sample
+    budget (every test/bench corpus does), that one early-terminating
+    job IS the fit set and the count + uniform-sample scans are
+    skipped entirely. Only a corpus larger than the budget pays for
+    the count that sizes a uniform sample fraction (limit rows are
+    scan-order-biased — fine as a fits-entirely fast path, not as a
+    sample of a 100 TB table).
+
+    Returns (normalized sample matrix | None for an empty corpus,
+    known_n — the exact corpus size when the probe proved it small,
+    else None)."""
+    probe = c.select("__cvec").limit(fit_sample_rows + 1).toPandas()["__cvec"]
+    if len(probe) == 0:
+        return None, None
+    known_n: int | None = None
+    if len(probe) <= fit_sample_rows:
+        vectors = probe
+        known_n = len(probe)
+    else:
+        n = c.count()
+        frac = max(fit_sample_rows, min_rows) / n
+        feats = c.select("__cvec")
+        if frac < 1.0:
+            feats = feats.sample(fraction=frac, seed=seed)
+        vectors = feats.toPandas()["__cvec"]
+    return _norm_rows(np.array(vectors.to_list(), dtype=np.float64)), known_n
+
+
+def _sized_output(assigned: DataFrame, known_n: int | None) -> DataFrame:
+    # a probe-proven-small corpus writes ~500k-row files instead of one
+    # near-empty part file per input partition (32 tasks for 2000 rows)
+    if known_n is not None:
+        return assigned.coalesce(max(1, known_n // 500_000 + 1))
+    return assigned
+
+
 def build_ivf_index(
     corpus: DataFrame,
     corpus_id: str,
@@ -285,30 +326,11 @@ def build_ivf_index(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cvec"),
     )
-    # Probe with a LIMIT first: if the whole corpus fits in the sample
-    # budget (every test/bench corpus does), this one early-terminating
-    # job IS the fit set and the count + uniform-sample scans are
-    # skipped entirely. Only a corpus larger than the budget pays for
-    # the count that sizes a uniform sample fraction (limit rows are
-    # scan-order-biased — fine as a fits-entirely fast path, not as a
-    # sample of a 100 TB table).
-    probe = c.select("__cvec").limit(fit_sample_rows + 1).toPandas()["__cvec"]
-    if len(probe) == 0:
+    sample, known_n = _fit_sample(c, fit_sample_rows, n_clusters * 10, seed)
+    if sample is None:
         # empty corpus → empty index (queries then return zero rows)
         empty = c.withColumn("__cell", F.lit(0).cast("int"))
         return IvfIndex([], empty)
-    known_n: int | None = None
-    if len(probe) <= fit_sample_rows:
-        vectors = probe
-        known_n = len(probe)
-    else:
-        n = c.count()
-        frac = max(fit_sample_rows, n_clusters * 10) / n
-        feats = c.select("__cvec")
-        if frac < 1.0:
-            feats = feats.sample(fraction=frac, seed=seed)
-        vectors = feats.toPandas()["__cvec"]
-    sample = _norm_rows(np.array(vectors.to_list(), dtype=np.float64))
     n_clusters = max(1, min(n_clusters, sample.shape[0]))
     centers = _lloyds(sample, n_clusters, seed, max_iter)
     c2 = np.sum(centers * centers, axis=1)
@@ -329,12 +351,9 @@ def build_ivf_index(
             )
         )
 
-    assigned = c.withColumn("__cell", cell_of(F.col("__cvec")))
-    if known_n is not None:
-        # the probe proved the corpus is small — write the inverted
-        # file in ~500k-row files instead of one near-empty part file
-        # per input partition (32 tasks for 2000 rows otherwise).
-        assigned = assigned.coalesce(max(1, known_n // 500_000 + 1))
+    assigned = _sized_output(
+        c.withColumn("__cell", cell_of(F.col("__cvec"))), known_n
+    )
     inverted = _spill_to_temp_parquet(assigned, "ivf_inverted")
     return IvfIndex([[float(x) for x in ctr] for ctr in centers], inverted)
 
@@ -465,26 +484,12 @@ def build_pq_index(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cvec"),
     )
-    # Same fits-entirely fast path as build_ivf_index: one LIMIT probe,
-    # falling back to a uniform sample only past the budget.
-    probe = c.select("__cvec").limit(fit_sample_rows + 1).toPandas()["__cvec"]
-    if len(probe) == 0:
+    sample, known_n = _fit_sample(c, fit_sample_rows, n_codes * 10, seed)
+    if sample is None:
         empty = c.withColumn(
             "__code", F.array().cast("array<smallint>")
         ).select("neighbor_id", "__code")
         return PqIndex(np.zeros((n_subspaces, 1, dsub)), empty)
-    known_n: int | None = None
-    if len(probe) <= fit_sample_rows:
-        vectors = probe
-        known_n = len(probe)
-    else:
-        n = c.count()
-        frac = max(fit_sample_rows, n_codes * 10) / n
-        feats = c.select("__cvec")
-        if frac < 1.0:
-            feats = feats.sample(fraction=frac, seed=seed)
-        vectors = feats.toPandas()["__cvec"]
-    sample = _norm_rows(np.array(vectors.to_list(), dtype=np.float64))
     n_codes = max(1, min(n_codes, sample.shape[0]))
     books = np.stack(
         [
@@ -509,9 +514,9 @@ def build_pq_index(
             )
         return pd.Series(list(codes))
 
-    encoded = c.select("neighbor_id", encode(F.col("__cvec")).alias("__code"))
-    if known_n is not None:
-        encoded = encoded.coalesce(max(1, known_n // 500_000 + 1))
+    encoded = _sized_output(
+        c.select("neighbor_id", encode(F.col("__cvec")).alias("__code")), known_n
+    )
     codes = _spill_to_temp_parquet(encoded, "pq_codes")
     return PqIndex(books, codes)
 

@@ -282,7 +282,8 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     index = _IVF_INDEX_CACHE.get(sf_dir)
-    if index is None:
+    # a cached index's inverted file is only valid in its own session
+    if index is None or index.inverted.sparkSession is not spark:
         index = sim.build_ivf_index(
             e, "vec_id", "embedding", n_clusters=16
         )
@@ -305,7 +306,8 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     index = _PQ_INDEX_CACHE.get(sf_dir)
-    if index is None:
+    # a cached index's code table is only valid in the session that built it
+    if index is None or index.codes.sparkSession is not spark:
         index = sim.build_pq_index(e, "vec_id", "embedding")
         _PQ_INDEX_CACHE[sf_dir] = index
     return sim.pq_topk(

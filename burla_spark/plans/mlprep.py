@@ -399,8 +399,13 @@ ORDER BY o_orderkey
 def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis–Spirakis
     A-ES): per order-priority group, keep the top-10 orders by
-    priority u^(1/w) where u is a deterministic hash-uniform and
-    w = o_totalprice. The standard distributed weighted-subsample
+    A-ES priority u^(1/w), where u is a deterministic hash-uniform and
+    w = o_totalprice — ranked in the LOG domain, ln(u)/w, which orders
+    identically (ln is monotone, w > 0) but keeps candidate keys
+    well-separated doubles: u^(1/w) itself clusters within ~1e-9 of
+    1.0 for large weights, where a 1-ulp pow() divergence between
+    engines could in principle flip a rank; ln(u)/w gaps are orders of
+    magnitude wider. The standard distributed weighted-subsample
     trick: one scan, one top-k per group, NO global sort and no
     rejection loop — and because u comes from the same multiplicative
     hash as the train/test split, the sample is reproducible across
@@ -417,7 +422,7 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         / F.lit(float(_HASH_MOD + 1))
     )
-    priority = F.pow(u, F.lit(1.0) / F.col("o_totalprice").cast("double"))
+    priority = F.log(u) / F.col("o_totalprice").cast("double")
     from pyspark.sql import Window
 
     w = Window.partitionBy("o_orderpriority").orderBy(
@@ -436,7 +441,7 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "rank",
             "o_orderkey",
-            F.round("sample_priority", 6).alias("sample_priority"),
+            F.round("sample_priority", 9).alias("sample_priority"),
         )
         .orderBy("o_orderpriority", "rank")
     )
@@ -445,10 +450,8 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEIGHTED_SAMPLE_SQL = f"""
 WITH scored AS (
   SELECT o_orderpriority, o_orderkey,
-    POW(
-      CAST((o_orderkey * {_HASH_MULT}) % {_HASH_MOD} + 1 AS DOUBLE) / {_HASH_MOD + 1}.0,
-      1.0 / CAST(o_totalprice AS DOUBLE)
-    ) AS sample_priority
+    LN(CAST((o_orderkey * {_HASH_MULT}) % {_HASH_MOD} + 1 AS DOUBLE) / {_HASH_MOD + 1}.0)
+      / CAST(o_totalprice AS DOUBLE) AS sample_priority
   FROM orders
 ), ranked AS (
   SELECT *, CAST(ROW_NUMBER() OVER (
@@ -457,7 +460,7 @@ WITH scored AS (
   FROM scored
 )
 SELECT o_orderpriority, rank, o_orderkey,
-       ROUND(sample_priority, 6) AS sample_priority
+       ROUND(sample_priority, 9) AS sample_priority
 FROM ranked WHERE rank <= 10
 ORDER BY o_orderpriority, rank
 """

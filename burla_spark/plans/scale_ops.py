@@ -283,7 +283,8 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dominated the actual rank arithmetic). The index-job shape at
     # 100 TB: edge extraction writes a table, rank jobs read it.
     cached = _PAGERANK_EDGES_CACHE.get(sf_dir)
-    if cached is None:
+    # a cached DataFrame is only valid in the session that built it
+    if cached is None or cached.sparkSession is not spark:
         cached = _spill_to_temp_parquet(edges, "pagerank_edges")
         _PAGERANK_EDGES_CACHE[sf_dir] = cached
     edges = cached

@@ -350,7 +350,7 @@ class _ResultRow:
             setattr(self, name, val)
 
 
-def _stream_results(spark, result_df, handle, log_server):
+def _stream_results(spark, result_df, handle, log_server, n_expected):
     """COMPLETION-ordered result generator (reference parity:
     `_remote_parallel_map.py:703-715` yields from a client-side Queue in
     the order results finish).
@@ -479,15 +479,30 @@ def _stream_results(spark, result_df, handle, log_server):
     def stream():
         thread = threading.Thread(target=run_action, daemon=True)
         seen: set[int] = set()
+        # "__done__" means the ACTION finished, not that every pushed
+        # row has been drained: frames can still sit in kernel buffers /
+        # the backpressured sink when foreachPartition returns (the
+        # bounded queue makes that the common case under a slow
+        # consumer). So completion is len(seen) == n_expected; the done
+        # marker only switches the q.get to a bounded wait so a truly
+        # lost row surfaces as a loud error instead of a hang.
+        done = False
         try:
             if log_server is not None:
                 log_server.__enter__()
             res_server.__enter__()
             thread.start()
-            while True:
-                msg = q.get()
+            while len(seen) < n_expected:
+                try:
+                    msg = q.get(timeout=60.0 if done else None)
+                except _queue.Empty:
+                    raise RuntimeError(
+                        "result stream stalled after job completion: "
+                        f"{len(seen)}/{n_expected} results delivered"
+                    ) from None
                 if msg[0] == "__done__":
-                    break
+                    done = True
+                    continue
                 if msg[0] == "__fail__":
                     raise msg[1]
                 row = _ResultRow(msg)
@@ -655,7 +670,7 @@ def remote_parallel_map(
         return pickle.loads(bytes(row.payload))
 
     if generator:
-        return _stream_results(spark, result_df, handle, log_server)
+        return _stream_results(spark, result_df, handle, log_server, len(rows))
 
     def collect_rows():
         import contextlib as _ctx

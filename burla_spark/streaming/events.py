@@ -62,13 +62,28 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_REPLAY_SHUFFLE_PARTITIONS = 8
 
 
-def run_stream_to_table(stream_df: DataFrame, name: str, output_mode: str) -> None:
-    """Execute a streaming DataFrame to completion into a memory sink."""
-    spark = stream_df.sparkSession
+import contextlib
+
+
+@contextlib.contextmanager
+def _replay_width(spark: SparkSession):
+    """Narrow the shuffle width for the duration of a hermetic replay
+    (state-store-per-partition fixed cost dominates small replays; see
+    STREAM_REPLAY_SHUFFLE_PARTITIONS), restoring the session value on
+    exit — shared by every replay entry point so the contract lives in
+    one place."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     narrow = min(int(prev), STREAM_REPLAY_SHUFFLE_PARTITIONS)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(narrow))
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def run_stream_to_table(stream_df: DataFrame, name: str, output_mode: str) -> None:
+    """Execute a streaming DataFrame to completion into a memory sink."""
+    with _replay_width(stream_df.sparkSession):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -77,8 +92,6 @@ def run_stream_to_table(stream_df: DataFrame, name: str, output_mode: str) -> No
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,6 +440,27 @@ def _events_dir_split(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str
     return tmp
 
 
+def _current_snapshot(target_dir: str) -> str | None:
+    """Resolve the live snapshot directory via the CURRENT pointer file."""
+    import os
+
+    ptr = os.path.join(target_dir, "CURRENT")
+    try:
+        with open(ptr, encoding="utf-8") as fh:
+            name = fh.read().strip()
+    except OSError:
+        return None
+    path = os.path.join(target_dir, name)
+    return path if os.path.isdir(path) else None
+
+
+def read_upsert_table(spark: SparkSession, target_dir: str) -> DataFrame:
+    path = _current_snapshot(target_dir)
+    if path is None:
+        raise FileNotFoundError(f"no committed snapshot under {target_dir}")
+    return spark.read.parquet(path)
+
+
 def _merge_batch_into_dir(batch_df: DataFrame, target_dir: str, key_cols: list[str]) -> None:
     """Keyed upsert of one micro-batch into a parquet 'table' — the
     MERGE INTO pattern without a table format: rows whose key appears
@@ -434,31 +468,37 @@ def _merge_batch_into_dir(batch_df: DataFrame, target_dir: str, key_cols: list[s
     (replaying a batch overwrites the same keys with the same values),
     which is exactly the property foreachBatch needs for its
     at-least-once redelivery to yield exactly-once TABLE contents.
-    The new snapshot is fully written BEFORE the swap, so readers
-    never observe a torn table (same tmp+rename discipline as the
-    detach journal)."""
+
+    Commit protocol (how real table formats do it): the new snapshot
+    is fully written to its own directory, then a CURRENT pointer file
+    flips to it via write-tmp + ``os.replace`` — ONE atomic step, so a
+    concurrent reader resolves either the old snapshot or the new one,
+    never a missing/torn table (a dir-rename swap has a window where
+    no current table exists). A crash before the flip leaves the old
+    snapshot live; orphaned snapshots are cleaned after the flip."""
     import os
     import shutil
     import uuid
 
     spark = batch_df.sparkSession
-    cur = os.path.join(target_dir, "current")
-    if os.path.isdir(cur):
-        old = spark.read.parquet(cur)
-        merged = old.join(
-            batch_df.select(*key_cols), key_cols, "left_anti"
-        ).unionByName(batch_df)
+    prev = _current_snapshot(target_dir)
+    if prev is not None:
+        merged = (
+            spark.read.parquet(prev)
+            .join(batch_df.select(*key_cols), key_cols, "left_anti")
+            .unionByName(batch_df)
+        )
     else:
         merged = batch_df
-    stage = os.path.join(target_dir, f"stage_{uuid.uuid4().hex}")
-    merged.write.mode("overwrite").parquet(stage)  # materializes BEFORE swap
-    if os.path.isdir(cur):
-        trash = os.path.join(target_dir, f"trash_{uuid.uuid4().hex}")
-        os.rename(cur, trash)
-        os.rename(stage, cur)
-        shutil.rmtree(trash, ignore_errors=True)
-    else:
-        os.rename(stage, cur)
+    snap_name = f"snap_{uuid.uuid4().hex}"
+    snap = os.path.join(target_dir, snap_name)
+    merged.write.mode("overwrite").parquet(snap)  # materializes BEFORE flip
+    ptr_tmp = os.path.join(target_dir, f".CURRENT.{uuid.uuid4().hex}")
+    with open(ptr_tmp, "w", encoding="utf-8") as fh:
+        fh.write(snap_name)
+    os.replace(ptr_tmp, os.path.join(target_dir, "CURRENT"))  # atomic flip
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
 
 
 def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,10 +555,7 @@ def run_upsert_totals(
         F.count("*").alias("n_events"),
         F.sum(dec("value")).cast("double").alias("total_value"),
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    narrow = min(int(prev), STREAM_REPLAY_SHUFFLE_PARTITIONS)
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(narrow))
+    with _replay_width(spark):
         writer = (
             totals.writeStream.outputMode("update")
             .foreachBatch(
@@ -532,9 +569,7 @@ def run_upsert_totals(
             writer = writer.option("checkpointLocation", checkpoint_dir)
         q = writer.start()
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(os.path.join(target_dir, "current"))
+    return read_upsert_table(spark, target_dir)
 
 
 def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:

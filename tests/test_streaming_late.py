@@ -103,7 +103,10 @@ def test_foreachbatch_merge_is_idempotent_and_upserts(spark, tmp_path):
     """Replaying a batch must not change the table (at-least-once
     redelivery → exactly-once contents), and a later batch must
     replace matched keys while keeping unmatched ones."""
-    from burla_spark.streaming.events import _merge_batch_into_dir
+    from burla_spark.streaming.events import (
+        _merge_batch_into_dir,
+        read_upsert_table,
+    )
 
     target = str(tmp_path / "target")
     import os
@@ -112,12 +115,16 @@ def test_foreachbatch_merge_is_idempotent_and_upserts(spark, tmp_path):
     b1 = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
     _merge_batch_into_dir(b1, target, ["k"])
     _merge_batch_into_dir(b1, target, ["k"])  # redelivery
-    cur = spark.read.parquet(os.path.join(target, "current"))
+    cur = read_upsert_table(spark, target)
     assert sorted((r.k, r.v) for r in cur.collect()) == [(1, 10), (2, 20)]
     b2 = spark.createDataFrame([(2, 99), (3, 30)], "k int, v int")
     _merge_batch_into_dir(b2, target, ["k"])
-    cur = spark.read.parquet(os.path.join(target, "current"))
+    cur = read_upsert_table(spark, target)
     assert sorted((r.k, r.v) for r in cur.collect()) == [(1, 10), (2, 99), (3, 30)]
+    # commit protocol: exactly one live snapshot + the atomic pointer
+    names = sorted(os.listdir(target))
+    assert "CURRENT" in names
+    assert sum(1 for n in names if n.startswith("snap_")) == 1
 
 
 def test_upsert_stream_resumes_from_checkpoint(spark, sf_dir, tmp_path):
