@@ -71,3 +71,34 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Ship the burla_spark package itself to the executors.
+
+    Local mode inherits the driver's sys.path, so imports inside task
+    closures (the RPM result/log client, operator helpers) resolve for
+    free — but REAL executors run their own Python and need the
+    package on their path. Production deployments pip-install it into
+    the executor image; for ad-hoc clusters (standalone/local-cluster,
+    a notebook against YARN) this zips the installed package once and
+    ``addPyFile``s it, which Spark distributes and prepends to every
+    worker's sys.path. Idempotent per session. Returns the zip path."""
+    import shutil
+    import tempfile
+
+    marker = "spark.burla.packageShipped"
+    existing = spark.conf.get(marker, None)
+    if existing:
+        return existing
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    stage = tempfile.mkdtemp(prefix="burla_spark_pkg_")
+    zip_path = shutil.make_archive(
+        os.path.join(stage, "burla_spark"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    spark.conf.set(marker, zip_path)
+    return zip_path

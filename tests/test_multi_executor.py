@@ -1,0 +1,143 @@
+"""Multi-executor integration check (master=local-cluster[2,2,1024]):
+two REAL executor JVMs in separate processes, not local-mode threads.
+
+This is the only place the suite exercises genuinely cross-process
+behavior: the RPM result/log channel (executors reach the driver's TCP
+listener over a real socket, not loopback-within-process state), the
+shared-spill-dir rule (_spill_to_temp_parquet must REFUSE a
+driver-local tempdir on a non-local master and work once
+spark.burla.spillDir points at shared storage), and the per-executor
+RAM-cap multiplication.
+
+Runs in a subprocess because a JVM holds ONE SparkContext: the
+session-scoped local[*] fixture and local-cluster cannot coexist in
+this process.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import sys, tempfile
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+spill_dir = tempfile.mkdtemp(prefix="burla_mx_spill_")
+spark = (
+    SparkSession.builder.master("local-cluster[2,2,1024]")
+    .appName("burla-multi-executor")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+# real executors run their own Python: ship the package (the step a
+# production image does with pip install)
+from burla_spark.session import ship_package
+
+ship_package(spark)
+
+# --- RPM across real executor processes (incl. the TCP result/log channel)
+from burla_spark import remote_parallel_map
+from burla_spark.rpm import RpmError
+
+out = remote_parallel_map(lambda x: x * 3, range(64), spark=spark)
+assert sorted(out) == [x * 3 for x in range(64)], "rpm basic"
+assert remote_parallel_map(lambda a, b: a + b, [(2, 5)], spark=spark) == [7]
+
+logs = []
+gen = remote_parallel_map(
+    lambda x: (print(f"input {x}"), x + 1)[1],
+    range(16),
+    spark=spark,
+    generator=True,
+    stdout_sink=lambda idx, text: logs.append((idx, text)),
+)
+assert sorted(gen) == list(range(1, 17)), "generator across executors"
+assert len(logs) == 16, f"live logs across executors: {len(logs)}"
+
+try:
+    remote_parallel_map(lambda x: 1 / x, [1, 0], spark=spark)
+    raise AssertionError("expected error")
+except ZeroDivisionError as exc:
+    assert getattr(exc, "burla_input_index", None) == 1
+
+# --- RAM cap sees BOTH executors (per-node packing rule x executor count)
+from burla_spark.rpm import _ram_parallelism_cap
+
+cap = _ram_parallelism_cap(spark, "512M")
+assert cap >= 2, f"per-executor cap not multiplied: {cap}"
+
+# --- spill rule on local-cluster: the master string is local* (one
+# machine, several JVMs), so the driver-local tempdir fallback is
+# legitimately SHARED here and must work with executors doing the
+# writing; the non-local refusal path is unit-tested separately.
+from burla_spark.operators.dedup import _spill_to_temp_parquet
+
+df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+assert _spill_to_temp_parquet(df, "mx_fallback").count() == 100
+
+# an explicit shared spill dir is honored too (the real-cluster path)
+spark.conf.set("spark.burla.spillDir", spill_dir)
+spilled = _spill_to_temp_parquet(df, "mx_ok")
+assert spilled.count() == 100, "spill via shared dir"
+assert any("mx_ok" in f for f in __import__("os").listdir(spill_dir))
+
+# --- one real query end-to-end on the 2-executor cluster
+from burla_spark.plans.registry import queries
+
+rows = queries()["q1_pricing_summary"](spark, %(sf)r).collect()
+assert len(rows) > 0, "q1 on local-cluster"
+
+spark.stop()
+print("MULTI_EXECUTOR_OK")
+"""
+
+
+def test_two_executor_cluster_end_to_end(sf_dir):
+    script = _SCRIPT % {"repo": "/root/repo", "sf": sf_dir}
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "MULTI_EXECUTOR_OK" in proc.stdout, (
+        proc.stdout[-2000:] + proc.stderr[-2000:]
+    )
+
+
+def test_spill_refuses_driver_tempdir_on_remote_master():
+    """On a real (non-local*) cluster there is no shared driver
+    tempdir: without spark.burla.spillDir or a checkpoint dir the
+    helper must raise instead of silently dropping executor-written
+    rows (ADVICE r3). Driven with a stub session so no remote cluster
+    is needed."""
+    import pytest
+
+    from burla_spark.operators.dedup import _spill_to_temp_parquet
+
+    class Conf:
+        def get(self, key, default=None):
+            return {"spark.master": "spark://remote-master:7077"}.get(key, default)
+
+    class SC:
+        def getCheckpointDir(self):
+            return None
+
+    class Session:
+        conf = Conf()
+        sparkContext = SC()
+
+    class DF:
+        sparkSession = Session()
+
+    with pytest.raises(RuntimeError, match="shared storage"):
+        _spill_to_temp_parquet(DF(), "refusal")
