@@ -89,11 +89,17 @@ spilled = _spill_to_temp_parquet(df, "mx_ok")
 assert spilled.count() == 100, "spill via shared dir"
 assert any("mx_ok" in f for f in __import__("os").listdir(spill_dir))
 
-# --- one real query end-to-end on the 2-executor cluster
+# --- real queries end-to-end on the 2-executor cluster: a JVM-only
+# relational plan, an Arrow/pandas-UDF plan (Python workers on both
+# executors), and a STATEFUL streaming replay (state stores live on
+# the executors, not the driver)
 from burla_spark.plans.registry import queries
 
-rows = queries()["q1_pricing_summary"](spark, %(sf)r).collect()
-assert len(rows) > 0, "q1 on local-cluster"
+q = queries()
+assert len(q["q1_pricing_summary"](spark, %(sf)r).collect()) > 0
+assert len(q["pandas_udaf_grouped"](spark, %(sf)r).collect()) > 0
+stream_rows = q["stream_tumbling_counts"](spark, %(sf)r).collect()
+assert len(stream_rows) > 0, "stateful stream on real executors"
 
 spark.stop()
 print("MULTI_EXECUTOR_OK")
