@@ -39,6 +39,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Python DataSource V2 pushdown (sources/pydatasource.py): off
+        # by default in 4.1, and a reader that implements pushFilters
+        # hard-errors without it.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Shuffle width: sized to total task slots locally; on a big
         # cluster AQE coalesces down from a deliberately-high initial value.
         .config("spark.sql.shuffle.partitions", str(sp))

@@ -237,3 +237,49 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert set(df.columns) == {"id", "payload", "score", "day"}
     rows = {r.id: (r.score, r.day) for r in df.collect()}
     assert rows[0] == (None, 1) and rows[5] == (7, 2)
+
+
+def test_python_datasource_jsonl_partitions_and_pushdown(spark, tmp_path):
+    """Custom DataSource V2 in Python (Spark 4): partition-per-file
+    parallel read, schema-typed rows, and pushFilters handling the
+    simple comparisons while yielding the rest back to Spark."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from burla_spark.sources.pydatasource import JsonlDataSource, JsonlReader
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [{"doc_id": i, "text": f"doc number {i}", "score": i * 10} for i in range(30)]
+    for part in range(3):
+        with open(src / f"part{part}.jsonl", "w") as fh:
+            for r in rows[part * 10 : (part + 1) * 10]:
+                fh.write(_json.dumps(r) + "\n")
+
+    spark.dataSource.register(JsonlDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("burla_jsonl")
+        .schema("doc_id long, text string, score long")
+        .option("path", str(src))
+        .load()
+    )
+    assert df.count() == 30
+    assert df.rdd.getNumPartitions() == 3  # one per file
+    got = df.filter((F.col("score") > 40) & (F.col("score") < 200)).collect()
+    assert sorted(r.doc_id for r in got) == list(range(5, 20))
+
+    # pushFilters contract, driver-side: comparisons absorbed, others yielded
+    from pyspark.sql.datasource import EqualTo, GreaterThan, IsNotNull
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("doc_id long, text string, score long")
+    reader = JsonlReader(schema, {"path": str(src)})
+    leftover = list(
+        reader.pushFilters(
+            [GreaterThan(("score",), 40), EqualTo(("text",), "x"), IsNotNull(("text",))]
+        )
+    )
+    assert [type(f).__name__ for f in leftover] == ["IsNotNull"]
+    assert ("score", ">", 40) in reader._pushed and ("text", "=", "x") in reader._pushed
