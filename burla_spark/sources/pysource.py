@@ -18,7 +18,12 @@ scale.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -66,6 +71,67 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema):
         return SyntheticEventsReader(self.options)
+
+    def streamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = lo, hi
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Streaming twin of the batch reader — the full custom-source
+    micro-batch protocol: ``initialOffset`` → ``latestOffset`` advance
+    per trigger → ``partitions(start, end)`` split planning →
+    executor-side ``read`` → ``commit`` when the batch is durable.
+    Offsets are just row counts here, but the shape is exactly a
+    kafka-like connector's (monotonic positions, planned slices,
+    deterministic replay of any [start, end) on retry — rows derive
+    from splitmix64(seed, i), so a replayed batch is bit-identical,
+    which is what makes the source exactly-once under retries).
+
+    ``rows_per_batch`` bounds each micro-batch; ``max_rows`` bounds the
+    stream so availableNow replays terminate."""
+
+    def __init__(self, options):
+        self.max_rows = int(options.get("maxRows", 1000))
+        self.rows_per_batch = int(options.get("rowsPerBatch", 100))
+        self.n_parts = int(options.get("partitions", 4))
+        self.seed = int(options.get("seed", 42))
+        self._pos = 0  # last offset this reader ADVERTISED (not committed:
+        # commit() timing varies by sink; advancing on advertise is the
+        # standard rate-source pattern and replay stays deterministic)
+        self._committed = 0
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        self._pos = min(self._pos + self.rows_per_batch, self.max_rows)
+        return {"pos": self._pos}
+
+    def partitions(self, start, end):
+        lo, hi = start["pos"], end["pos"]
+        span = max(1, (hi - lo + self.n_parts - 1) // self.n_parts)
+        return [
+            _RangePartition(p, min(p + span, hi))
+            for p in range(lo, hi, span)
+        ]
+
+    def read(self, partition):
+        for i in range(partition.lo, partition.hi):
+            h = _mix64(self.seed * 0x100000001 + i)
+            yield (
+                i,
+                h % 1000,
+                _EVENT_TYPES[(h >> 10) % len(_EVENT_TYPES)],
+                round(((h >> 16) % 10000) / 100.0, 2),
+            )
+
+    def commit(self, end):
+        self._committed = end["pos"]
 
 
 def register(spark) -> None:

@@ -283,3 +283,44 @@ def test_python_datasource_jsonl_partitions_and_pushdown(spark, tmp_path):
     )
     assert [type(f).__name__ for f in leftover] == ["IsNotNull"]
     assert ("score", ">", 40) in reader._pushed and ("text", "=", "x") in reader._pushed
+
+
+def test_python_streaming_datasource_microbatch_protocol(spark):
+    """Custom DataSourceStreamReader: offsets advance rows_per_batch at
+    a time, partitions split each batch, and the availableNow replay
+    terminates at max_rows with rows identical to the batch source
+    (same splitmix64 derivation — deterministic replay is the
+    exactly-once property)."""
+    import time
+
+    from burla_spark.sources.pysource import register
+
+    register(spark)
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("maxRows", 450)
+        .option("rowsPerBatch", 100)
+        .option("seed", 7)
+        .load()
+        .writeStream.format("memory")
+        .queryName("synthetic_stream")
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline and spark.table("synthetic_stream").count() < 450:
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+    got = spark.table("synthetic_stream").collect()
+    assert len(got) == 450
+    batch = (
+        spark.read.format("synthetic_events")
+        .option("rows", 450)
+        .option("seed", 7)
+        .load()
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len(q.recentProgress) >= 4  # it really ran as micro-batches
