@@ -34,11 +34,13 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
     InputPartition,
     LessThan,
+    WriterCommitMessage,
 )
 
 
@@ -89,8 +91,8 @@ class JsonlReader(DataSourceReader):
         files = sorted(
             os.path.join(self._dir, f)
             for f in os.listdir(self._dir)
-            if f.endswith((".jsonl", ".json"))
-        )
+            if f.endswith((".jsonl", ".json")) and not f.startswith("_")
+        )  # underscore-prefixed = uncommitted/staged (Hadoop convention)
         if not files:
             raise FileNotFoundError(f"no .jsonl files under {self._dir}")
         return [_FilePartition(p) for p in files]
@@ -124,3 +126,63 @@ class JsonlDataSource(DataSource):
 
     def reader(self, schema) -> JsonlReader:
         return JsonlReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool) -> "JsonlWriter":
+        return JsonlWriter(schema, self.options, overwrite)
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class JsonlWriter(DataSourceWriter):
+    """Transactional JSONL sink — the two-phase commit every real
+    connector needs: each task writes its rows to a STAGED file named
+    by a random token (executor-side ``write``), and only the driver's
+    ``commit`` renames the staged files to visible ``part-*.jsonl``
+    names once every task has succeeded. A reader never sees a partial
+    job: failed/duplicate task attempts leave only staged files, which
+    ``abort`` (or the next overwrite) sweeps. Speculative/retried
+    attempts stage under distinct tokens and only the committed
+    attempt's message gets renamed — exactly-once output from
+    at-least-once task execution, the same contract as the
+    foreachBatch upsert's pointer flip."""
+
+    def __init__(self, schema, options, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("burla_jsonl requires .option('path', ...)")
+        self._dir = path
+        self._fields = [f.name for f in schema.fields]
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _StagedFile:
+        import uuid
+
+        os.makedirs(self._dir, exist_ok=True)
+        staged = os.path.join(self._dir, f"_staged-{uuid.uuid4().hex}")
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps({k: row[k] for k in self._fields}) + "\n"
+                )
+        return _StagedFile(staged)
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for f in os.listdir(self._dir):
+                if f.startswith("part-") and f.endswith(".jsonl"):
+                    os.remove(os.path.join(self._dir, f))
+        for i, msg in enumerate(messages):
+            os.replace(
+                msg.path, os.path.join(self._dir, f"part-{i:05d}.jsonl")
+            )
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            if msg is not None:
+                try:
+                    os.remove(msg.path)
+                except OSError:
+                    pass

@@ -324,3 +324,41 @@ def test_python_streaming_datasource_microbatch_protocol(spark):
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
     assert len(q.recentProgress) >= 4  # it really ran as micro-batches
+
+
+def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
+    """The custom sink's staged-write/commit protocol: a round trip
+    through write + read returns the exact rows, committed files are
+    part-*.jsonl with no staged leftovers, and overwrite replaces the
+    previous committed set."""
+    from burla_spark.sources.pydatasource import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    out = str(tmp_path / "sink")
+    df = spark.range(20).selectExpr("id AS doc_id", "concat('t', id) AS text")
+    df.repartition(3).write.format("burla_jsonl").option("path", out).mode(
+        "append"
+    ).save()
+    import os
+
+    names = sorted(os.listdir(out))
+    assert all(n.startswith("part-") and n.endswith(".jsonl") for n in names)
+    back = (
+        spark.read.format("burla_jsonl")
+        .schema("doc_id long, text string")
+        .option("path", out)
+        .load()
+    )
+    assert sorted((r.doc_id, r.text) for r in back.collect()) == [
+        (i, f"t{i}") for i in range(20)
+    ]
+    spark.range(5).selectExpr("id AS doc_id", "'x' AS text").write.format(
+        "burla_jsonl"
+    ).option("path", out).mode("overwrite").save()
+    back2 = (
+        spark.read.format("burla_jsonl")
+        .schema("doc_id long, text string")
+        .option("path", out)
+        .load()
+    )
+    assert back2.count() == 5
