@@ -10,6 +10,7 @@ from burla_spark.plans.base import QuerySpec
 from burla_spark.streaming.events import (
     stream_click_purchase_join,
     stream_left_outer_join,
+    stream_timer_sessions,
     stream_upsert_user_totals,
     stream_sliding_counts,
     stream_watermark_dedup,
@@ -84,6 +85,26 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM events GROUP BY user_id
 """
 
+STREAM_TIMER_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+           OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS session_value
+FROM sessions GROUP BY user_id, seq
+"""
+
 STREAM_LEFT_OUTER_SQL = """
 SELECT c.user_id,
        c.event_id AS click_id,
@@ -127,6 +148,15 @@ SPECS: list[QuerySpec] = [
         STREAM_CLICK_PURCHASE_SQL,
         ("streaming", "join"),
         doc="Stream-stream interval join with two-sided watermarks.",
+    ),
+    QuerySpec(
+        "stream_timer_sessions",
+        stream_timer_sessions,
+        STREAM_TIMER_SESSIONS_SQL,
+        ("streaming", "state", "timer"),
+        doc="EventTimeTimeout timer-driven sessionization in arbitrary "
+        "state; watermark-fired emission equals batch sessionize exactly "
+        "(sentinel replay flushes the tail).",
     ),
     QuerySpec(
         "stream_left_outer_join",

@@ -572,6 +572,126 @@ def run_upsert_totals(
     return read_upsert_table(spark, target_dir)
 
 
+def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timer-driven sessionization — arbitrary state with
+    ``GroupStateTimeout.EventTimeTimeout``: each user's events buffer
+    in explicit state, a per-key event-time TIMER is registered past
+    the last activity, and sessions are emitted when the WATERMARK
+    fires the timer — not when more data happens to arrive for the
+    key. That timer path is what session_window cannot express for
+    custom logic (emit-on-inactivity with arbitrary per-session
+    payloads) and is the one arbitrary-state mode the other stateful
+    queries don't exercise (they use NoTimeout).
+
+    The sentinel replay (see _events_dir_with_sentinels) advances the
+    final watermark past every real timer, so every real session
+    flushes and the batch sessionize aggregation is an exact oracle.
+    30-minute gap, same as events_sessionize."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from burla_spark.sources.tables import normalize_events_ts
+
+    gap_us = 30 * 60 * 1_000_000
+    stream_dir = _events_dir_with_sentinels(spark, sf_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    s = normalize_events_ts(raw).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+
+    def sessionize(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            ts_list, v_list = state.get
+            rows = sorted(zip(ts_list, v_list))
+            state.remove()
+            out = []
+            start = prev = None
+            cur_ts: list[int] = []
+            cur_v: list[float] = []
+
+            def close():
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "session_start_us": start,
+                        "session_end_us": prev,
+                        "n_events": len(cur_ts),
+                        "session_value": round(math.fsum(cur_v), 2),
+                    }
+                )
+
+            for t, v in rows:
+                if start is None:
+                    start = t
+                elif t - prev > gap_us:
+                    close()
+                    start = t
+                    cur_ts, cur_v = [], []
+                prev = t
+                cur_ts.append(t)
+                if v is not None and v == v:  # skip NULL/NaN like SQL SUM
+                    cur_v.append(v)
+            if start is not None:
+                close()
+            yield pd.DataFrame(out)
+            return
+        ts_list, v_list = state.get if state.exists else ([], [])
+        ts_list, v_list = list(ts_list), list(v_list)
+        for pdf in pdfs:
+            ts_list.extend(int(t) for t in pdf["ts_us"])
+            v_list.extend(
+                float(v) if v == v else float("nan") for v in pdf["value"]
+            )
+        state.update((ts_list, v_list))
+        # fire once no event can extend the last session: the watermark
+        # passing (last activity + gap) proves the session closed
+        state.setTimeoutTimestamp(max(ts_list) // 1000 + gap_us // 1000)
+        yield pd.DataFrame(
+            [],
+            columns=[
+                "user_id",
+                "session_start_us",
+                "session_end_us",
+                "n_events",
+                "session_value",
+            ],
+        )
+
+    sessions = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType=(
+                "user_id long, session_start_us long, session_end_us long, "
+                "n_events long, session_value double"
+            ),
+            stateStructType="ts_list array<long>, v_list array<double>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    run_stream_to_table(sessions, "stream_timer_sessions", "append")
+    return (
+        spark.table("stream_timer_sessions")
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("session_start_us")).alias("session_start"),
+            F.timestamp_micros(F.col("session_end_us")).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transformWithStateInPandas (Spark 4's stateful-processor API,
     successor to applyInPandasWithState): per-user event count + exact
