@@ -319,6 +319,10 @@ def _events_dir_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
     max_ts = pq.read_table(
         [os.path.join(tmp, f) for f in sorted(os.listdir(tmp))], columns=["ts"]
     )["ts"].to_pandas().max()
+    import pandas as _pd
+
+    if _pd.isna(max_ts):  # empty fixture (degraded sweep): any base works
+        max_ts = _pd.Timestamp("2024-01-01")
     ts_type = schema.field("ts").type
     import pandas as pd
 
@@ -645,10 +649,27 @@ def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_list, v_list = state.get if state.exists else ([], [])
         ts_list, v_list = list(ts_list), list(v_list)
         for pdf in pdfs:
-            ts_list.extend(int(t) for t in pdf["ts_us"])
+            # rows with NULL ts carry no event time — excluded, like
+            # every window/aggregation path treats them
+            ok = pdf["ts_us"].notna()
+            ts_list.extend(int(t) for t in pdf.loc[ok, "ts_us"])
             v_list.extend(
-                float(v) if v == v else float("nan") for v in pdf["value"]
+                float(v) if v == v else float("nan")
+                for v in pdf.loc[ok, "value"]
             )
+        if not ts_list:
+            state.remove()
+            yield pd.DataFrame(
+                [],
+                columns=[
+                    "user_id",
+                    "session_start_us",
+                    "session_end_us",
+                    "n_events",
+                    "session_value",
+                ],
+            )
+            return
         state.update((ts_list, v_list))
         # fire once no event can extend the last session: the watermark
         # passing (last activity + gap) proves the session closed
