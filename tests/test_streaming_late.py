@@ -178,3 +178,32 @@ def test_upsert_stream_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     }
     got = {(r.user_id, r.n_events, r.total_value) for r in final.collect()}
     assert got == expected
+
+
+def test_rocksdb_state_store_provider_matches_default(spark, sf_dir):
+    """The production state backend: RocksDB state store (bundled with
+    Spark 4) instead of the default HDFS-backed in-memory maps — at
+    scale, state spills to local disk instead of capping executor
+    heap. Same stateful query, same results, different provider."""
+    from burla_spark.streaming.events import stream_stateful_user_stats
+
+    baseline = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in stream_stateful_user_stats(spark, sf_dir).collect()
+    }
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = {
+            (r.user_id, r.n_events, r.total_value)
+            for r in stream_stateful_user_stats(spark, sf_dir).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert got == baseline and len(got) > 0
