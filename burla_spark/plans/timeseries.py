@@ -595,6 +595,60 @@ ORDER BY p.prev_type, p.next_type
 """
 
 
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-sequence pattern matching (MATCH_RECOGNIZE /
+    ClickHouse sequenceMatch territory, composed from lead chains):
+    occurrences of the exact view→click→purchase pattern in each
+    user's time-ordered stream with NO intervening events — stricter
+    than the funnel, which allows gaps. Ties in the ordering break on
+    event_id so the lead sequence is a total order on both engines.
+
+    100 TB shape: one shuffle on user_id for the window, map-side lead
+    evaluation, then a user-cardinality aggregate. A k-step pattern is
+    k-1 leads — no self-joins, no explosion."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hit = (
+        (F.col("event_type") == "view")
+        & (F.lead("event_type", 1).over(w) == "click")
+        & (F.lead("event_type", 2).over(w) == "purchase")
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            hit.cast("long").alias("is_match"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_match").alias("n_matches"),
+            F.min(F.when(F.col("is_match") == 1, F.col("event_id"))).alias(
+                "first_match_event"
+            ),
+        )
+        .filter(F.col("n_matches") > 0)
+        .orderBy("user_id")
+    )
+
+
+SEQUENCE_PATTERN_SQL = """
+WITH seq AS (
+  SELECT user_id, event_id,
+    CASE WHEN event_type = 'view'
+          AND LEAD(event_type, 1) OVER w = 'click'
+          AND LEAD(event_type, 2) OVER w = 'purchase'
+         THEN 1 ELSE 0 END AS is_match
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(SUM(is_match) AS BIGINT) AS n_matches,
+       MIN(CASE WHEN is_match = 1 THEN event_id END) AS first_match_event
+FROM seq GROUP BY user_id HAVING SUM(is_match) > 0
+ORDER BY user_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "interval_overlap_join",
@@ -634,6 +688,13 @@ SPECS: list[QuerySpec] = [
         ERROR_SPIKES_SQL,
         ("timeseries", "window", "monitoring"),
         doc="Error-count spikes vs a trailing 6-bucket window frame.",
+    ),
+    QuerySpec(
+        "sequence_pattern_match",
+        sequence_pattern_match,
+        SEQUENCE_PATTERN_SQL,
+        ("timeseries", "analytics", "window"),
+        doc="Consecutive view->click->purchase pattern occurrences per user.",
     ),
     QuerySpec(
         "event_transition_matrix",
