@@ -361,70 +361,76 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     view must not count), and exact integer-microsecond arithmetic
     (SUM DIV COUNT) keeps the means engine-exact.
 
-    100 TB shape: three user-key aggregations/joins, all on the same
-    shuffle key so AQE reuses the exchange; per-stage tables shrink
-    monotonically (only users who reached stage k-1 are joined for
-    stage k)."""
+    100 TB shape: ONE scan and ONE shuffle on user_id — the staged
+    minima chain as stacked full-partition window aggregates over the
+    same partitioning (Catalyst evaluates them in one sort-free window
+    pass; an earlier 3-join formulation re-scanned events six times),
+    then a user-cardinality aggregate collapses to the single result
+    row."""
     e = load_table(spark, sf_dir, "events")
-    t1 = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min(F.unix_micros("ts")).alias("t1"))
-    )
-    t2 = (
-        e.filter(F.col("event_type") == "click")
-        .select("user_id", F.unix_micros("ts").alias("us"))
-        .join(t1, "user_id")
-        .filter(F.col("us") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
-    )
-    t3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .select("user_id", F.unix_micros("ts").alias("us"))
-        .join(t2, "user_id")
-        .filter(F.col("us") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t3"), F.min("t2").alias("t2"))
-    )
-    return (
-        t1.agg(F.count("*").alias("n_viewed"))
-        .crossJoin(
-            t2.agg(
-                F.count("*").alias("n_clicked_after_view"),
-                F.expr("sum(t2 - t1) div count(*)").alias("avg_view_to_click_us"),
-            )
+    wu = Window.partitionBy("user_id")
+    us = F.unix_micros("ts")
+    staged = (
+        e.select("user_id", "event_type", us.alias("us"))
+        .withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(wu),
         )
-        .crossJoin(
-            t3.agg(
-                F.count("*").alias("n_purchased_after_click"),
-                F.expr("sum(t3 - t2) div count(*)").alias("avg_click_to_purchase_us"),
-            )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("us") > F.col("t1")),
+                    F.col("us"),
+                )
+            ).over(wu),
         )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") > F.col("t2")),
+                    F.col("us"),
+                )
+            ).over(wu),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after_view"),
+        F.expr("sum(t2 - t1) div count(t2)").alias("avg_view_to_click_us"),
+        F.count("t3").alias("n_purchased_after_click"),
+        F.expr("sum(t3 - t2) div count(t3)").alias("avg_click_to_purchase_us"),
     )
 
 
 FUNNEL_SQL = """
-WITH t1 AS (
-  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
-  WHERE event_type = 'view' GROUP BY user_id
-), t2 AS (
-  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2, MIN(t1.t1) AS t1
-  FROM events e JOIN t1 ON t1.user_id = e.user_id
-  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
-  GROUP BY e.user_id
-), t3 AS (
-  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3, MIN(t2.t2) AS t2
-  FROM events e JOIN t2 ON t2.user_id = e.user_id
-  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
-  GROUP BY e.user_id
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), w1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+              OVER (PARTITION BY user_id) AS t1 FROM base
+), w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+              OVER (PARTITION BY user_id) AS t2 FROM w1
+), w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+              OVER (PARTITION BY user_id) AS t3 FROM w2
+), per_user AS (
+  SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+  FROM w3 GROUP BY user_id
 )
-SELECT
-  (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_viewed,
-  (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n_clicked_after_view,
-  (SELECT SUM(t2 - t1) // COUNT(*) FROM t2) AS avg_view_to_click_us,
-  (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n_purchased_after_click,
-  (SELECT SUM(t3 - t2) // COUNT(*) FROM t3) AS avg_click_to_purchase_us
+SELECT CAST(COUNT(t1) AS BIGINT) AS n_viewed,
+       CAST(COUNT(t2) AS BIGINT) AS n_clicked_after_view,
+       SUM(t2 - t1) // COUNT(t2) AS avg_view_to_click_us,
+       CAST(COUNT(t3) AS BIGINT) AS n_purchased_after_click,
+       SUM(t3 - t2) // COUNT(t3) AS avg_click_to_purchase_us
+FROM per_user
 """
 
 

@@ -39,7 +39,6 @@ BNLJ_OK = {
     "temperature_mixture_weights",  # 1-row (tok_total, z) normalizer broadcast
     "embedding_pq_topk",  # query-set LUT broadcast × codes scan (ADC contract)
     "pagerank_fixed_point",  # 1-row node-count broadcast per iteration
-    "funnel_conversion",  # crossJoin of three 1-row stage aggregates
     "sql_defined_functions",  # 3-row quantity-band table, theta (BETWEEN) join
 }
 
