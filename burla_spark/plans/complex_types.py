@@ -167,7 +167,7 @@ def variant_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 VARIANT_JSON_SQL = """
 SELECT event_type,
        COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events

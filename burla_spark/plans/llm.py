@@ -340,7 +340,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_TOKEN_STATS_SQL = r"""
 SELECT lang,
   COUNT(*) AS n_docs,
-  SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
   CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens,
   MIN(n_chars) AS min_chars,
   MAX(n_chars) AS max_chars
@@ -1404,7 +1404,7 @@ def multimodal_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_META_SQL = """
 SELECT source,
        COUNT(*) AS n_blobs,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        COUNT(DISTINCT sha256(text)) AS n_distinct_payloads,
        MIN(sha256(text)) AS min_sha
 FROM documents

@@ -100,7 +100,7 @@ SELECT l_returnflag,
        MIN(td) AS min_safe_ratio,
        MAX(td) AS max_safe_ratio,
        COUNT(tc) AS n_cast_ok,
-       SUM(l_linenumber + 1) AS sum_ln1
+       CAST(SUM(l_linenumber + 1) AS BIGINT) AS sum_ln1
 FROM t
 GROUP BY l_returnflag
 ORDER BY l_returnflag

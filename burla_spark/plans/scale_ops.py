@@ -351,7 +351,7 @@ it3 AS (
   FROM edges e JOIN it2 r ON r.node = e.src JOIN deg d ON d.node = e.src, n
   GROUP BY e.dst, n.n_nodes
 )
-SELECT node, r AS rank_fp FROM it3 ORDER BY r DESC, node LIMIT 25
+SELECT node, CAST(r AS BIGINT) AS rank_fp FROM it3 ORDER BY r DESC, node LIMIT 25
 """
 
 

@@ -143,7 +143,7 @@ sessions AS (
   FROM flagged
 )
 SELECT
-  user_id, session_seq,
+  user_id, CAST(session_seq AS BIGINT) AS session_seq,
   MIN(ts) AS session_start,
   MAX(ts) AS session_end,
   COUNT(*) AS n_events,
@@ -427,9 +427,9 @@ WITH base AS (
 )
 SELECT CAST(COUNT(t1) AS BIGINT) AS n_viewed,
        CAST(COUNT(t2) AS BIGINT) AS n_clicked_after_view,
-       SUM(t2 - t1) // COUNT(t2) AS avg_view_to_click_us,
+       CAST(SUM(t2 - t1) // COUNT(t2) AS BIGINT) AS avg_view_to_click_us,
        CAST(COUNT(t3) AS BIGINT) AS n_purchased_after_click,
-       SUM(t3 - t2) // COUNT(t3) AS avg_click_to_purchase_us
+       CAST(SUM(t3 - t2) // COUNT(t3) AS BIGINT) AS avg_click_to_purchase_us
 FROM per_user
 """
 

@@ -247,7 +247,7 @@ def process_aggregate_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROCESS_AGG_PREDICT_SQL = """
 SELECT user_id,
   COUNT(*) AS n_events,
-  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
   0.25 * COUNT(*) + 1.5 * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS score
 FROM events
