@@ -76,32 +76,29 @@ def all_specs() -> list[QuerySpec]:
     return specs
 
 
-# Names with no row in CORRECTNESS_r01-r03 (driver samples 50/round), plus
-# the two round-3 rows invalidated by fixes this round.
-# corpus_curation_pipeline is deliberately deferred to slot 51: it is a
-# composite of ops that are all individually in the window, and the two
-# re-green rows outrank it for the 50-slot budget.
+# Round-5 rotation, recomputed from CORRECTNESS_r0{1..4}.json: the 24
+# specs with no driver row through r04 (closing cumulative coverage at
+# 153/153), plus the 6 r04 hash-fail rows whose oracle SQL was fixed
+# this round (uncast HUGEINT aggregates -> CAST AS BIGINT) and need a
+# fresh driver verdict.  30 priority slots; the driver's 50-slot sample
+# fills the rest from the layer-interleaved remainder.
 _DRIVER_PRIORITY = frozenset(
     {
-        "pivot_status_matrix", "q9_profit_by_nation",
-        "regexp_groups", "q20_heavy_shippers", "array_set_operations",
-        "null_handling", "posexplode_token_positions", "variant_json_agg",
-        "events_asof_join", "ngram_jaccard_pairs", "class_weights",
-        "stream_key_dedup", "applyinpandas_grouped", "mapinarrow_projection",
-        "q21_sole_failing_supplier", "grouping_id_flags", "scd2_merge",
-        "stratified_sample_stats", "events_sessionize", "minhash_dedup_pairs",
-        "group_sample_rows", "stream_sliding_counts", "mapinpandas_iterator",
-        "applyinarrow_grouped", "hash_encoding_functions",
-        "events_resample_gapfill", "simhash_dedup_groups",
-        "stream_watermark_dedup", "python_udtf_tokens", "join_null_safe",
-        "embedding_cosine_topk", "stream_stateful_user_stats",
-        "process_aggregate_predict", "agg_bitwise_stringagg",
-        "embedding_lsh_topk", "try_arithmetic_nullsafe", "embedding_ivf_topk",
-        "dedup_components", "dedup_components_exact", "fuzzy_name_pairs",
-        "text_token_stats", "text_quality_scores", "lang_id_heuristic",
-        "doc_fingerprints", "kmeans_cluster_sizes",
-        "multimodal_feature_extract", "multimodal_decode_resize",
-        "multimodal_blob_metadata", "token_pieces_stats", "embedding_neardup",
+        # never sampled r01-r04
+        "sql_defined_functions", "stream_timer_sessions",
+        "stream_left_outer_join", "pagerank_fixed_point",
+        "stream_upsert_user_totals", "temperature_mixture_weights",
+        "funnel_conversion", "winsorize_quantity_stats", "cohort_retention",
+        "target_encoding_loo", "error_rate_spikes", "weighted_sample_orders",
+        "sequence_pattern_match", "embedding_pq_topk",
+        "event_transition_matrix", "corpus_curation_pipeline",
+        "sequence_packing", "bm25_scores", "decontamination_overlap",
+        "unigram_logprob_scores", "bigram_logprob_scores", "pii_redaction",
+        "chunk_documents_overlap", "compression_ratio_scores",
+        # r04 hash-fail rows re-greened by the oracle BIGINT casts
+        "variant_json_agg", "events_sessionize", "process_aggregate_predict",
+        "try_arithmetic_nullsafe", "text_token_stats",
+        "multimodal_blob_metadata",
     }
 )
 
