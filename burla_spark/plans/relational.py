@@ -265,10 +265,10 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     return (
         p.filter(
-            F.col("p_brand").isin("Brand#1", "Brand#13", "Brand#23")
-            & F.col("p_size").between(10, 40)
-            & F.col("p_type").like("%ECONOMY%")
-            & F.col("p_name").rlike("(key|scan|row)")
+            F.col("p_brand").isin("Brand#1", "Brand#13", "Brand#23", "Brand#7", "Brand#9")
+            & F.col("p_size").between(5, 45)
+            & F.col("p_type").isin("ECONOMY", "STANDARD", "PROMO")
+            & F.col("p_name").rlike("(ring|bolt|gear|widget|gizmo)")
             & F.col("p_retailprice").isNotNull()
         )
         .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
@@ -278,10 +278,10 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 FILTER_PREDICATES_SQL = """
 SELECT p_partkey, p_name, p_brand, p_type, p_size
 FROM part
-WHERE p_brand IN ('Brand#1', 'Brand#13', 'Brand#23')
-  AND p_size BETWEEN 10 AND 40
-  AND p_type LIKE '%ECONOMY%'
-  AND regexp_matches(p_name, '(key|scan|row)')
+WHERE p_brand IN ('Brand#1', 'Brand#13', 'Brand#23', 'Brand#7', 'Brand#9')
+  AND p_size BETWEEN 5 AND 45
+  AND p_type IN ('ECONOMY', 'STANDARD', 'PROMO')
+  AND regexp_matches(p_name, '(ring|bolt|gear|widget|gizmo)')
   AND p_retailprice IS NOT NULL
 """
 

@@ -203,7 +203,11 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 # ---------------------------------------------------------------------------
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    # "idle" = no premium order (>375k): the synthetic fixture gives
+    # every customer at least one order, so the classic Q22 no-orders
+    # anti-join is vacuously empty — anti-join a filtered build side
+    # instead (same plan shape, non-degenerate answer at every SF).
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 375000)
     # scalar subquery as crossJoin(broadcast(1-row agg)) — one lazy
     # plan, no driver round-trip, and the filter stays pushable.
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
@@ -230,7 +234,8 @@ WHERE c_acctbal > (
     SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c_acctbal)
     FROM customer WHERE c_acctbal > 0
   )
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 375000)
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
