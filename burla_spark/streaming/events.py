@@ -576,23 +576,81 @@ def run_upsert_totals(
     return read_upsert_table(spark, target_dir)
 
 
+def _scale_decimal4(v) -> int:
+    """value -> integer 1e-4 units, exactly as DuckDB/Spark cast DOUBLE
+    to DECIMAL(18,4): round half away from zero on the binary double.
+    Verified equal to DuckDB's cast on every distinct fixture value."""
+    import math
+
+    if v is None or v != v:  # NULL / NaN contribute nothing, like SQL SUM
+        return 0
+    r = float(v) * 10000.0
+    return int(math.copysign(math.floor(abs(r) + 0.5), r))
+
+
+def _round_decimal4_to_2dp(scaled: int) -> float:
+    """ROUND(DECIMAL(18,4) sum, 2) -> DOUBLE, half away from zero —
+    integer arithmetic end to end so the stream agrees bit-for-bit with
+    the oracle's decimal accumulation (no binary-float drift, no
+    banker's rounding)."""
+    q, r = divmod(abs(scaled), 100)
+    if r >= 50:
+        q += 1
+    return (q if scaled >= 0 else -q) / 100.0
+
+
+def _merge_pending_sessions(
+    sessions: list[tuple[int, int, int, int]],
+    events: list[tuple[int, int]],
+    gap_us: int,
+) -> list[tuple[int, int, int, int]]:
+    """Merge new (ts_us, scaled_value) events into the pending-session
+    list, each session a (start_us, last_us, n_events, sum_scaled)
+    tuple.  Classic interval merge with a gap: an event lands in an
+    existing session when it is within ``gap_us`` of the session span
+    (including a late in-gap arrival that BRIDGES two pending sessions
+    — both collapse into one).  Pure function, unit-tested directly."""
+    merged: list[tuple[int, int, int, int]] = []
+    pending = sorted(sessions + [(t, t, 1, sv) for t, sv in events])
+    for s in pending:
+        if merged and s[0] - merged[-1][1] <= gap_us:
+            p = merged[-1]
+            merged[-1] = (p[0], max(p[1], s[1]), p[2] + s[2], p[3] + s[3])
+        else:
+            merged.append(s)
+    return merged
+
+
 def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timer-driven sessionization — arbitrary state with
-    ``GroupStateTimeout.EventTimeTimeout``: each user's events buffer
-    in explicit state, a per-key event-time TIMER is registered past
-    the last activity, and sessions are emitted when the WATERMARK
-    fires the timer — not when more data happens to arrive for the
-    key. That timer path is what session_window cannot express for
-    custom logic (emit-on-inactivity with arbitrary per-session
-    payloads) and is the one arbitrary-state mode the other stateful
-    queries don't exercise (they use NoTimeout).
+    ``GroupStateTimeout.EventTimeTimeout``: per-key state holds only
+    the PENDING sessions (start, last, count, decimal-scaled sum), a
+    per-key event-time TIMER is registered past the last activity, and
+    a session is emitted exactly when the WATERMARK passes its end +
+    gap — not when more data happens to arrive for the key. That timer
+    path is what session_window cannot express for custom logic
+    (emit-on-inactivity with arbitrary per-session payloads).
+
+    State is O(1) per key, not O(events): each pending session is a
+    4-tuple, and the number of pending sessions is bounded by
+    (watermark lag / gap) + 1 — with the 10-minute watermark and
+    30-minute gap that is at most 2 — because any session whose end
+    trails the watermark by more than the gap is closed and emitted.
+    Late in-gap arrivals (admitted by the watermark, older than the
+    open session's last event) merge into — or bridge — pending
+    sessions in _merge_pending_sessions; events late enough to need a
+    CLOSED session are dropped by Spark's watermark filter before the
+    function sees them, which is exactly the contract that makes
+    closing at (end + gap < watermark) safe.
+
+    Sums accumulate as integer 1e-4 units (the oracle's DECIMAL(18,4))
+    and round half-away-from-zero at 2 dp, so the stream matches the
+    decimal oracle bit-for-bit instead of via float fsum luck.
 
     The sentinel replay (see _events_dir_with_sentinels) advances the
     final watermark past every real timer, so every real session
     flushes and the batch sessionize aggregation is an exact oracle.
     30-minute gap, same as events_sessionize."""
-    import math
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -610,80 +668,58 @@ def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.unix_micros("ts").alias("ts_us"), "value"
     ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
 
+    out_cols = [
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        "session_value",
+    ]
+
     def sessionize(key, pdfs, state: GroupState):
-        if state.hasTimedOut:
-            ts_list, v_list = state.get
-            rows = sorted(zip(ts_list, v_list))
-            state.remove()
-            out = []
-            start = prev = None
-            cur_ts: list[int] = []
-            cur_v: list[float] = []
-
-            def close():
-                out.append(
-                    {
-                        "user_id": key[0],
-                        "session_start_us": start,
-                        "session_end_us": prev,
-                        "n_events": len(cur_ts),
-                        "session_value": round(math.fsum(cur_v), 2),
-                    }
+        if state.exists:
+            starts, lasts, counts, sums = state.get
+            pending = list(zip(starts, lasts, counts, sums))
+        else:
+            pending = []
+        events: list[tuple[int, int]] = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                # rows with NULL ts carry no event time — excluded,
+                # like every window/aggregation path treats them
+                ok = pdf["ts_us"].notna()
+                events.extend(
+                    (int(t), _scale_decimal4(v))
+                    for t, v in zip(pdf.loc[ok, "ts_us"], pdf.loc[ok, "value"])
                 )
-
-            for t, v in rows:
-                if start is None:
-                    start = t
-                elif t - prev > gap_us:
-                    close()
-                    start = t
-                    cur_ts, cur_v = [], []
-                prev = t
-                cur_ts.append(t)
-                if v is not None and v == v:  # skip NULL/NaN like SQL SUM
-                    cur_v.append(v)
-            if start is not None:
-                close()
-            yield pd.DataFrame(out)
-            return
-        ts_list, v_list = state.get if state.exists else ([], [])
-        ts_list, v_list = list(ts_list), list(v_list)
-        for pdf in pdfs:
-            # rows with NULL ts carry no event time — excluded, like
-            # every window/aggregation path treats them
-            ok = pdf["ts_us"].notna()
-            ts_list.extend(int(t) for t in pdf.loc[ok, "ts_us"])
-            v_list.extend(
-                float(v) if v == v else float("nan")
-                for v in pdf.loc[ok, "value"]
-            )
-        if not ts_list:
-            state.remove()
-            yield pd.DataFrame(
-                [],
-                columns=[
-                    "user_id",
-                    "session_start_us",
-                    "session_end_us",
-                    "n_events",
-                    "session_value",
-                ],
-            )
-            return
-        state.update((ts_list, v_list))
-        # fire once no event can extend the last session: the watermark
-        # passing (last activity + gap) proves the session closed
-        state.setTimeoutTimestamp(max(ts_list) // 1000 + gap_us // 1000)
+        pending = _merge_pending_sessions(pending, events, gap_us)
+        # close every session the watermark has passed: no admissible
+        # event (ts >= watermark) can land within its gap anymore
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed = [p for p in pending if p[1] + gap_us < wm_us]
+        pending = [p for p in pending if p[1] + gap_us >= wm_us]
         yield pd.DataFrame(
-            [],
-            columns=[
-                "user_id",
-                "session_start_us",
-                "session_end_us",
-                "n_events",
-                "session_value",
+            [
+                {
+                    "user_id": key[0],
+                    "session_start_us": start,
+                    "session_end_us": last,
+                    "n_events": n,
+                    "session_value": _round_decimal4_to_2dp(sv),
+                }
+                for start, last, n, sv in closed
             ],
+            columns=out_cols,
         )
+        if pending:
+            state.update(tuple(list(col) for col in zip(*pending)))
+            # fire when the watermark proves the earliest pending
+            # session closed (strictly past last + gap)
+            state.setTimeoutTimestamp(
+                min(p[1] for p in pending) // 1000 + gap_us // 1000 + 1
+            )
+        else:
+            state.remove()
 
     sessions = (
         s.withWatermark("ts", "10 minutes")
@@ -694,7 +730,10 @@ def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id long, session_start_us long, session_end_us long, "
                 "n_events long, session_value double"
             ),
-            stateStructType="ts_list array<long>, v_list array<double>",
+            stateStructType=(
+                "starts array<long>, lasts array<long>, "
+                "counts array<long>, sums array<long>"
+            ),
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -207,3 +207,58 @@ def test_rocksdb_state_store_provider_matches_default(spark, sf_dir):
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     assert got == baseline and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# O(1)-state timer sessionization: the state invariants, tested on the
+# extracted pure functions (no Spark needed)
+# ---------------------------------------------------------------------------
+def test_merge_pending_sessions_bounded_state():
+    """Pending-session state stays bounded (by watermark-lag/gap + 1,
+    here <= 2) no matter how many events flow through a key — the
+    round-5 rewrite's contract: state is O(1) per key, not O(events)."""
+    from burla_spark.streaming.events import _merge_pending_sessions
+
+    gap = 30 * 60 * 1_000_000
+    lag = 10 * 60 * 1_000_000  # watermark delay
+    pending, emitted = [], []
+    t = 0
+    for i in range(5000):
+        # bursts of activity separated by > gap every 40 events
+        t += gap + 1 if i % 40 == 39 else 60_000_000
+        pending = _merge_pending_sessions(pending, [(t, 100)], gap)
+        wm = t - lag
+        emitted += [p for p in pending if p[1] + gap < wm]
+        pending = [p for p in pending if p[1] + gap >= wm]
+        assert len(pending) <= 2, f"state grew to {len(pending)} sessions"
+    total = sum(p[2] for p in pending) + sum(e[2] for e in emitted)
+    assert total == 5000  # no event lost or double-counted
+
+
+def test_merge_pending_sessions_late_bridge():
+    """A late in-gap arrival that lands BETWEEN two pending sessions
+    must collapse them into one (the explicit late-arrival case)."""
+    from burla_spark.streaming.events import _merge_pending_sessions
+
+    gap = 100
+    a = _merge_pending_sessions([], [(0, 1), (50, 2)], gap)
+    b = _merge_pending_sessions(a, [(230, 4)], gap)
+    assert len(b) == 2  # two sessions: [0,50] and [230] (180 > gap)
+    bridged = _merge_pending_sessions(b, [(150, 8)], gap)  # late, bridges
+    assert bridged == [(0, 230, 4, 15)]
+
+
+def test_decimal4_rounding_matches_oracle_semantics():
+    """Half-away-from-zero at both the 4-dp cast and the 2-dp round —
+    the decimal path DuckDB's DECIMAL(18,4) oracle takes (banker's
+    rounding on binary floats was the latent flake ADVICE flagged)."""
+    from burla_spark.streaming.events import _round_decimal4_to_2dp, _scale_decimal4
+
+    assert _scale_decimal4(0.00005) == 1  # half away, not half even
+    assert _scale_decimal4(-0.00005) == -1
+    assert _scale_decimal4(None) == 0 and _scale_decimal4(float("nan")) == 0
+    assert _round_decimal4_to_2dp(1250) == 0.13  # 0.1250 -> 0.13
+    assert _round_decimal4_to_2dp(-1250) == -0.13
+    assert _round_decimal4_to_2dp(26750) == 2.68
+    # sum of many 0.01s is exact in scaled ints (would drift in binary)
+    assert _round_decimal4_to_2dp(sum([100] * 3)) == 0.03
