@@ -171,12 +171,26 @@ class JsonlWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         if self._overwrite:
+            base = 0
             for f in os.listdir(self._dir):
                 if f.startswith("part-") and f.endswith(".jsonl"):
                     os.remove(os.path.join(self._dir, f))
+        else:
+            # append mode: committed names must never collide with a
+            # previous job's part files — start numbering past the
+            # highest existing index instead of clobbering from 0
+            existing = [
+                f
+                for f in os.listdir(self._dir)
+                if f.startswith("part-") and f.endswith(".jsonl")
+            ]
+            base = 1 + max(
+                (int(f[len("part-") : -len(".jsonl")]) for f in existing),
+                default=-1,
+            )
         for i, msg in enumerate(messages):
             os.replace(
-                msg.path, os.path.join(self._dir, f"part-{i:05d}.jsonl")
+                msg.path, os.path.join(self._dir, f"part-{base + i:05d}.jsonl")
             )
 
     def abort(self, messages) -> None:

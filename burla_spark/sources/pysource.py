@@ -109,11 +109,23 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
         return {"pos": 0}
 
     def latestOffset(self):
-        self._pos = min(self._pos + self.rows_per_batch, self.max_rows)
+        # advance from the furthest position SPARK has shown us
+        # (checkpointed starts via partitions(), durable ends via
+        # commit()) — a fresh reader after a checkpoint restart must
+        # not advertise below the committed start (in-memory _pos
+        # alone restarts at 0 and would break exactly-once)
+        base = max(self._pos, self._committed)
+        self._pos = min(base + self.rows_per_batch, self.max_rows)
         return {"pos": self._pos}
 
     def partitions(self, start, end):
         lo, hi = start["pos"], end["pos"]
+        # rehydrate the cursor from the engine-supplied offsets; if a
+        # restarted run's first advertise trailed the checkpointed
+        # start, clamp to an EMPTY batch rather than re-reading rows
+        # before `start` (replay of committed rows = duplicates)
+        self._pos = max(self._pos, lo, hi)
+        hi = max(lo, hi)
         span = max(1, (hi - lo + self.n_parts - 1) // self.n_parts)
         return [
             _RangePartition(p, min(p + span, hi))
@@ -131,7 +143,8 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end):
-        self._committed = end["pos"]
+        self._committed = max(self._committed, end["pos"])
+        self._pos = max(self._pos, self._committed)
 
 
 def register(spark) -> None:

@@ -362,3 +362,74 @@ def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
         .load()
     )
     assert back2.count() == 5
+
+
+def test_jsonl_writer_append_never_clobbers_prior_parts(spark, tmp_path):
+    """ADVICE r04: append mode used to rename staged files to
+    part-00000.. from index 0, silently replacing the previous job's
+    committed parts. Committed names must offset past existing files
+    so two sequential append jobs both survive."""
+    from burla_spark.sources.pydatasource import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    out = str(tmp_path / "jsonl_append")
+    df1 = spark.range(0, 5).selectExpr("id", "id * 2 AS v")
+    df2 = spark.range(100, 103).selectExpr("id", "id * 2 AS v")
+    df1.coalesce(1).write.format("burla_jsonl").option("path", out).mode(
+        "append"
+    ).save()
+    df2.coalesce(1).write.format("burla_jsonl").option("path", out).mode(
+        "append"
+    ).save()
+    got = sorted(
+        map(tuple, spark.read.format("burla_jsonl").schema("id long, v long")
+            .option("path", out).load().collect())
+    )
+    assert got == [(i, i * 2) for i in [0, 1, 2, 3, 4, 100, 101, 102]]
+
+
+def test_synthetic_stream_checkpoint_restart_exactly_once(spark, tmp_path):
+    """ADVICE r04: the stream reader's offset cursor lived only in
+    instance state, so a restarted run advertised offsets below the
+    checkpointed start. Drive a real stop/restart against one
+    checkpoint: the union of both runs must be every row exactly once."""
+    import time
+
+    from burla_spark.sources.pysource import register
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "restart_out")
+
+    def run(until_rows):
+        q = (
+            spark.readStream.format("synthetic_events")
+            .option("maxRows", 400)
+            .option("rowsPerBatch", 50)
+            .option("seed", 11)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= until_rows:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+
+    run(150)  # first run: partial
+    n_first = spark.read.parquet(out).count()
+    assert 150 <= n_first < 400
+    run(400)  # second run resumes from the SAME checkpoint
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 400, f"restart produced {len(got)} rows (dupes or loss)"
+    assert sorted(r.event_id for r in got) == list(range(400))
