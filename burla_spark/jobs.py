@@ -159,12 +159,34 @@ def _write_manifest(base: str, job_id: str, doc: dict) -> None:
 
 
 def journal_start(spark: SparkSession, job_id: str, n_inputs: int, journal_dir: str | None = None) -> None:
+    now = time.time()
     _write_manifest(
         _journal_dir(spark, journal_dir),
         job_id,
         {"job_id": job_id, "status": "running", "n_inputs": n_inputs,
-         "started_at": time.time()},
+         "started_at": now, "heartbeat_at": now, "pid": os.getpid()},
     )
+
+
+HEARTBEAT_INTERVAL_S = 2.0
+HEARTBEAT_STALE_S = 30.0
+
+
+def journal_heartbeat(spark: SparkSession, job_id: str, journal_dir: str | None = None) -> None:
+    """Refresh a RUNNING manifest's heartbeat — lets a SECOND process
+    distinguish a live in-flight detached job from one whose driver
+    died mid-run (reference job_watcher.py keeps watching a detached
+    job server-side; file heartbeats are the single-machine analogue)."""
+    base = _journal_dir(spark, journal_dir)
+    try:
+        with open(_manifest_path(base, job_id)) as fh:
+            doc = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return
+    if doc.get("status") != "running":
+        return  # finished while we raced — never un-finish a manifest
+    doc["heartbeat_at"] = time.time()
+    _write_manifest(base, job_id, doc)
 
 
 def journal_finish(
@@ -230,9 +252,16 @@ def fetch_results(
         raise KeyError(f"no journaled job {job_id!r} under {base}") from exc
     status = manifest.get("status")
     if status == "running":
+        age = time.time() - manifest.get("heartbeat_at", manifest.get("started_at", 0))
+        if age > HEARTBEAT_STALE_S:
+            raise RuntimeError(
+                f"job {job_id} is marked running but its heartbeat is "
+                f"{age:.0f}s stale — the submitting driver likely died "
+                "mid-job; results were never journaled"
+            )
         raise RuntimeError(
-            f"job {job_id} is still running (or its driver died mid-job); "
-            "results are journaled only on completion"
+            f"job {job_id} is still running (live heartbeat "
+            f"{age:.1f}s ago); results are journaled only on completion"
         )
     if status == "error":
         raise RuntimeError(

@@ -32,6 +32,7 @@ import contextlib
 import io
 import pickle
 import sys
+import threading
 import traceback
 from collections.abc import Callable, Iterable, Iterator
 from contextlib import redirect_stdout
@@ -704,14 +705,28 @@ def remote_parallel_map(
             pass
 
         def journaled_action():
+            # heartbeat the RUNNING manifest so a second process can
+            # tell a live in-flight job from a dead driver's orphan
+            stop_beat = threading.Event()
+
+            def beat():
+                while not stop_beat.wait(jobs.HEARTBEAT_INTERVAL_S):
+                    try:
+                        jobs.journal_heartbeat(spark, job_id)
+                    except Exception:  # noqa: BLE001
+                        pass
+
+            threading.Thread(target=beat, daemon=True, name=f"{job_id}-beat").start()
             try:
                 rows_out = collect_rows()
             except BaseException as exc:
+                stop_beat.set()
                 try:
                     jobs.journal_fail(spark, job_id, exc)
                 except Exception:  # noqa: BLE001
                     pass
                 raise
+            stop_beat.set()
             try:
                 # error rows journal too — fetch_results re-raises them
                 # with the same fidelity a live call would have.

@@ -97,3 +97,75 @@ def test_cross_process_detach_fetch(spark, journal_dir):
     assert sorted(jobs.fetch_results(spark, job_id)) == [x + 100 for x in range(8)]
     with open(os.path.join(journal_dir, job_id, "manifest.json")) as fh:
         assert json.load(fh)["n_results"] == 8
+
+
+def test_cross_process_observes_running_then_fetches(spark, journal_dir):
+    """Round-5 narrowing of the in-flight divergence (reference
+    job_watcher.py:259,294-301): the manifest is journaled at SUBMIT
+    with state running + a live heartbeat, so a second process can
+    observe an in-flight detached job — and fetch its results once the
+    submitter finishes."""
+    import time
+
+    child = textwrap.dedent(
+        f"""
+        import sys, time
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        from burla_spark.session import get_spark
+        from burla_spark.rpm import remote_parallel_map
+        spark = get_spark(app_name="journal_running_child", shuffle_partitions=4)
+        spark.conf.set("spark.burla.jobJournalDir", {journal_dir!r})
+        def slow(x):
+            time.sleep(6)
+            return x * 7
+        job = remote_parallel_map(slow, range(4), spark=spark, detach=True)
+        print("JOB_ID=" + job.job_id, flush=True)
+        job.result(timeout=180)
+        spark.stop()
+        """
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child], stdout=subprocess.PIPE, text=True
+    )
+    try:
+        job_id = None
+        for line in proc.stdout:
+            if line.startswith("JOB_ID="):
+                job_id = line.strip().split("=", 1)[1]
+                break
+        assert job_id, "child never printed its job id"
+        # observe RUNNING from THIS process while the child still works
+        deadline = time.time() + 60
+        seen_running = False
+        while time.time() < deadline and proc.poll() is None:
+            doc = next(
+                (d for d in jobs.list_jobs(spark) if d["job_id"] == job_id), None
+            )
+            if doc and doc["status"] == "running":
+                seen_running = True
+                assert doc["heartbeat_at"] >= doc["started_at"]
+                # a live job must refuse fetch with a live-heartbeat message
+                with pytest.raises(RuntimeError, match="still running"):
+                    jobs.fetch_results(spark, job_id)
+                break
+            time.sleep(0.2)
+        assert seen_running, "never observed the in-flight running manifest"
+        assert proc.wait(timeout=300) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert sorted(jobs.fetch_results(spark, job_id)) == [x * 7 for x in range(4)]
+
+
+def test_stale_heartbeat_reports_dead_driver(spark, journal_dir):
+    """A running manifest whose heartbeat stopped (driver died mid-job)
+    must say so instead of claiming the job is still running."""
+    jobs.journal_start(spark, "burla-job-orphan", n_inputs=4)
+    path = os.path.join(journal_dir, "burla-job-orphan", "manifest.json")
+    with open(path) as fh:
+        doc = json.load(fh)
+    doc["heartbeat_at"] = doc["started_at"] = doc["heartbeat_at"] - 3600
+    with open(path, "w") as fh:
+        json.dump(doc, fh)
+    with pytest.raises(RuntimeError, match="driver likely died"):
+        jobs.fetch_results(spark, "burla-job-orphan")
