@@ -100,24 +100,79 @@ assert len(q["q1_pricing_summary"](spark, %(sf)r).collect()) > 0
 assert len(q["pandas_udaf_grouped"](spark, %(sf)r).collect()) > 0
 stream_rows = q["stream_tumbling_counts"](spark, %(sf)r).collect()
 assert len(stream_rows) > 0, "stateful stream on real executors"
+print("MULTI_EXECUTOR_OK")
+
+# --- ANN index builds on real executors: the IVF and PQ paths run
+# pandas UDFs (bounded-sample fit broadcast back out, Arrow-batched
+# encode) and spill their index tables — the two things most likely to
+# break off-local (Python workers on each executor + shared spill)
+assert len(q["embedding_ivf_topk"](spark, %(sf)r).collect()) > 0, "ivf on cluster"
+assert len(q["embedding_pq_topk"](spark, %(sf)r).collect()) > 0, "pq on cluster"
+print("IVF_PQ_OK")
+
+# --- detached job journaled from the CLUSTER driver; the pytest
+# process (a second process with its own local[*] session) fetches the
+# results after this driver exits
+spark.conf.set("spark.burla.jobJournalDir", %(journal)r)
+job = remote_parallel_map(lambda x: x * 13, range(12), spark=spark, detach=True)
+assert sorted(job.result(timeout=180)) == [x * 13 for x in range(12)]
+print("DETACH_JOB_ID=" + job.job_id)
 
 spark.stop()
-print("MULTI_EXECUTOR_OK")
+print("CLUSTER_DONE")
 """
 
+_RESULT = {}
 
-def test_two_executor_cluster_end_to_end(sf_dir):
-    script = _SCRIPT % {"repo": "/root/repo", "sf": sf_dir}
-    proc = subprocess.run(
-        [sys.executable, "-c", script],
-        capture_output=True,
-        text=True,
-        timeout=420,
-    )
-    assert proc.returncode == 0, proc.stderr[-3000:]
-    assert "MULTI_EXECUTOR_OK" in proc.stdout, (
-        proc.stdout[-2000:] + proc.stderr[-2000:]
-    )
+
+def _cluster_run(sf_dir, tmp_path_factory):
+    """Run the local-cluster script once per pytest session; the three
+    tests below assert their own phase markers so a failure localizes."""
+    if not _RESULT:
+        journal = str(tmp_path_factory.mktemp("mx_journal"))
+        script = _SCRIPT % {"repo": "/root/repo", "sf": sf_dir, "journal": journal}
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        _RESULT.update(
+            rc=proc.returncode, out=proc.stdout, err=proc.stderr, journal=journal
+        )
+    return _RESULT
+
+
+def test_two_executor_cluster_end_to_end(sf_dir, tmp_path_factory):
+    r = _cluster_run(sf_dir, tmp_path_factory)
+    assert r["rc"] == 0, r["err"][-3000:]
+    assert "MULTI_EXECUTOR_OK" in r["out"], r["out"][-2000:] + r["err"][-2000:]
+
+
+def test_cluster_ivf_pq_index_builds(sf_dir, tmp_path_factory):
+    r = _cluster_run(sf_dir, tmp_path_factory)
+    assert "IVF_PQ_OK" in r["out"], r["out"][-2000:] + r["err"][-2000:]
+
+
+def test_cluster_detach_journal_fetched_from_second_process(
+    spark, sf_dir, tmp_path_factory
+):
+    """The journal contract against a REAL cluster driver: this pytest
+    process (its own SparkSession; the cluster driver has exited)
+    lists and fetches the detached job's results from the journal."""
+    from burla_spark import jobs
+
+    r = _cluster_run(sf_dir, tmp_path_factory)
+    assert "CLUSTER_DONE" in r["out"], r["out"][-2000:] + r["err"][-2000:]
+    job_id = [
+        line.split("=", 1)[1]
+        for line in r["out"].splitlines()
+        if line.startswith("DETACH_JOB_ID=")
+    ][0]
+    listed = jobs.list_jobs(spark, journal_dir=r["journal"])
+    assert any(d["job_id"] == job_id and d["status"] == "done" for d in listed)
+    got = jobs.fetch_results(spark, job_id, journal_dir=r["journal"])
+    assert sorted(got) == [x * 13 for x in range(12)]
 
 
 def test_spill_refuses_driver_tempdir_on_remote_master():
