@@ -1,0 +1,408 @@
+"""Round-5 training-data curation operators — the corpus-hygiene and
+layout passes a 100 TB pretraining pipeline runs between ingestion and
+tokenization, each with an exact DuckDB oracle:
+
+* Gopher-style repetition filters (top-token fraction, duplicate
+  bigram fraction) — the canonical "drop boilerplate/spam" signals
+  from the Gopher/MassiveText and C4 cleaning recipes;
+* first-event-per-burst throttling (keep the first event of each
+  activity burst per user+type — the row-filter twin of sessionize);
+* robust outlier detection via exact median/MAD — length-outlier
+  removal that, unlike z-scores, one corrupted document can't skew;
+* exact equi-depth histogram WITHOUT a global single-partition window
+  — boundaries from a cumulative histogram over distinct values, then
+  a map-side bucket assignment (the 100 TB shape for exact deciles);
+* Z-order (Morton) clustering keys — multi-dimensional layout so a
+  sort-before-write co-locates rows for data skipping on BOTH join
+  dimensions (what Delta/Iceberg OPTIMIZE ZORDER does).
+
+Determinism: fractions are integer-ratio double divisions (identical
+on both engines), medians/MADs interpolate only dyadic rationals over
+integer inputs (bit-exact), histogram boundaries are discrete order
+statistics (no interpolation at all), and every ranked output carries
+a unique total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from burla_spark.plans.base import QuerySpec
+from burla_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters
+# ---------------------------------------------------------------------------
+def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals over the token stream: the
+    fraction of tokens that are the single most frequent token, and
+    the fraction of bigrams that are repeats (1 - distinct/total) —
+    flagged when either crosses the filter threshold.
+
+    100 TB shape: two map-side explodes feeding doc_id-keyed partial
+    aggregations (map-side combine, one shuffle each), joined back on
+    doc_id — no corpus-wide state, fully linear, all JVM expressions.
+    Reference parity: the repetition-filter family of text cleaning
+    (SURVEY §2.C text analysis)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = d.select(
+        "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    top = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_tok"))
+    )
+    bg = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.col("n_tokens") > 1,
+                    F.expr(
+                        "transform(sequence(1, n_tokens - 1),"
+                        " i -> concat(toks[i-1], ' ', toks[i]))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bg"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bg").alias("n_distinct_bg"),
+            F.count("*").alias("n_bg"),
+        )
+    )
+    return (
+        base.join(top, "doc_id")
+        .join(bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("top_tok") / F.col("n_tokens")).alias("top_token_frac"),
+            F.coalesce(
+                F.lit(1.0) - F.col("n_distinct_bg") / F.col("n_bg"), F.lit(0.0)
+            ).alias("dup_bigram_frac"),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("top_token_frac") > 0.12) | (F.col("dup_bigram_frac") > 0.55),
+        )
+        .orderBy("doc_id")
+    )
+
+
+GOPHER_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+), sized AS (
+  SELECT doc_id, lang, toks, len(toks) AS n_tokens FROM base
+), top AS (
+  SELECT doc_id, MAX(c) AS top_tok FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM base) GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+), bg AS (
+  SELECT doc_id, COUNT(DISTINCT b) AS n_distinct_bg, COUNT(*) AS n_bg
+  FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(toks) > 1
+           THEN list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])
+           ELSE [] END) AS b
+    FROM base
+  ) GROUP BY doc_id
+)
+SELECT s.doc_id, s.lang, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.top_tok AS DOUBLE) / s.n_tokens AS top_token_frac,
+       COALESCE(1.0 - CAST(b.n_distinct_bg AS DOUBLE) / b.n_bg, 0.0)
+         AS dup_bigram_frac,
+       (CAST(t.top_tok AS DOUBLE) / s.n_tokens > 0.12
+        OR COALESCE(1.0 - CAST(b.n_distinct_bg AS DOUBLE) / b.n_bg, 0.0) > 0.55)
+         AS flagged
+FROM sized s
+JOIN top t USING (doc_id)
+LEFT JOIN bg b USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# first-event-per-burst throttling
+# ---------------------------------------------------------------------------
+def burst_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep only the FIRST event of each activity burst per
+    (user, event_type): an event survives when no previous same-key
+    event happened within the 30-minute window — the standard
+    notification-throttle / dedup-by-recency row filter (the filter
+    twin of sessionize's grouping).
+
+    100 TB shape: one shuffle on (user_id, event_type), one window lag
+    per partition, map-side filter — no joins, no state."""
+    gap_us = 30 * 60 * 1_000_000
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_us", F.lag(F.unix_micros("ts")).over(w))
+        .filter(
+            F.col("prev_us").isNull()
+            | (F.unix_micros("ts") - F.col("prev_us") > gap_us)
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+        .orderBy("event_id")
+    )
+
+
+BURST_FIRST_SQL = """
+WITH lagged AS (
+  SELECT event_id, user_id, event_type, ts,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_id, user_id, event_type, ts
+FROM lagged
+WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# robust median/MAD outliers
+# ---------------------------------------------------------------------------
+def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length outliers by median absolute
+    deviation: |n_chars - median| > 1.5 * MAD. Robust statistics are
+    the production choice for corpus length filtering — one 10 GB
+    pathological document moves a mean/stddev fence but not this one.
+
+    Exactness: Spark ``percentile`` and DuckDB ``quantile_cont`` both
+    interpolate, but over BIGINT inputs every interpolated value is a
+    dyadic rational (x.5, then x.25 for the MAD) — exact in binary
+    floating point on both engines, so even the two-level median is
+    hash-exact.
+
+    100 TB shape: exact percentile is a two-pass algorithm by nature;
+    each pass is one aggregation, and the per-group medians/MADs join
+    back as broadcasts (the group dimension is small). Three scans of
+    the fact column total — at production scale you cache/checkpoint
+    the projected column between passes."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    med = d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    dev = d.join(F.broadcast(med), "lang").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("lang").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("med").alias("median_chars"),
+            F.min("mad").alias("mad_chars"),
+            F.count(
+                F.when(F.col("adev") > 1.5 * F.col("mad"), F.lit(1))
+            ).alias("n_outliers"),
+        )
+        .orderBy("lang")
+    )
+
+
+ROBUST_MAD_SQL = """
+WITH med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang
+), dev AS (
+  SELECT d.lang, d.n_chars, m.med, ABS(d.n_chars - m.med) AS adev
+  FROM documents d JOIN med m USING (lang)
+  WHERE d.n_chars IS NOT NULL
+), mad AS (
+  SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY lang
+)
+SELECT dev.lang,
+       COUNT(*) AS n_docs,
+       MIN(dev.med) AS median_chars,
+       MIN(mad.mad) AS mad_chars,
+       COUNT(CASE WHEN dev.adev > 1.5 * mad.mad THEN 1 END) AS n_outliers
+FROM dev JOIN mad USING (lang)
+GROUP BY dev.lang
+ORDER BY dev.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact equi-depth histogram without a global window
+# ---------------------------------------------------------------------------
+def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10-bucket equi-depth histogram of lineitem prices — the
+    scale-safe way: ``ntile`` over a global ORDER BY collapses to ONE
+    window partition (a single-reducer sort — the classic 100 TB
+    killer), so instead the decile boundaries come from a cumulative
+    histogram over DISTINCT price values (bounded cardinality: 2-dp
+    prices in a bounded range), and rows bucket map-side against the
+    broadcast boundary array.
+
+    Boundaries are discrete order statistics (smallest value whose
+    cumulative count reaches ceil(i*N/10)) — no interpolation, so both
+    engines agree bit-for-bit; ties share a bucket by construction
+    (same rule both sides), unlike ntile's arbitrary tie splitting."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents")
+    )
+    hist = li.groupBy("cents").count()
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("count").over(wcum))
+    total = li.count()  # one job; at scale this is a cheap count(*) agg
+    bounds = (
+        cum.crossJoin(
+            F.broadcast(
+                spark.range(1, 10).select(
+                    F.ceil(F.col("id") * total / 10).alias("r")
+                )
+            )
+        )
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("r")
+        .agg(F.min("cents").alias("b"))
+        .agg(F.sort_array(F.collect_list("b")).alias("bounds"))
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                1 + F.size(F.expr("filter(bounds, b -> cents > b)"))
+            ).cast("long").alias("decile"),
+            "cents",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+EQUIDEPTH_SQL = """
+WITH pts AS (
+  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents FROM lineitem
+), hist AS (
+  SELECT cents, COUNT(*) AS c FROM pts GROUP BY cents
+), cum AS (
+  SELECT cents, SUM(c) OVER (ORDER BY cents
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+), n AS (SELECT COUNT(*) AS total FROM pts),
+ranks AS (
+  SELECT CAST(CEIL(i * total / 10.0) AS BIGINT) AS r
+  FROM (SELECT UNNEST(generate_series(1, 9)) AS i), n
+), bounds AS (
+  SELECT list_sort(list(b)) AS bounds FROM (
+    SELECT r, MIN(cents) AS b FROM cum, ranks WHERE cum >= r GROUP BY r)
+)
+SELECT CAST(1 + len(list_filter(bounds, b -> cents > b)) AS BIGINT) AS decile,
+       COUNT(*) AS n_rows,
+       MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM pts, bounds
+GROUP BY 1
+ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering keys
+# ---------------------------------------------------------------------------
+def _morton_expr(a: str, b: str, bits: int = 16) -> str:
+    """Bit-interleave expression (identical Spark SQL / DuckDB SQL):
+    even bits from `a`, odd bits from `b` — the Morton code that
+    makes one sort key preserve locality in BOTH dimensions."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({b} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
+    what OPTIMIZE ZORDER does in lakehouse table formats: writing the
+    fact table sorted by this key co-locates rows that are close in
+    EITHER dimension, so min/max file statistics skip files for
+    filters on part OR supplier (a plain sort only skips on its
+    leading column). The key is pure integer bit arithmetic — JVM
+    whole-stage-codegen, no shuffle beyond the final distributed
+    range-partition sort a real write would do.
+
+    Returns the first 50 rows of the clustered layout (unique total
+    order: zkey, orderkey, linenumber) — the head of the file Spark
+    would write."""
+    li = load_table(spark, sf_dir, "lineitem")
+    zkey = F.expr(
+        _morton_expr("(l_partkey & 65535)", "(l_suppkey & 65535)")
+    ).cast("long")
+    return (
+        li.select(
+            zkey.alias("zkey"),
+            "l_partkey",
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
+        .limit(50)
+    )
+
+
+ZORDER_SQL = f"""
+SELECT CAST({_morton_expr("(l_partkey & 65535)", "(l_suppkey & 65535)")} AS BIGINT)
+         AS zkey,
+       l_partkey, l_suppkey, l_orderkey, l_linenumber
+FROM lineitem
+ORDER BY zkey, l_orderkey, l_linenumber
+LIMIT 50
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "gopher_repetition_filters",
+        gopher_repetition_filters,
+        GOPHER_REPETITION_SQL,
+        ("llm", "text", "quality"),
+    ),
+    QuerySpec(
+        "burst_first_events",
+        burst_first_events,
+        BURST_FIRST_SQL,
+        ("window", "filter", "timeseries"),
+    ),
+    QuerySpec(
+        "robust_mad_outliers",
+        robust_mad_outliers,
+        ROBUST_MAD_SQL,
+        ("agg", "quality", "mlprep"),
+    ),
+    QuerySpec(
+        "equidepth_price_histogram",
+        equidepth_price_histogram,
+        EQUIDEPTH_SQL,
+        ("agg", "scale"),
+    ),
+    QuerySpec(
+        "zorder_clustered_layout",
+        zorder_clustered_layout,
+        ZORDER_SQL,
+        ("scale", "layout"),
+    ),
+]

@@ -15,6 +15,7 @@ def all_specs() -> list[QuerySpec]:
     # whole registry at import time.
     from burla_spark.plans import (
         complex_types,
+        curation,
         llm,
         mlprep,
         quality_queries,
@@ -33,6 +34,7 @@ def all_specs() -> list[QuerySpec]:
     )
 
     layers: list[list[QuerySpec]] = [
+        curation.SPECS,
         relational.SPECS,
         relational2.SPECS,
         relational3.SPECS,
@@ -99,6 +101,10 @@ _DRIVER_PRIORITY = frozenset(
         "variant_json_agg", "events_sessionize", "process_aggregate_predict",
         "try_arithmetic_nullsafe", "text_token_stats",
         "multimodal_blob_metadata",
+        # round-5 additions (plans/curation.py) — never sampled yet
+        "gopher_repetition_filters", "burst_first_events",
+        "robust_mad_outliers", "equidepth_price_histogram",
+        "zorder_clustered_layout",
     }
 )
 

@@ -40,6 +40,7 @@ BNLJ_OK = {
     "embedding_pq_topk",  # query-set LUT broadcast × codes scan (ADC contract)
     "pagerank_fixed_point",  # 1-row node-count broadcast per iteration
     "sql_defined_functions",  # 3-row quantity-band table, theta (BETWEEN) join
+    "equidepth_price_histogram",  # 9-row rank targets + 1-row bounds array broadcast
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]
