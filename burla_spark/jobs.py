@@ -208,6 +208,33 @@ def journal_finish(
     )
 
 
+def request_cancel(spark: SparkSession, job_id: str, journal_dir: str | None = None) -> None:
+    """Cross-process cancel — the reference's dashboard
+    ``POST /v1/jobs/{id}/stop`` (endpoints/jobs.py:93-108): ANY process
+    sharing the journal dir can flag a running detached job; the
+    submitting driver's heartbeat thread picks the flag up within one
+    interval and interrupts the job's tag, and the submitter's
+    ``result()`` raises JobCanceled exactly as a live cancel would."""
+    base = _journal_dir(spark, journal_dir)
+    if not os.path.exists(_manifest_path(base, job_id)):
+        raise KeyError(f"no journaled job {job_id!r} under {base}")
+    flag = os.path.join(base, job_id, "cancel_requested")
+    with open(flag, "w") as fh:
+        fh.write(str(time.time()))
+
+
+def cancel_requested(spark: SparkSession, job_id: str, journal_dir: str | None = None) -> bool:
+    base = _journal_dir(spark, journal_dir)
+    return os.path.exists(os.path.join(base, job_id, "cancel_requested"))
+
+
+def journal_cancel(spark: SparkSession, job_id: str, journal_dir: str | None = None) -> None:
+    _write_manifest(
+        _journal_dir(spark, journal_dir), job_id,
+        {"job_id": job_id, "status": "canceled", "finished_at": time.time()},
+    )
+
+
 def journal_fail(spark: SparkSession, job_id: str, exc: BaseException, journal_dir: str | None = None) -> None:
     _write_manifest(
         _journal_dir(spark, journal_dir), job_id,
@@ -263,6 +290,8 @@ def fetch_results(
             f"job {job_id} is still running (live heartbeat "
             f"{age:.1f}s ago); results are journaled only on completion"
         )
+    if status == "canceled":
+        raise JobCanceled(f"job {job_id} was canceled")
     if status == "error":
         raise RuntimeError(
             f"job {job_id} failed before journaling results: "

@@ -704,15 +704,22 @@ def remote_parallel_map(
         except Exception:  # noqa: BLE001
             pass
 
+        handle_box: list = []  # filled with the BackgroundJob post-submit
+
         def journaled_action():
             # heartbeat the RUNNING manifest so a second process can
-            # tell a live in-flight job from a dead driver's orphan
+            # tell a live in-flight job from a dead driver's orphan —
+            # and honor a cross-process cancel flag (the reference's
+            # dashboard stop endpoint) within one heartbeat interval
             stop_beat = threading.Event()
 
             def beat():
                 while not stop_beat.wait(jobs.HEARTBEAT_INTERVAL_S):
                     try:
                         jobs.journal_heartbeat(spark, job_id)
+                        if jobs.cancel_requested(spark, job_id) and handle_box:
+                            handle_box[0].cancel()
+                            return
                     except Exception:  # noqa: BLE001
                         pass
 
@@ -722,7 +729,13 @@ def remote_parallel_map(
             except BaseException as exc:
                 stop_beat.set()
                 try:
-                    jobs.journal_fail(spark, job_id, exc)
+                    canceled = (handle_box and handle_box[0]._canceled) or (
+                        jobs.cancel_requested(spark, job_id)
+                    )
+                    if canceled:
+                        jobs.journal_cancel(spark, job_id)
+                    else:
+                        jobs.journal_fail(spark, job_id, exc)
                 except Exception:  # noqa: BLE001
                     pass
                 raise
@@ -737,6 +750,7 @@ def remote_parallel_map(
 
         bg = jobs.submit(spark, journaled_action, tag=job_id)
         bg.job_id = job_id
+        handle_box.append(bg)
         return bg
 
     return collect_all()

@@ -169,3 +169,67 @@ def test_stale_heartbeat_reports_dead_driver(spark, journal_dir):
         json.dump(doc, fh)
     with pytest.raises(RuntimeError, match="driver likely died"):
         jobs.fetch_results(spark, "burla-job-orphan")
+
+
+def test_cross_process_cancel_inflight_job(spark, journal_dir):
+    """Reference A23 dashboard cancel, cross-process: another process
+    flags a running detached job via the journal; the submitting
+    driver's heartbeat thread interrupts it within one interval, the
+    submitter's result() raises JobCanceled, the manifest flips to
+    canceled, and a later fetch raises JobCanceled too."""
+    import time
+
+    child = textwrap.dedent(
+        f"""
+        import sys, time
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        from burla_spark.session import get_spark
+        from burla_spark.rpm import remote_parallel_map
+        from burla_spark.jobs import JobCanceled
+        spark = get_spark(app_name="journal_cancel_child", shuffle_partitions=4)
+        spark.conf.set("spark.burla.jobJournalDir", {journal_dir!r})
+        def slow(x):
+            time.sleep(30)
+            return x
+        job = remote_parallel_map(slow, range(8), spark=spark, detach=True)
+        print("JOB_ID=" + job.job_id, flush=True)
+        try:
+            job.result(timeout=180)
+            print("RESULT_RETURNED", flush=True)
+        except JobCanceled:
+            print("CANCELED_OK", flush=True)
+        spark.stop()
+        """
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child], stdout=subprocess.PIPE, text=True
+    )
+    try:
+        job_id = None
+        for line in proc.stdout:
+            if line.startswith("JOB_ID="):
+                job_id = line.strip().split("=", 1)[1]
+                break
+        assert job_id
+        # wait until the manifest exists, then cancel from THIS process
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(d["job_id"] == job_id for d in jobs.list_jobs(spark)):
+                break
+            time.sleep(0.2)
+        jobs.request_cancel(spark, job_id)
+        rest = proc.stdout.read()
+        assert proc.wait(timeout=180) == 0
+        assert "CANCELED_OK" in rest, rest
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    doc = next(d for d in jobs.list_jobs(spark) if d["job_id"] == job_id)
+    assert doc["status"] == "canceled"
+    with pytest.raises(jobs.JobCanceled):
+        jobs.fetch_results(spark, job_id)
+
+
+def test_request_cancel_unknown_job_raises(spark, journal_dir):
+    with pytest.raises(KeyError):
+        jobs.request_cancel(spark, "burla-job-nope")
