@@ -321,6 +321,115 @@ ORDER BY decile
 
 
 # ---------------------------------------------------------------------------
+# repeated-ngram coverage (substring-dedup removal accounting)
+# ---------------------------------------------------------------------------
+def repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of tokens covered by corpus-repeated
+    8-grams — the removal accounting of exact substring deduplication
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"): repeated_ngram_spans finds WHICH grams repeat;
+    this computes HOW MUCH of each document they cover, via an exact
+    interval union over the matched [start, start+8) spans (window
+    running-max of span ends, so overlapping matches never
+    double-count a token).
+
+    100 TB shape: gram explode is map-side; the repeated-gram set is
+    corpus-sized, so membership is a shuffled semi-join on gram (NOT a
+    broadcast); the interval union windows only over each doc's HIT
+    positions (hits << tokens); one final doc-keyed join-back."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = d.select(
+        "doc_id", F.split(F.col("text"), " ", -1).alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.col("n_tokens") >= 8,
+                F.expr(
+                    "transform(sequence(1, n_tokens - 7),"
+                    " i -> array_join(slice(toks, i, 8), ' '))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("start", "gram"),
+    )
+    repeated = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(repeated, "gram", "left_semi").select("doc_id", "start")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = (
+        hits.withColumn(
+            "prev_end", F.coalesce(F.max(F.col("start") + 8).over(w), F.lit(0))
+        )
+        .withColumn(
+            "newcov",
+            F.greatest(
+                F.lit(0),
+                F.col("start") + 8 - F.greatest(F.col("prev_end"), F.col("start")),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("newcov").cast("long").alias("covered_tokens"))
+    )
+    return (
+        base.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+            (
+                F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens")
+            ).alias("coverage_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPEATED_COVERAGE_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+), sized AS (
+  SELECT doc_id, len(toks) AS n_tokens FROM base
+), grams AS (
+  SELECT doc_id, i - 1 AS start, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM base, LATERAL (SELECT UNNEST(generate_series(1, len(toks) - 7)) AS i)
+), repeated AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.start FROM grams g JOIN repeated USING (gram)
+), unioned AS (
+  SELECT doc_id,
+         GREATEST(0, start + 8 - GREATEST(
+           COALESCE(MAX(start + 8) OVER (PARTITION BY doc_id ORDER BY start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+           start)) AS newcov
+  FROM hits
+), covered AS (
+  SELECT doc_id, CAST(SUM(newcov) AS BIGINT) AS covered_tokens
+  FROM unioned GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       COALESCE(c.covered_tokens, 0) AS covered_tokens,
+       CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE) / s.n_tokens
+         AS coverage_frac
+FROM sized s LEFT JOIN covered c USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Z-order clustering keys
 # ---------------------------------------------------------------------------
 def _morton_expr(a: str, b: str, bits: int = 16) -> str:
@@ -398,6 +507,13 @@ SPECS: list[QuerySpec] = [
         equidepth_price_histogram,
         EQUIDEPTH_SQL,
         ("agg", "scale"),
+    ),
+    QuerySpec(
+        "repeated_ngram_coverage",
+        repeated_ngram_coverage,
+        REPEATED_COVERAGE_SQL,
+        ("dedup", "text", "llm"),
+        doc="exact substring-dedup removal accounting (interval union)",
     ),
     QuerySpec(
         "zorder_clustered_layout",

@@ -104,7 +104,7 @@ _DRIVER_PRIORITY = frozenset(
         # round-5 additions (plans/curation.py) — never sampled yet
         "gopher_repetition_filters", "burst_first_events",
         "robust_mad_outliers", "equidepth_price_histogram",
-        "zorder_clustered_layout",
+        "zorder_clustered_layout", "repeated_ngram_coverage",
     }
 )
 
