@@ -158,13 +158,108 @@ def _write_manifest(base: str, job_id: str, doc: dict) -> None:
     os.replace(tmp, path)  # atomic: readers never see a torn manifest
 
 
-def journal_start(spark: SparkSession, job_id: str, n_inputs: int, journal_dir: str | None = None) -> None:
+def journal_start(
+    spark: SparkSession,
+    job_id: str,
+    n_inputs: int,
+    journal_dir: str | None = None,
+    redrivable: bool = False,
+) -> None:
     now = time.time()
     _write_manifest(
         _journal_dir(spark, journal_dir),
         job_id,
         {"job_id": job_id, "status": "running", "n_inputs": n_inputs,
-         "started_at": now, "heartbeat_at": now, "pid": os.getpid()},
+         "started_at": now, "heartbeat_at": now, "pid": os.getpid(),
+         "redrivable": redrivable},
+    )
+
+
+# Journaled payload (function + inputs) so an ORPHANED in-flight job —
+# submitting driver died, heartbeat stale — can be re-driven by a
+# second process. Bounded: jobs whose pickled payload exceeds the cap
+# journal without one (manifest says redrivable: false).
+PAYLOAD_MAX_BYTES_CONF = "spark.burla.journalPayloadMaxBytes"
+PAYLOAD_MAX_BYTES_DEFAULT = 64 * 1024 * 1024
+
+
+def journal_payload(
+    spark: SparkSession,
+    job_id: str,
+    function_pkl: bytes,
+    input_rows: list[tuple[int, bytes]],
+    journal_dir: str | None = None,
+) -> bool:
+    """Persist the job's pickled function + inputs next to its
+    manifest. Returns False (and writes nothing) when the payload
+    exceeds the cap. The file lives in the user's own journal dir and
+    is only ever loaded back by the same user's redrive call — same
+    trust domain as the submitting client, unlike the network log
+    channel (which is pickle-free for that reason)."""
+    import pickle as _pickle
+
+    total = len(function_pkl) + sum(len(b) for (_, b) in input_rows)
+    cap = int(spark.conf.get(PAYLOAD_MAX_BYTES_CONF, str(PAYLOAD_MAX_BYTES_DEFAULT)))
+    if total > cap:
+        return False
+    base = _journal_dir(spark, journal_dir)
+    path = os.path.join(base, job_id, "payload.pkl")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        _pickle.dump({"function_pkl": function_pkl, "inputs": input_rows}, fh)
+    os.replace(tmp, path)
+    return True
+
+
+def redrive(spark: SparkSession, job_id: str, journal_dir: str | None = None, force: bool = False):
+    """Re-drive an ORPHANED detached job from a second process — the
+    closest Spark-idiomatic analogue of the reference keeping detached
+    jobs alive server-side (job_watcher.py:259,294-301): when the
+    submitting driver died mid-job (manifest running, heartbeat
+    stale), any process sharing the journal dir can resubmit the
+    journaled function+inputs UNDER THE SAME job id and let the normal
+    completion path journal the results. Returns the new
+    BackgroundJob handle. ``force=True`` skips the staleness check
+    (for a driver known dead sooner than the threshold)."""
+    base = _journal_dir(spark, journal_dir)
+    try:
+        with open(_manifest_path(base, job_id)) as fh:
+            manifest = json.load(fh)
+    except OSError as exc:
+        raise KeyError(f"no journaled job {job_id!r} under {base}") from exc
+    status = manifest.get("status")
+    if status != "running":
+        raise RuntimeError(
+            f"job {job_id} is {status!r}, not an orphaned running job — "
+            "use fetch_results"
+        )
+    age = time.time() - manifest.get("heartbeat_at", manifest.get("started_at", 0))
+    stale_s = float(spark.conf.get("spark.burla.heartbeatStaleS", str(HEARTBEAT_STALE_S)))
+    if age <= stale_s and not force:
+        raise RuntimeError(
+            f"job {job_id} has a live heartbeat ({age:.1f}s ago) — its "
+            "driver is still working; pass force=True only if you know "
+            "the driver is dead (two drivers racing would double-run)"
+        )
+    payload_path = os.path.join(base, job_id, "payload.pkl")
+    if not os.path.exists(payload_path):
+        raise RuntimeError(
+            f"job {job_id} journaled no payload (too big or submitted by "
+            "an older engine) — it cannot be re-driven"
+        )
+    import pickle as _pickle
+
+    with open(payload_path, "rb") as fh:
+        payload = _pickle.load(fh)
+    from burla_spark.rpm import _cloudpickle, remote_parallel_map
+
+    cp = _cloudpickle()
+    func = cp.loads(payload["function_pkl"])
+    items = [cp.loads(blob) for (_, blob) in sorted(payload["inputs"])]
+    return remote_parallel_map(
+        func, items, spark=spark, detach=True, _job_id=job_id,
+        journal_dir=journal_dir,
     )
 
 

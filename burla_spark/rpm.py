@@ -542,6 +542,8 @@ def remote_parallel_map(
     spark: SparkSession | None = None,
     capture_stdout: bool = True,
     stdout_sink: Callable[[int, str], None] | None = None,
+    _job_id: str | None = None,  # internal: jobs.redrive resubmits under the orphan's id
+    journal_dir: str | None = None,
 ):
     """Apply ``function_`` to every input on the cluster; return results
     (unordered list; a generator when ``generator=True``; a
@@ -698,9 +700,15 @@ def remote_parallel_map(
 
         from burla_spark import jobs
 
-        job_id = f"burla-job-{_uuid.uuid4().hex[:12]}"
+        job_id = _job_id or f"burla-job-{_uuid.uuid4().hex[:12]}"
+        jdir = journal_dir
         try:
-            jobs.journal_start(spark, job_id, len(rows))
+            # payload first (function + inputs, size-capped) so the
+            # manifest's redrivable flag is truthful from the start —
+            # an orphaned job (driver death, stale heartbeat) can then
+            # be re-driven by a second process via jobs.redrive.
+            redrivable = jobs.journal_payload(spark, job_id, function_pkl, rows, jdir)
+            jobs.journal_start(spark, job_id, len(rows), jdir, redrivable=redrivable)
         except Exception:  # noqa: BLE001
             pass
 
@@ -716,8 +724,8 @@ def remote_parallel_map(
             def beat():
                 while not stop_beat.wait(jobs.HEARTBEAT_INTERVAL_S):
                     try:
-                        jobs.journal_heartbeat(spark, job_id)
-                        if jobs.cancel_requested(spark, job_id) and handle_box:
+                        jobs.journal_heartbeat(spark, job_id, jdir)
+                        if jobs.cancel_requested(spark, job_id, jdir) and handle_box:
                             handle_box[0].cancel()
                             return
                     except Exception:  # noqa: BLE001
@@ -730,12 +738,12 @@ def remote_parallel_map(
                 stop_beat.set()
                 try:
                     canceled = (handle_box and handle_box[0]._canceled) or (
-                        jobs.cancel_requested(spark, job_id)
+                        jobs.cancel_requested(spark, job_id, jdir)
                     )
                     if canceled:
-                        jobs.journal_cancel(spark, job_id)
+                        jobs.journal_cancel(spark, job_id, jdir)
                     else:
-                        jobs.journal_fail(spark, job_id, exc)
+                        jobs.journal_fail(spark, job_id, exc, jdir)
                 except Exception:  # noqa: BLE001
                     pass
                 raise
@@ -743,7 +751,7 @@ def remote_parallel_map(
             try:
                 # error rows journal too — fetch_results re-raises them
                 # with the same fidelity a live call would have.
-                jobs.journal_finish(spark, job_id, rows_out, RESULT_SCHEMA)
+                jobs.journal_finish(spark, job_id, rows_out, RESULT_SCHEMA, jdir)
             except Exception:  # noqa: BLE001
                 pass
             return [handle(row) for row in rows_out]

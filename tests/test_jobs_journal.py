@@ -233,3 +233,71 @@ def test_cross_process_cancel_inflight_job(spark, journal_dir):
 def test_request_cancel_unknown_job_raises(spark, journal_dir):
     with pytest.raises(KeyError):
         jobs.request_cancel(spark, "burla-job-nope")
+
+
+def test_redrive_orphaned_job_after_driver_death(spark, journal_dir):
+    """The deepest A22 narrowing: the submitting driver DIES mid-job
+    (killed, not exited cleanly), the manifest is stuck at running
+    with a stale heartbeat, and a second process re-drives the
+    journaled function+inputs under the SAME job id — results land in
+    the journal as if the original driver had finished."""
+    import time
+
+    child = textwrap.dedent(
+        f"""
+        import sys, time
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        from burla_spark.session import get_spark
+        from burla_spark.rpm import remote_parallel_map
+        spark = get_spark(app_name="journal_orphan_child", shuffle_partitions=4)
+        spark.conf.set("spark.burla.jobJournalDir", {journal_dir!r})
+        def slow(x):
+            time.sleep(15)
+            return x * 5
+        job = remote_parallel_map(slow, range(6), spark=spark, detach=True)
+        print("JOB_ID=" + job.job_id, flush=True)
+        job.result(timeout=300)
+        """
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child], stdout=subprocess.PIPE, text=True
+    )
+    job_id = None
+    for line in proc.stdout:
+        if line.startswith("JOB_ID="):
+            job_id = line.strip().split("=", 1)[1]
+            break
+    assert job_id
+    proc.kill()
+    proc.wait(timeout=30)
+
+    # live-heartbeat guard: immediately after the kill the heartbeat is
+    # still fresh, so redrive must refuse without force
+    with pytest.raises(RuntimeError, match="live heartbeat"):
+        jobs.redrive(spark, job_id)
+
+    spark.conf.set("spark.burla.heartbeatStaleS", "3")
+    try:
+        time.sleep(4)  # let the dead driver's last heartbeat go stale
+        doc = next(d for d in jobs.list_jobs(spark) if d["job_id"] == job_id)
+        assert doc["status"] == "running" and doc["redrivable"] is True
+
+        # redrive loads the JOURNALED function (15s sleeps included) and
+        # re-runs it to completion under the original job id
+        bg = jobs.redrive(spark, job_id)
+        assert bg.job_id == job_id
+        got = bg.result(timeout=300)
+        assert sorted(got) == [x * 5 for x in range(6)]
+    finally:
+        spark.conf.unset("spark.burla.heartbeatStaleS")
+    assert next(
+        d for d in jobs.list_jobs(spark) if d["job_id"] == job_id
+    )["status"] == "done"
+    assert sorted(jobs.fetch_results(spark, job_id)) == [x * 5 for x in range(6)]
+
+
+def test_redrive_refuses_completed_job(spark, journal_dir):
+    job = remote_parallel_map(lambda x: x, range(3), spark=spark, detach=True)
+    job.result(timeout=120)
+    with pytest.raises(RuntimeError, match="not an orphaned running job"):
+        jobs.redrive(spark, job.job_id)
