@@ -375,7 +375,10 @@ def fetch_results(
     status = manifest.get("status")
     if status == "running":
         age = time.time() - manifest.get("heartbeat_at", manifest.get("started_at", 0))
-        if age > HEARTBEAT_STALE_S:
+        stale_s = float(
+            spark.conf.get("spark.burla.heartbeatStaleS", str(HEARTBEAT_STALE_S))
+        )
+        if age > stale_s:
             raise RuntimeError(
                 f"job {job_id} is marked running but its heartbeat is "
                 f"{age:.0f}s stale — the submitting driver likely died "

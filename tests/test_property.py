@@ -153,3 +153,49 @@ def test_jaccard_bounds_and_symmetry(spark, texts):
         if r.jab is not None:
             assert 0.0 <= r.jab <= 1.0
             assert r.jab == r.jba
+
+
+# ---------------------------------------------------------------------------
+# round-5 pure functions: session merge vs brute force, Morton bijection
+# ---------------------------------------------------------------------------
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60),
+    gap=st.integers(min_value=1, max_value=2_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_merge_pending_sessions_equals_bruteforce(ts, gap):
+    """Incremental interval merge (events arriving in ANY order, one at
+    a time) must equal the batch sessionization of the sorted stream —
+    the invariant the O(1)-state stream operator rests on."""
+    from burla_spark.streaming.events import _merge_pending_sessions
+
+    incremental = []
+    for t in ts:  # arbitrary arrival order, one event per "batch"
+        incremental = _merge_pending_sessions(incremental, [(t, 1)], gap)
+
+    expected = []
+    for t in sorted(ts):  # batch truth: sorted scan with gap splits
+        if expected and t - expected[-1][1] <= gap:
+            s = expected[-1]
+            expected[-1] = (s[0], max(s[1], t), s[2] + 1, s[3] + 1)
+        else:
+            expected.append((t, t, 1, 1))
+    assert incremental == expected
+
+
+@given(
+    a=st.integers(min_value=0, max_value=65535),
+    b=st.integers(min_value=0, max_value=65535),
+)
+@settings(max_examples=300, deadline=None)
+def test_morton_key_bijective_and_separable(a, b):
+    """The generated Morton expression must encode (a, b) injectively
+    with even bits from a and odd bits from b — checked against an
+    independent Python bit-interleave."""
+    from burla_spark.plans.curation import _morton_expr
+
+    expr = _morton_expr("A", "B")
+    z = eval(expr.replace("A", str(a)).replace("B", str(b)))
+    back_a = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    back_b = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (back_a, back_b) == (a, b)
