@@ -619,6 +619,225 @@ def pq_topk(
     )
 
 
+class IvfPqIndex:
+    """The composed production index (FAISS's IndexIVFPQ): a coarse
+    inverted file for pruning plus product-quantized RESIDUALS for
+    compressed-domain scoring inside the probed cells. One scan builds
+    it; queries touch ~n_probe/n_cells of the corpus AND read only m
+    smallints per row — the two scale levers multiplied."""
+
+    def __init__(
+        self, centroids: np.ndarray, codebooks: np.ndarray, codes: DataFrame
+    ):
+        self.centroids = centroids  # n_cells × dim (driver-side, tiny)
+        self.codebooks = codebooks  # m × ksub × dsub (residual-space)
+        self.codes = codes  # (neighbor_id, __cell, __code)
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    fit_sample_rows: int = 100_000,
+) -> IvfPqIndex:
+    """Fit coarse centroids, then PQ codebooks on the RESIDUALS
+    (vector minus its assigned centroid — residuals are what remains
+    after the coarse quantizer explains the cell structure, so the
+    same code budget buys much finer resolution than PQ over raw
+    vectors; codebooks are shared across cells, as in FAISS). Both
+    fits run on the one bounded driver-side sample; the corpus is
+    scanned ONCE by a pandas UDF that assigns the cell, subtracts the
+    centroid, and encodes the residual per subspace — then the
+    (cell, codes) table spills to session-temp parquet."""
+    from burla_spark.operators.dedup import _spill_to_temp_parquet
+
+    if dim % n_subspaces:
+        raise ValueError(f"dim={dim} not divisible by n_subspaces={n_subspaces}")
+    dsub = dim // n_subspaces
+    c = corpus.filter(F.col(corpus_vec).isNotNull()).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cvec"),
+    )
+    sample, known_n = _fit_sample(c, fit_sample_rows, n_cells * 10, seed)
+    if sample is None:
+        empty = c.select(
+            "neighbor_id",
+            F.lit(0).cast("int").alias("__cell"),
+            F.array().cast("array<smallint>").alias("__code"),
+        )
+        return IvfPqIndex(
+            np.zeros((1, dim)), np.zeros((n_subspaces, 1, dsub)), empty
+        )
+    n_cells = max(1, min(n_cells, sample.shape[0]))
+    centers = _lloyds(sample, n_cells, seed, max_iter)
+    c2 = np.sum(centers * centers, axis=1)
+    assign = np.argmin(c2[None, :] - 2.0 * (sample @ centers.T), axis=1)
+    residuals = sample - centers[assign]
+    n_codes = max(1, min(n_codes, sample.shape[0]))
+    books = np.stack(
+        [
+            _lloyds(
+                residuals[:, m * dsub : (m + 1) * dsub], n_codes, seed + m, max_iter
+            )
+            for m in range(n_subspaces)
+        ]
+    )
+    b2 = np.sum(books * books, axis=2)  # m × ksub
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("__cell int, __code array<smallint>")
+    def encode(vecs: pd.Series) -> pd.DataFrame:
+        block = _norm_rows(np.array(vecs.to_list(), dtype=np.float64))
+        cells = np.argmin(c2[None, :] - 2.0 * (block @ centers.T), axis=1)
+        res = block - centers[cells]
+        codes = np.empty((len(block), n_subspaces), dtype=np.int16)
+        for m in range(n_subspaces):
+            sub = res[:, m * dsub : (m + 1) * dsub]
+            codes[:, m] = np.argmin(
+                b2[m][None, :] - 2.0 * (sub @ books[m].T), axis=1
+            )
+        return pd.DataFrame(
+            {"__cell": cells.astype(np.int32), "__code": list(codes)}
+        )
+
+    encoded = _sized_output(
+        c.select(
+            "neighbor_id", encode(F.col("__cvec")).alias("__enc")
+        ).select("neighbor_id", "__enc.__cell", "__enc.__code"),
+        known_n,
+    )
+    codes = _spill_to_temp_parquet(encoded, "ivfpq_codes")
+    return IvfPqIndex(centers, books, codes)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 4,
+    index: IvfPqIndex | None = None,
+    **build_kwargs,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: probe the n_probe nearest cells, ADC
+    over residual codes INSIDE those cells only, exact re-rank of the
+    survivors.
+
+    Scoring decomposes exactly: dot(q, x) ≈ dot(q, centroid_cell) +
+    Σ_m lut[m][code_m], where the LUT is dot(q-subvector, codeword)
+    over RESIDUAL codebooks — computed once per query (it does not
+    depend on the cell), so the corpus-side scan is pure JVM
+    expression work on an EQUI-join against the probed cells (the
+    pruning PQ alone doesn't have) reading only m smallints per row
+    (the compression IVF alone doesn't have). Rows-only check
+    (float-order-dependent codebooks); recall asserted in tests."""
+    if index is None:
+        index = build_ivfpq_index(corpus, corpus_id, corpus_vec, **build_kwargs)
+    books = index.codebooks
+    centers = index.centroids
+    n_subspaces, _, dsub = books.shape
+    spark = queries.sparkSession
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<array<double>>")
+    def lut_of(vecs: pd.Series) -> pd.Series:
+        block = _norm_rows(np.array(vecs.to_list(), dtype=np.float64))
+        out = []
+        for row in block:
+            out.append(
+                [
+                    list(books[m] @ row[m * dsub : (m + 1) * dsub])
+                    for m in range(n_subspaces)
+                ]
+            )
+        return pd.Series(out)
+
+    centroid_rows = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centers)],
+        "__cell int, __centroid array<double>",
+    )
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")
+        )
+        .withColumn("__qnorm", _normed(F.col("__qvec")))
+        .withColumn("__lut", lut_of(F.col("__qvec")))
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("__cdot"), F.asc("__cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroid_rows))
+        .withColumn(
+            "__cdot",
+            F.aggregate(
+                F.zip_with(F.col("__qnorm"), F.col("__centroid"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("__probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("__probe_rank") <= n_probe)
+        .select("query_id", "__lut", "__cdot", "__cell")
+    )
+    adc = (
+        index.codes.join(F.broadcast(probes), "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("__cdot")
+                + F.aggregate(
+                    F.zip_with(
+                        F.col("__code"),
+                        F.col("__lut"),
+                        lambda code, row: F.element_at(row, code.cast("int") + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("__adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__adc"), F.asc("neighbor_id"))
+    candidates = (
+        adc.withColumn("__adc_rank", F.row_number().over(w))
+        .filter(F.col("__adc_rank") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cvec")
+    )
+    scored = (
+        candidates.join(vecs, "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "__qvec")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qvec"), F.col("__cvec")).alias("sim"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

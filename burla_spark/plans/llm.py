@@ -316,6 +316,29 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_INDEX_CACHE: dict[str, "sim.IvfPqIndex"] = {}
+
+
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ ANN (FAISS IndexIVFPQ): inverted-file pruning
+    times residual product quantization — queries equi-join only their
+    probed cells AND read only 8 smallint codes per corpus row (the
+    two scale levers multiplied; neither IVF nor PQ alone has both).
+    Rows-only (codebooks are float-order dependent); recall vs brute
+    force and residual-vs-raw quantization-error dominance asserted in
+    tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    index = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    if index is None or index.codes.sparkSession is not spark:
+        index = sim.build_ivfpq_index(e, "vec_id", "embedding")
+        _IVFPQ_INDEX_CACHE[sf_dir] = index
+    return sim.ivfpq_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k=10, n_probe=8, refine=8, index=index,
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis (oracle-checked)
 # ---------------------------------------------------------------------------
@@ -1430,6 +1453,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, ("similarity", "lsh")),
     QuerySpec("embedding_ivf_topk", embedding_ivf_topk, None, ("similarity", "ivf")),
     QuerySpec("embedding_pq_topk", embedding_pq_topk, None, ("similarity", "pq")),
+    QuerySpec(
+        "embedding_ivfpq_topk", embedding_ivfpq_topk, None, ("similarity", "ivf", "pq"),
+        doc="composed inverted-file + residual-PQ ANN (FAISS IndexIVFPQ shape)",
+    ),
     QuerySpec(
         "dedup_components", dedup_components, None, ("dedup", "graph"),
         doc="Transitive dedup-cluster resolution via min-label propagation.",

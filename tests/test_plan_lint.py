@@ -38,6 +38,7 @@ BNLJ_OK = {
     "unigram_logprob_scores",  # 1-row total-token-count broadcast
     "temperature_mixture_weights",  # 1-row (tok_total, z) normalizer broadcast
     "embedding_pq_topk",  # query-set LUT broadcast × codes scan (ADC contract)
+    "embedding_ivfpq_topk",  # query set × centroid set probe ranking (both small)
     "pagerank_fixed_point",  # 1-row node-count broadcast per iteration
     "sql_defined_functions",  # 3-row quantity-band table, theta (BETWEEN) join
     "equidepth_price_histogram",  # 9-row rank targets + 1-row bounds array broadcast
