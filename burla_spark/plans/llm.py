@@ -316,6 +316,20 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank of the retrieval pool — the
+    standard RAG diversity pass. Rows-only (greedy selection is not
+    SQL-expressible without a per-step recursive argmax); exactness is
+    tested via the lam=1 degeneration equaling cosine top-k, and
+    diversity via max-pairwise-sim reduction."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return sim.mmr_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k=10, pool=50, lam=0.7,
+    )
+
+
 _IVFPQ_INDEX_CACHE: dict[str, "sim.IvfPqIndex"] = {}
 
 
@@ -1456,6 +1470,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "embedding_ivfpq_topk", embedding_ivfpq_topk, None, ("similarity", "ivf", "pq"),
         doc="composed inverted-file + residual-PQ ANN (FAISS IndexIVFPQ shape)",
+    ),
+    QuerySpec(
+        "mmr_diversified_topk", mmr_diversified_topk, None, ("similarity", "rag"),
+        doc="maximal-marginal-relevance diversified retrieval (RAG rerank)",
     ),
     QuerySpec(
         "dedup_components", dedup_components, None, ("dedup", "graph"),

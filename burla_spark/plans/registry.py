@@ -105,7 +105,7 @@ _DRIVER_PRIORITY = frozenset(
         "gopher_repetition_filters", "burst_first_events",
         "robust_mad_outliers", "equidepth_price_histogram",
         "zorder_clustered_layout", "repeated_ngram_coverage",
-        "embedding_ivfpq_topk",
+        "embedding_ivfpq_topk", "mmr_diversified_topk",
     }
 )
 

@@ -604,3 +604,66 @@ def test_ivfpq_codes_shape_and_cell_pruning(spark, sf_dir):
     assert len(n_cells_seen) > 1 and all(0 <= c < 16 for c in n_cells_seen)
     for r in rows[:50]:
         assert len(r["__code"]) == 8 and all(0 <= c < 16 for c in r["__code"])
+
+
+def test_mmr_lambda_one_equals_cosine_topk(spark, sf_dir):
+    """lam=1 removes the diversity penalty entirely — MMR must then
+    reproduce exact cosine top-k, rank for rank."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    plain = sim.cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", k=10)
+    mmr = sim.mmr_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding", k=10, pool=50, lam=1.0
+    )
+    a = sorted((r.query_id, r.rank, r.neighbor_id) for r in plain.collect())
+    b = sorted((r.query_id, r.rank, r.neighbor_id) for r in mmr.collect())
+    assert a == b and len(a) == 50
+
+
+def test_mmr_diversifies_and_keeps_rank_one(spark, sf_dir):
+    """With a real penalty: rank 1 is still the nearest neighbor (no
+    selection pressure yet), every pick comes from the candidate pool,
+    and the selected set's max pairwise similarity does not exceed the
+    plain top-k's (the point of MMR)."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    plain = sim.cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", k=10)
+    mmr = sim.mmr_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding", k=10, pool=50, lam=0.5
+    )
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in e.collect()
+    }
+
+    def norm(v):
+        n = np.linalg.norm(v)
+        return v / n if n else v
+
+    def max_pairwise(ids):
+        vs = [norm(vecs[i]) for i in ids]
+        return max(
+            float(vs[i] @ vs[j])
+            for i in range(len(vs))
+            for j in range(i + 1, len(vs))
+        )
+
+    plain_sets, mmr_sets, rank1 = {}, {}, {}
+    for r in plain.collect():
+        plain_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        if r.rank == 1:
+            rank1[r.query_id] = r.neighbor_id
+    for r in mmr.collect():
+        mmr_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        if r.rank == 1:
+            assert r.neighbor_id == rank1[r.query_id]
+    assert set(mmr_sets) == set(plain_sets)
+    diversified = 0
+    for qid in mmr_sets:
+        assert len(mmr_sets[qid]) == 10
+        assert max_pairwise(mmr_sets[qid]) <= max_pairwise(plain_sets[qid]) + 1e-9
+        if mmr_sets[qid] != plain_sets[qid]:
+            diversified += 1
+    assert diversified > 0, "penalty never changed a selection — vacuous MMR"

@@ -39,6 +39,7 @@ BNLJ_OK = {
     "temperature_mixture_weights",  # 1-row (tok_total, z) normalizer broadcast
     "embedding_pq_topk",  # query-set LUT broadcast × codes scan (ADC contract)
     "embedding_ivfpq_topk",  # query set × centroid set probe ranking (both small)
+    "mmr_diversified_topk",  # 5 query vectors × corpus pool stage (exact baseline)
     "pagerank_fixed_point",  # 1-row node-count broadcast per iteration
     "sql_defined_functions",  # 3-row quantity-band table, theta (BETWEEN) join
     "equidepth_price_histogram",  # 9-row rank targets + 1-row bounds array broadcast
