@@ -98,3 +98,39 @@ def test_output_schema_atomic(spec, spark, sf_dir):
         f"{spec.name}: non-atomic output columns {bad} — stringify at the "
         "query edge (array_join/to_json) so the driver canon can hash them"
     )
+
+
+# Reviewed GLOBAL (empty-partition) windows: each runs over a BOUNDED
+# intermediate, never the raw fact table, so the single reducer sees a
+# capped row count by construction:
+GLOBAL_WINDOW_OK = {
+    "equidepth_price_histogram",  # cum-hist over DISTINCT cent values (bounded domain)
+    "recursive_month_spine",  # generated month spine (dozens of rows)
+    "window_distribution",  # cume_dist/percent_rank demo over a filtered slice
+    "unpivot_measures",  # long-format reshape of a 1-row aggregate
+    "q13_count_distribution",  # distribution over distinct order counts (bounded)
+    "error_rate_spikes",  # trailing-mean frame over 10-min BUCKETED counts (O(time-range))
+}
+
+_GLOBAL_WINDOW_RE = re.compile(
+    r"windowspecdefinition\(\s*[a-zA-Z_#0-9]+(?:#\d+)?L?\s+(?:ASC|DESC)"
+)
+
+
+@pytest.mark.parametrize("spec", BATCH_SPECS, ids=[s.name for s in BATCH_SPECS])
+def test_no_unreviewed_global_windows(spec, spark, sf_dir):
+    """A window with an EMPTY partition spec collapses the whole input
+    onto one task — the classic 100 TB killer (the reason the
+    equi-depth histogram avoids a global ntile). Every global window
+    in the fleet must be reviewed: either the windowed input is
+    bounded by construction (GLOBAL_WINDOW_OK) or the plan should
+    partition the window."""
+    plan = (
+        _built(spec, spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    if _GLOBAL_WINDOW_RE.search(plan):
+        assert spec.name in GLOBAL_WINDOW_OK, (
+            f"{spec.name}: window with empty partition spec (single-task "
+            "sort at scale) — partition it, or add to GLOBAL_WINDOW_OK "
+            "with a bounded-input justification"
+        )
