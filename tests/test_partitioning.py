@@ -147,3 +147,57 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     rows = joined.collect()
     assert len(rows) == 1 and rows[0]["o_orderpriority"].startswith("1-")
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_correctness_dir):
+    """Runtime row-level filtering (the third pruning lever next to
+    static pushdown and dynamic partition pruning): a selective dim
+    filter injects a bloom filter into the FACT side's scan, so
+    non-matching lineitem rows drop before the shuffle — at 100 TB
+    that is the difference between shuffling the whole fact table and
+    shuffling the ~selectivity fraction that can possibly join.
+    Asserts the might_contain predicate lands in the optimized plan
+    AND that results are identical with the filter off."""
+    from pyspark.sql import functions as F
+
+    sf = sf_correctness_dir
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # fixture tables are tiny; drop the size gates so the tiny scan
+        # qualifies as an "application side" worth protecting
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+
+    def build():
+        o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_totalprice") > 450000
+        )
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .orderBy("o_orderpriority")
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        with_bloom = build()
+        plan = with_bloom._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "bloom filter not injected"
+        got = [(r.o_orderpriority, r.n) for r in with_bloom.collect()]
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        baseline = [(r.o_orderpriority, r.n) for r in build().collect()]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    assert got == baseline and len(got) > 0
