@@ -17,8 +17,17 @@ from burla_spark.streaming.events import (
     stream_key_dedup,
     stream_session_aggregate,
     stream_stateful_user_stats,
+    stream_static_enrich,
     stream_tumbling_counts,
 )
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
 
 STREAM_TUMBLING_SQL = """
 SELECT
@@ -188,5 +197,12 @@ SPECS: list[QuerySpec] = [
         doc="dropDuplicatesWithinWatermark: state bounded by the horizon.",
     ),
     QuerySpec("stream_stateful_user_stats", stream_stateful_user_stats, STREAM_STATEFUL_SQL, ("streaming", "udf")),
-
+    QuerySpec(
+        "stream_static_enrich",
+        stream_static_enrich,
+        STREAM_STATIC_ENRICH_SQL,
+        ("streaming", "join"),
+        doc="Stream-static dimension enrichment (per-batch broadcast of "
+        "the dim, zero stream-side join state).",
+    ),
 ]

@@ -114,6 +114,35 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_tumbling_counts")
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join — the most common production
+    streaming pattern: every micro-batch of events joins the static
+    customer dimension (user -> market segment) before aggregating.
+    Spark broadcasts the dim per batch (no stream-side state at all,
+    unlike stream-stream joins), which is exactly the 100 TB/day
+    shape: the dimension is re-read/broadcast per trigger, so slowly-
+    changing dims pick up updates between batches for free.
+
+    complete mode per-segment totals; the batch join+group is an exact
+    oracle under the engine's decimal-sum contract."""
+    from burla_spark.sources.tables import load_table
+
+    s = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        s.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+    run_stream_to_table(agg, "stream_static_enrich", "complete")
+    return spark.table("stream_static_enrich")
+
+
 def stream_session_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (30-min gap) per user, as a stream.
     session_window merges events closer than the gap — the streaming
