@@ -106,7 +106,7 @@ _DRIVER_PRIORITY = frozenset(
         "robust_mad_outliers", "equidepth_price_histogram",
         "zorder_clustered_layout", "repeated_ngram_coverage",
         "embedding_ivfpq_topk", "mmr_diversified_topk",
-        "stream_static_enrich",
+        "stream_static_enrich", "cdc_latest_state",
     }
 )
 
