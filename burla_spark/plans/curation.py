@@ -330,28 +330,26 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the delete op, anything else upserts (user_id key, (ts, event_id)
     the total-ordered sequence — 30/150 fixture users end deleted).
 
-    100 TB shape: one shuffle on the key, a per-key window picking
-    rank 1 of the DESCENDING sequence (no sort of the whole changelog
-    — each key sorts its own ops), and a count join-back that shares
-    the same partitioning. This is what MERGE INTO compiles to when
-    applying a batched changelog to a snapshot."""
+    100 TB shape: ONE scan, ONE shuffle — the per-key rank and the
+    per-key change count are both windows over the same partitioning,
+    so they share the exchange (no groupBy join-back, no second
+    changelog scan). Each key sorts only its own ops. This is what
+    MERGE INTO compiles to when applying a batched changelog to a
+    snapshot."""
     e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    last = (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .filter(F.col("event_type") != "error")  # trailing delete drops the key
-    )
-    counts = e.groupBy("user_id").agg(F.count("*").alias("n_changes"))
+    wc = Window.partitionBy("user_id")
     return (
-        last.join(counts, "user_id")
-        .select(
+        e.select(
             "user_id",
             F.col("event_type").alias("last_op"),
             F.col("value").alias("last_value"),
             F.col("ts").alias("last_ts"),
-            "n_changes",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n_changes"),
         )
+        .filter((F.col("rn") == 1) & (F.col("last_op") != "error"))
+        .drop("rn")
         .orderBy("user_id")
     )
 
@@ -360,20 +358,18 @@ CDC_LATEST_SQL = """
 WITH ranked AS (
   SELECT user_id, event_type, value, ts,
          ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY ts DESC, event_id DESC) AS rn
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
   FROM events WHERE ts IS NOT NULL
-), counts AS (
-  SELECT user_id, COUNT(*) AS n_changes FROM events
-  WHERE ts IS NOT NULL GROUP BY user_id
 )
-SELECT r.user_id,
-       r.event_type AS last_op,
-       r.value AS last_value,
-       r.ts AS last_ts,
-       c.n_changes
-FROM ranked r JOIN counts c USING (user_id)
-WHERE r.rn = 1 AND r.event_type <> 'error'
-ORDER BY r.user_id
+SELECT user_id,
+       event_type AS last_op,
+       value AS last_value,
+       ts AS last_ts,
+       n_changes
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
 """
 
 
