@@ -1034,7 +1034,8 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg(logp), 6).alias("mean_logprob"),
+            # + 0.0: signed-zero normalization (contract rule 9)
+            (F.round(F.avg(logp), 6) + F.lit(0.0)).alias("mean_logprob"),
         )
         .orderBy("doc_id")
     )
@@ -1051,7 +1052,7 @@ WITH tok AS (
 )
 SELECT tok.doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_tokens,
-  ROUND(AVG(LN(CAST(vocab.n AS DOUBLE) / stats.total)), 6) AS mean_logprob
+  ROUND(AVG(LN(CAST(vocab.n AS DOUBLE) / stats.total)), 6) + 0.0 AS mean_logprob
 FROM tok JOIN vocab ON tok.term = vocab.term CROSS JOIN stats
 GROUP BY tok.doc_id ORDER BY tok.doc_id
 """
@@ -1101,7 +1102,8 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.avg(logp), 6).alias("mean_logprob"),
+            # + 0.0: signed-zero normalization (contract rule 9)
+            (F.round(F.avg(logp), 6) + F.lit(0.0)).alias("mean_logprob"),
         )
         .orderBy("doc_id")
     )
@@ -1123,7 +1125,7 @@ WITH t AS (
 )
 SELECT big.doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-  ROUND(AVG(LN(CAST(model.c12 AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))), 6)
+  ROUND(AVG(LN(CAST(model.c12 AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))), 6) + 0.0
     AS mean_logprob
 FROM big JOIN model USING (w1, w2) JOIN ctx USING (w1)
 GROUP BY big.doc_id ORDER BY big.doc_id

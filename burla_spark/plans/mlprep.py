@@ -156,10 +156,16 @@ def feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_orderpriority",
-            F.round(
-                (F.col("o_totalprice") - F.col("mean_price"))
-                / F.sqrt(F.col("var_price")),
-                6,
+            # + 0.0: signed-zero normalization (contract rule 9) — a row
+            # whose price sits within 0.5e-6 of the group mean rounds to
+            # -0.0 in DuckDB but 0.0 in Spark.
+            (
+                F.round(
+                    (F.col("o_totalprice") - F.col("mean_price"))
+                    / F.sqrt(F.col("var_price")),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("z_price"),
         )
         .orderBy("o_orderkey")
@@ -177,7 +183,7 @@ WITH moments AS (
   FROM orders GROUP BY 1
 )
 SELECT o_orderkey, o_orderpriority,
-       ROUND((o_totalprice - mean_price) / SQRT(var_price), 6) AS z_price
+       ROUND((o_totalprice - mean_price) / SQRT(var_price), 6) + 0.0 AS z_price
 FROM orders JOIN moments ON o_orderpriority = pri
 WHERE o_orderkey < 500
 ORDER BY o_orderkey
@@ -441,7 +447,11 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "rank",
             "o_orderkey",
-            F.round("sample_priority", 9).alias("sample_priority"),
+            # + 0.0 normalizes IEEE signed zero: ROUND of a tiny negative
+            # yields -0.0 in DuckDB but 0.0 in Spark (determinism contract
+            # rule 9); adding positive zero is the identity for every other
+            # double and maps -0.0 -> +0.0 in both engines.
+            (F.round("sample_priority", 9) + F.lit(0.0)).alias("sample_priority"),
         )
         .orderBy("o_orderpriority", "rank")
     )
@@ -460,7 +470,7 @@ WITH scored AS (
   FROM scored
 )
 SELECT o_orderpriority, rank, o_orderkey,
-       ROUND(sample_priority, 9) AS sample_priority
+       ROUND(sample_priority, 9) + 0.0 AS sample_priority
 FROM ranked WHERE rank <= 10
 ORDER BY o_orderpriority, rank
 """
