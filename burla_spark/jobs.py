@@ -15,7 +15,11 @@ A Spark job still cannot outlive its driver process (SURVEY.md
 manifest (JSON) and raw result rows (parquet) to a journal directory,
 so a second process with its own SparkSession can ``list_jobs`` and
 ``fetch_results`` for any COMPLETED detached job after the submitting
-process exited. That narrows the divergence to in-flight jobs only.
+process exited. For IN-FLIGHT jobs, executors additionally ack each
+completed input's result into ``partial/`` as tasks finish, so
+``redrive`` of an orphaned job (driver died, heartbeat stale) RESUMES
+from the acked set instead of restarting — the reference's ack/replay
+contract (_node.py:463-524) re-expressed as a task-commit-style log.
 The journal dir comes from ``spark.burla.jobJournalDir`` (point it at
 shared storage on a real cluster — executors write the parquet) and
 defaults to ``~/.burla_spark/jobs`` for the single-machine story.
@@ -212,6 +216,72 @@ def journal_payload(
     return True
 
 
+def _partial_dir(base: str, job_id: str) -> str:
+    return os.path.join(base, job_id, "partial")
+
+
+def read_partial_results(base: str, job_id: str) -> dict[int, tuple]:
+    """Per-input results journaled by executors WHILE the job ran —
+    the ack half of the reference's ack/replay contract
+    (client/src/burla/_node.py:463-524): each task appends its
+    completed (idx, result) rows before the driver ever collects, so a
+    redrive after driver death resumes from the delivered set instead
+    of restarting. Returns {idx: RESULT_SCHEMA tuple}; duplicate
+    indices (task retries / speculation) dedupe first-wins, same rule
+    as the live log channel."""
+    import pickle as _pickle
+
+    pdir = _partial_dir(base, job_id)
+    done: dict[int, tuple] = {}
+    if not os.path.isdir(pdir):
+        return done
+    for name in sorted(os.listdir(pdir)):
+        if not name.endswith(".pkl"):
+            continue
+        try:
+            with open(os.path.join(pdir, name), "rb") as fh:
+                rows = _pickle.load(fh)
+        except Exception:  # noqa: BLE001 — torn write: skip the file
+            continue
+        for tup in rows:
+            done.setdefault(int(tup[0]), tuple(tup))
+    return done
+
+
+def _claim_redrive(base: str, job_id: str, stale_s: float) -> None:
+    """Atomically claim an orphan before resubmitting: two processes
+    redriving concurrently would both pass the staleness check and
+    double-run user code under the same job id. O_CREAT|O_EXCL makes
+    exactly one winner; a claim whose OWNER also died (older than the
+    staleness threshold, manifest still running) is taken over via
+    atomic rename — rename succeeds for exactly one of N racers."""
+    claim = os.path.join(base, job_id, "redrive_claim")
+    for _ in range(2):
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                fh.write(json.dumps({"pid": os.getpid(), "at": time.time()}))
+            return
+        except FileExistsError:
+            try:
+                with open(claim) as fh:
+                    doc = json.load(fh)
+                age = time.time() - float(doc.get("at", 0))
+            except (OSError, ValueError, json.JSONDecodeError):
+                age = float("inf")  # torn claim — treat as stale
+            if age <= stale_s:
+                raise RuntimeError(
+                    f"job {job_id} is already being redriven (claim by pid "
+                    f"{doc.get('pid')}, {age:.1f}s ago) — racing would "
+                    "double-run user code"
+                )
+            try:  # stale claim: its owner died too — take it over
+                os.rename(claim, f"{claim}.stale-{uuid.uuid4().hex[:8]}")
+            except OSError:
+                pass  # another racer renamed it first; retry O_EXCL
+    raise RuntimeError(f"could not claim redrive of job {job_id}")
+
+
 def redrive(spark: SparkSession, job_id: str, journal_dir: str | None = None, force: bool = False):
     """Re-drive an ORPHANED detached job from a second process — the
     closest Spark-idiomatic analogue of the reference keeping detached
@@ -219,7 +289,11 @@ def redrive(spark: SparkSession, job_id: str, journal_dir: str | None = None, fo
     submitting driver died mid-job (manifest running, heartbeat
     stale), any process sharing the journal dir can resubmit the
     journaled function+inputs UNDER THE SAME job id and let the normal
-    completion path journal the results. Returns the new
+    completion path journal the results. Inputs whose results were
+    already journaled by executors (the partial/ ack log) are NOT
+    recomputed — redrive resumes, mirroring the reference's ack/replay
+    keeping completed inputs across client loss
+    (node_service job_endpoints.py:70-89). Returns the new
     BackgroundJob handle. ``force=True`` skips the staleness check
     (for a driver known dead sooner than the threshold)."""
     base = _journal_dir(spark, journal_dir)
@@ -234,7 +308,7 @@ def redrive(spark: SparkSession, job_id: str, journal_dir: str | None = None, fo
             f"job {job_id} is {status!r}, not an orphaned running job — "
             "use fetch_results"
         )
-    age = time.time() - manifest.get("heartbeat_at", manifest.get("started_at", 0))
+    age = time.time() - _last_heartbeat_at(base, job_id, manifest)
     stale_s = float(spark.conf.get("spark.burla.heartbeatStaleS", str(HEARTBEAT_STALE_S)))
     if age <= stale_s and not force:
         raise RuntimeError(
@@ -248,6 +322,13 @@ def redrive(spark: SparkSession, job_id: str, journal_dir: str | None = None, fo
             f"job {job_id} journaled no payload (too big or submitted by "
             "an older engine) — it cannot be re-driven"
         )
+    _claim_redrive(base, job_id, stale_s)
+    # a cancel flag aimed at the DEAD driver must not auto-cancel the
+    # fresh run within one heartbeat: an explicit redrive supersedes it.
+    try:
+        os.remove(os.path.join(base, job_id, "cancel_requested"))
+    except OSError:
+        pass
     import pickle as _pickle
 
     with open(payload_path, "rb") as fh:
@@ -256,10 +337,12 @@ def redrive(spark: SparkSession, job_id: str, journal_dir: str | None = None, fo
 
     cp = _cloudpickle()
     func = cp.loads(payload["function_pkl"])
-    items = [cp.loads(blob) for (_, blob) in sorted(payload["inputs"])]
+    done = read_partial_results(base, job_id)
+    todo = [(idx, blob) for (idx, blob) in sorted(payload["inputs"]) if idx not in done]
     return remote_parallel_map(
-        func, items, spark=spark, detach=True, _job_id=job_id,
-        journal_dir=journal_dir,
+        func, [], spark=spark, detach=True, _job_id=job_id,
+        journal_dir=journal_dir, _raw_input_rows=todo,
+        _done_rows=[done[i] for i in sorted(done)],
     )
 
 
@@ -268,20 +351,40 @@ HEARTBEAT_STALE_S = 30.0
 
 
 def journal_heartbeat(spark: SparkSession, job_id: str, journal_dir: str | None = None) -> None:
-    """Refresh a RUNNING manifest's heartbeat — lets a SECOND process
+    """Refresh a running job's heartbeat — lets a SECOND process
     distinguish a live in-flight detached job from one whose driver
     died mid-run (reference job_watcher.py keeps watching a detached
-    job server-side; file heartbeats are the single-machine analogue)."""
+    job server-side; file heartbeats are the single-machine analogue).
+
+    Beats go to a SIDECAR file, never the manifest: the old
+    read-modify-write of manifest.json raced journal_finish/
+    journal_cancel — the beat thread could load 'running' just before
+    the completion path wrote 'done' and then clobber it back,
+    permanently wedging a completed job as a stale-heartbeat orphan
+    (and redrive would re-execute completed work)."""
     base = _journal_dir(spark, journal_dir)
+    path = os.path.join(base, job_id, "heartbeat")
     try:
-        with open(_manifest_path(base, job_id)) as fh:
-            doc = json.load(fh)
-    except (OSError, json.JSONDecodeError):
-        return
-    if doc.get("status") != "running":
-        return  # finished while we raced — never un-finish a manifest
-    doc["heartbeat_at"] = time.time()
-    _write_manifest(base, job_id, doc)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(time.time()))
+        os.replace(tmp, path)
+    except OSError:
+        pass  # journaling is best-effort
+
+
+def _last_heartbeat_at(base: str, job_id: str, manifest: dict) -> float:
+    """Most recent heartbeat: max of the sidecar file and the
+    manifest's submit-time stamp (a redriven job rewrites the manifest
+    with a fresh heartbeat_at, which must outrank the previous run's
+    leftover sidecar)."""
+    best = manifest.get("heartbeat_at", manifest.get("started_at", 0.0))
+    try:
+        with open(os.path.join(base, job_id, "heartbeat")) as fh:
+            best = max(best, float(fh.read().strip() or 0.0))
+    except (OSError, ValueError):
+        pass
+    return best
 
 
 def journal_finish(
@@ -374,7 +477,7 @@ def fetch_results(
         raise KeyError(f"no journaled job {job_id!r} under {base}") from exc
     status = manifest.get("status")
     if status == "running":
-        age = time.time() - manifest.get("heartbeat_at", manifest.get("started_at", 0))
+        age = time.time() - _last_heartbeat_at(base, job_id, manifest)
         stale_s = float(
             spark.conf.get("spark.burla.heartbeatStaleS", str(HEARTBEAT_STALE_S))
         )

@@ -1,0 +1,462 @@
+"""Oracle-checkable companion stages for the no-oracle ANN/dedup/
+clustering family (round-6: shrink the driver's gray zone).
+
+The fuzzy operators (MinHash, LSH, IVF, PQ, k-means, near-dup) are
+permanently `no_oracle` to the driver: their candidate generation is
+xxhash- or k-means-trained and DuckDB cannot reproduce it. But each has
+an EXACT sub-computation — the verify/assign/re-rank stage — that IS
+SQL-expressible once its inputs are pinned deterministically. These
+specs drive exactly those stages with full DuckDB oracles, so the
+driver's scoreboard covers the math the fuzzy pipelines rest on:
+
+* ``shingle_jaccard_verified_pairs`` — MinHash's verify stage: exact
+  5-gram Jaccard over a deterministic blocked candidate set
+  (companion to ``minhash_dedup_pairs``, operators/dedup.py).
+* ``neardup_cosine_pairs_exact`` — near-dup's verify stage: exact
+  cosine threshold over a bounded-by-construction pair set
+  (companion to ``embedding_neardup`` / ``embedding_lsh_topk``).
+* ``pq_fixed_codebook_topk`` — PQ's assign + ADC stages with a FIXED
+  deterministic codebook (companion to ``embedding_pq_topk`` /
+  ``embedding_ivfpq_topk``, whose trained codebooks are the only
+  non-SQL part).
+* ``kmeans_assign_fixed_centroids`` — k-means' assignment pass with
+  fixed centroids (companion to ``kmeans_cluster_sizes``; the trained
+  loop is this pass iterated).
+* ``mmr_lambda1_topk`` — MMR at lambda=1, which degenerates exactly to
+  cosine top-k (companion to ``mmr_diversified_topk``: proves the
+  scoring/selection machinery against the exact-retrieval oracle).
+
+Still irreducible (documented, pytest-verified against brute force):
+HLL (xxhash registers), SimHash (xxhash bits), compression-ratio
+(zlib), IVF cell assignment (trained centroids — but its assignment
+MATH is exactly ``kmeans_assign_fixed_centroids``), and transitive
+``dedup_components`` (whose algorithm is oracle-green via the exact
+variant ``dedup_components_exact``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from burla_spark.functions.vectors import cosine_similarity
+from burla_spark.plans.base import QuerySpec
+from burla_spark.sources.tables import load_table
+
+DIM = 64  # embeddings fixture dimension (TESTDATA.md)
+
+
+# ---------------------------------------------------------------------------
+# MinHash verify stage: exact shingle Jaccard over blocked candidates
+# ---------------------------------------------------------------------------
+def shingle_jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-gram Jaccard over prefix-blocked candidate pairs —
+    the verify stage every MinHash pipeline ends with (reference
+    near-dup flow), on a DETERMINISTIC candidate generator (equal
+    40-char prefix) instead of the xxhash LSH bands, so DuckDB can
+    replay it bit-for-bit. Jaccard = |∩| / |∪| of distinct shingle
+    SETS — a ratio of exact BIGINTs, hash-identical on both engines.
+
+    100 TB shape: the block join is an equi-join on the prefix key
+    (shuffle bounded by block sizes, never corpus²); shingling is one
+    map-side higher-order-function pass; the set ops run on the joined
+    pair only. This is exactly how the production verify stage behaves
+    with LSH-band keys in place of the prefix."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sh = d.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("pfx"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 4),
+                lambda i: F.array_join(F.slice(toks, i, 5), " "),
+            )
+        ).alias("shingles"),
+    ).filter(F.size(toks) >= 5)
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("pfx"), F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("pfx"), F.col("shingles").alias("sh_b")
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    n_union = F.size(F.array_union("sh_a", "sh_b")).cast("long")
+    return (
+        a.join(b, "pfx")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            n_common.alias("n_common"),
+            (n_common.cast("double") / n_union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+SHINGLE_JACCARD_SQL = r"""
+WITH sh AS (
+  SELECT doc_id, substr(text, 1, 40) AS pfx,
+         list_distinct([array_to_string(toks[i:i+4], ' ')
+                        FOR i IN range(1, len(toks) - 3)]) AS shingles
+  FROM (SELECT doc_id, text,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 5
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_common,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+         AS jaccard
+FROM sh a JOIN sh b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+      >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# near-dup verify stage: exact cosine threshold over a bounded pair set
+# ---------------------------------------------------------------------------
+def neardup_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine-threshold pair verification over a
+    bounded-by-construction candidate set (right side vec_id < 250) —
+    the re-rank/verify half of ``embedding_neardup``, whose LSH bucket
+    keys (xxhash) the oracle cannot reproduce. The float path is the
+    driver-proven cosine recipe (embedding_cosine_topk, green r4).
+
+    100 TB shape: production feeds this stage LSH-bucketed candidates
+    (bounded by bucket size); the exhaustive pairing here exists only
+    to make the stage oracle-checkable on the fixture. + 0.0
+    normalizes signed zero (contract rule 13)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.filter(F.col("vec_id") < 250).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (F.round(sim, 6) + F.lit(0.0)).alias("sim"),
+            sim.alias("__raw"),
+        )
+        .filter(F.col("__raw") >= 0.4)
+        .drop("__raw")
+        .orderBy("id_a", "id_b")
+    )
+
+
+NEARDUP_PAIRS_SQL = f"""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    SUM(CAST(a.embedding[s.i] AS DOUBLE) * CAST(b.embedding[s.i] AS DOUBLE)) AS dot,
+    SUM(CAST(a.embedding[s.i] AS DOUBLE) * CAST(a.embedding[s.i] AS DOUBLE)) AS aa,
+    SUM(CAST(b.embedding[s.i] AS DOUBLE) * CAST(b.embedding[s.i] AS DOUBLE)) AS bb
+  FROM embeddings a, embeddings b,
+       (SELECT UNNEST(generate_series(1, {DIM})) AS i) s
+  WHERE a.vec_id < b.vec_id AND b.vec_id < 250
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) + 0.0 AS sim
+FROM p WHERE dot / (SQRT(aa) * SQRT(bb)) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# PQ assign + ADC with a fixed deterministic codebook
+# ---------------------------------------------------------------------------
+PQ_M = 4  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codewords per subspace = embeddings vec_id 0..15
+
+
+def pq_fixed_codebook_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization assignment + asymmetric-distance (ADC)
+    top-10 with a FIXED codebook — codeword c of subspace s is the
+    s-th 16-dim slice of embedding vec_id=c (c < 16). Everything the
+    trained ``embedding_pq_topk`` does EXCEPT the k-means fit, which is
+    the one non-SQL stage; pinning the codebook makes assign + LUT +
+    ADC + rank an exact DuckDB replay (the round-6 gray-zone closer).
+
+    100 TB shape identical to the production PQ path: the codebook
+    (64 tiny rows) broadcasts; code assignment is one corpus scan with
+    a per-(vector, subspace) argmin; the query LUT (5×4×16 partial
+    dots) broadcasts; the ADC scan reads codes, not vectors. Ranks
+    carry a unique total order (adc desc, neighbor asc); ties in the
+    argmin break to the smaller codeword id on both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
+
+    def subvec(col: str):  # s-th 16-dim slice, elements cast to double
+        return F.transform(
+            F.slice(F.col(col), F.col("s") * PQ_SUB + 1, PQ_SUB),
+            lambda x: x.cast("double"),
+        )
+
+    cb = (
+        e.filter(F.col("vec_id") < PQ_K)
+        .crossJoin(subs)
+        .select(F.col("vec_id").alias("c"), "s", subvec("embedding").alias("cvec"))
+    )
+    corpus = e.crossJoin(subs).select(
+        F.col("vec_id").alias("neighbor_id"), "s", subvec("embedding").alias("vvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with("vvec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_assign = Window.partitionBy("neighbor_id", "s").orderBy(
+        F.asc("d2"), F.asc("c")
+    )
+    codes = (
+        corpus.join(F.broadcast(cb), "s")
+        .select("neighbor_id", "s", "c", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "s", "c")
+    )
+    lut = (
+        e.filter(F.col("vec_id") < 5)
+        .crossJoin(subs)
+        .select(F.col("vec_id").alias("query_id"), "s", subvec("embedding").alias("qvec"))
+        .join(F.broadcast(cb), "s")
+        .select(
+            "query_id", "s", "c",
+            F.aggregate(
+                F.zip_with("qvec", "cvec", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("pdot"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_raw"), F.asc("neighbor_id")
+    )
+    return (
+        codes.join(F.broadcast(lut), ["s", "c"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pdot").alias("adc_raw"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            (F.round("adc_raw", 6) + F.lit(0.0)).alias("adc_dot"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+PQ_FIXED_SQL = f"""
+WITH s(s) AS (SELECT UNNEST(generate_series(0, {PQ_M - 1}))),
+i(i) AS (SELECT UNNEST(generate_series(1, {PQ_SUB}))),
+d2 AS (
+  SELECT v.vec_id AS neighbor_id, s.s, cb.vec_id AS c,
+    SUM((CAST(v.embedding[s.s * {PQ_SUB} + i.i] AS DOUBLE)
+         - CAST(cb.embedding[s.s * {PQ_SUB} + i.i] AS DOUBLE))
+        * (CAST(v.embedding[s.s * {PQ_SUB} + i.i] AS DOUBLE)
+           - CAST(cb.embedding[s.s * {PQ_SUB} + i.i] AS DOUBLE))) AS d2
+  FROM embeddings v, embeddings cb, s, i
+  WHERE cb.vec_id < {PQ_K}
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT neighbor_id, s, c FROM d2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY neighbor_id, s ORDER BY d2, c) = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, s.s, cb.vec_id AS c,
+    SUM(CAST(q.embedding[s.s * {PQ_SUB} + i.i] AS DOUBLE)
+        * CAST(cb.embedding[s.s * {PQ_SUB} + i.i] AS DOUBLE)) AS pdot
+  FROM embeddings q, embeddings cb, s, i
+  WHERE q.vec_id < 5 AND cb.vec_id < {PQ_K}
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT lut.query_id, codes.neighbor_id, SUM(lut.pdot) AS adc_raw
+  FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
+  WHERE lut.query_id <> codes.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_raw DESC, neighbor_id) AS BIGINT) AS rank,
+       ROUND(adc_raw, 6) + 0.0 AS adc_dot
+FROM adc
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-means assignment pass with fixed centroids
+# ---------------------------------------------------------------------------
+KM_K = 8  # centroids = embeddings vec_id 0..7
+
+
+def kmeans_assign_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact k-means ASSIGNMENT pass with fixed centroids
+    (embeddings vec_id 0..7): every vector goes to its nearest
+    centroid by squared L2, ties to the smaller centroid id. This is
+    the per-iteration kernel of ``kmeans_cluster_sizes`` (and IVF's
+    cell assignment) with the only non-SQL part — the trained
+    centroids — pinned. Output aggregates avoid double accumulation
+    (contract rule 8): exact BIGINT counts plus MIN/MAX distances
+    (no re-summation), rounded per-row semantics only.
+
+    100 TB shape: centroids broadcast (k rows); one corpus scan; the
+    argmin is a per-row reduction over k, no shuffle until the final
+    tiny group-by."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cluster_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.min("d2"), 6).alias("min_d2"),
+            F.round(F.max("d2"), 6).alias("max_d2"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+KMEANS_ASSIGN_SQL = f"""
+WITH i(i) AS (SELECT UNNEST(generate_series(1, {DIM}))),
+d2 AS (
+  SELECT v.vec_id, c.vec_id AS cluster_id,
+    SUM((CAST(v.embedding[i.i] AS DOUBLE) - CAST(c.embedding[i.i] AS DOUBLE))
+        * (CAST(v.embedding[i.i] AS DOUBLE) - CAST(c.embedding[i.i] AS DOUBLE))) AS d2
+  FROM embeddings v, embeddings c, i
+  WHERE c.vec_id < {KM_K}
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id, cluster_id, d2 FROM d2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) = 1
+)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(MIN(d2), 6) AS min_d2, ROUND(MAX(d2), 6) AS max_d2
+FROM assigned GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# MMR at lambda=1 degenerates to exact cosine top-k
+# ---------------------------------------------------------------------------
+def mmr_lambda1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mmr_topk`` with lambda=1: the diversity term vanishes and the
+    greedy selection must reproduce exact cosine top-10 — which DuckDB
+    CAN compute. Runs the real MMR machinery (pool retrieval +
+    per-query pandas greedy loop), so a green row certifies the
+    operator's scoring/selection half; the lambda<1 behavior is
+    property-tested in pytest (test_operators.py). Ranking follows the
+    pool's rounded sims (mmr consumes the retrieval stage's rounded
+    scores), so the oracle ranks by ROUND(sim, 6) with the same
+    id-asc tiebreak."""
+    from burla_spark.operators import similarity as sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = sim.mmr_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k=10, pool=50, lam=1.0,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+        (F.round("sim", 6) + F.lit(0.0)).alias("sim"),
+    ).orderBy("query_id", "rank")
+
+
+MMR_LAMBDA1_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+p AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    SUM(CAST(q.qe[s.i] AS DOUBLE) * CAST(c.embedding[s.i] AS DOUBLE)) AS dot,
+    SUM(CAST(q.qe[s.i] AS DOUBLE) * CAST(q.qe[s.i] AS DOUBLE)) AS qq,
+    SUM(CAST(c.embedding[s.i] AS DOUBLE) * CAST(c.embedding[s.i] AS DOUBLE)) AS cc
+  FROM q, embeddings c, (SELECT UNNEST(generate_series(1, {DIM})) AS i) s
+  WHERE q.query_id <> c.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND(dot / (SQRT(qq) * SQRT(cc)), 6) AS rsim
+  FROM p
+),
+ranked AS (
+  SELECT query_id, neighbor_id, rsim,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rsim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, rsim + 0.0 AS sim
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "shingle_jaccard_verified_pairs",
+        shingle_jaccard_verified_pairs,
+        SHINGLE_JACCARD_SQL,
+        ("dedup", "oracle-companion"),
+        doc="MinHash verify stage: exact shingle Jaccard over a "
+        "deterministic blocked candidate set.",
+    ),
+    QuerySpec(
+        "neardup_cosine_pairs_exact",
+        neardup_cosine_pairs_exact,
+        NEARDUP_PAIRS_SQL,
+        ("similarity", "oracle-companion"),
+        doc="Near-dup verify stage: exact cosine threshold pairs.",
+    ),
+    QuerySpec(
+        "pq_fixed_codebook_topk",
+        pq_fixed_codebook_topk,
+        PQ_FIXED_SQL,
+        ("similarity", "oracle-companion"),
+        doc="PQ assign + ADC re-rank with a fixed deterministic codebook.",
+    ),
+    QuerySpec(
+        "kmeans_assign_fixed_centroids",
+        kmeans_assign_fixed_centroids,
+        KMEANS_ASSIGN_SQL,
+        ("clustering", "oracle-companion"),
+        doc="k-means assignment pass with fixed centroids.",
+    ),
+    QuerySpec(
+        "mmr_lambda1_topk",
+        mmr_lambda1_topk,
+        MMR_LAMBDA1_SQL,
+        ("similarity", "oracle-companion"),
+        doc="MMR at lambda=1 == exact cosine top-k (degenerate oracle).",
+    ),
+]

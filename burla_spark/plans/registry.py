@@ -14,6 +14,7 @@ def all_specs() -> list[QuerySpec]:
     # Imported lazily so a bug in one plan module doesn't take down the
     # whole registry at import time.
     from burla_spark.plans import (
+        ann_oracle,
         complex_types,
         curation,
         llm,
@@ -34,6 +35,7 @@ def all_specs() -> list[QuerySpec]:
     )
 
     layers: list[list[QuerySpec]] = [
+        ann_oracle.SPECS,
         curation.SPECS,
         relational.SPECS,
         relational2.SPECS,
@@ -78,35 +80,25 @@ def all_specs() -> list[QuerySpec]:
     return specs
 
 
-# Round-5 rotation, recomputed from CORRECTNESS_r0{1..4}.json: the 24
-# specs with no driver row through r04 (closing cumulative coverage at
-# 153/153), plus the 6 r04 hash-fail rows whose oracle SQL was fixed
-# this round (uncast HUGEINT aggregates -> CAST AS BIGINT) and need a
-# fresh driver verdict.  30 priority slots; the driver's 50-slot sample
-# fills the rest from the layer-interleaved remainder.
+# Round-6 rotation, recomputed from CORRECTNESS_r0{1..5}.json:
+# cumulative coverage closed at 163/163 in r5, so the priority set is
+# exactly the CONTESTED rows this round must adjudicate — the one r5
+# red row (weighted_sample_orders, signed-zero normalized this round),
+# the three green queries the signed-zero sweep also touched (changed
+# SQL needs a fresh verdict), and the round-6 oracle-companion specs
+# that shrink the no-oracle gray zone (plans/ann_oracle.py).
+# 9 priority slots; the driver's 50-slot sample fills the rest from
+# the layer-interleaved rotation remainder.
 _DRIVER_PRIORITY = frozenset(
     {
-        # never sampled r01-r04
-        "sql_defined_functions", "stream_timer_sessions",
-        "stream_left_outer_join", "pagerank_fixed_point",
-        "stream_upsert_user_totals", "temperature_mixture_weights",
-        "funnel_conversion", "winsorize_quantity_stats", "cohort_retention",
-        "target_encoding_loo", "error_rate_spikes", "weighted_sample_orders",
-        "sequence_pattern_match", "embedding_pq_topk",
-        "event_transition_matrix", "corpus_curation_pipeline",
-        "sequence_packing", "bm25_scores", "decontamination_overlap",
-        "unigram_logprob_scores", "bigram_logprob_scores", "pii_redaction",
-        "chunk_documents_overlap", "compression_ratio_scores",
-        # r04 hash-fail rows re-greened by the oracle BIGINT casts
-        "variant_json_agg", "events_sessionize", "process_aggregate_predict",
-        "try_arithmetic_nullsafe", "text_token_stats",
-        "multimodal_blob_metadata",
-        # round-5 additions (plans/curation.py) — never sampled yet
-        "gopher_repetition_filters", "burst_first_events",
-        "robust_mad_outliers", "equidepth_price_histogram",
-        "zorder_clustered_layout", "repeated_ngram_coverage",
-        "embedding_ivfpq_topk", "mmr_diversified_topk",
-        "stream_static_enrich", "cdc_latest_state",
+        # r5 red row, fixed by signed-zero normalization (rule 13)
+        "weighted_sample_orders",
+        # green rows whose SQL the rule-13 sweep changed
+        "feature_zscore", "unigram_logprob_scores", "bigram_logprob_scores",
+        # round-6 oracle companions for the no-oracle ANN/dedup family
+        "shingle_jaccard_verified_pairs", "neardup_cosine_pairs_exact",
+        "pq_fixed_codebook_topk", "kmeans_assign_fixed_centroids",
+        "mmr_lambda1_topk",
     }
 )
 

@@ -175,6 +175,7 @@ def _make_udf(
     function_pkl: bytes,
     capture_stdout: bool,
     log_addr: tuple[str, int, bytes] | None = None,
+    partial_dir: str | None = None,
 ):
     """Build the mapInPandas worker: unpickle once per task, run each
     input, emit (idx, is_error, payload, stdout, error fields).
@@ -184,7 +185,17 @@ def _make_udf(
     parity: worker_client.py:154-338 streams logs while the job runs);
     a successful push clears the row's stdout so delivery is
     exactly-once, and any push failure falls back to with-result
-    delivery."""
+    delivery.
+
+    With ``partial_dir`` (detached jobs), each batch's completed rows
+    are ALSO appended to the job's journal as a uniquely-named pickle
+    before being yielded — the ack half of the reference's ack/replay
+    contract (_node.py:463-524): if the driver dies mid-job, a redrive
+    resumes from the acked set instead of recomputing it. Task retries
+    produce duplicate files; the reader dedupes by index, first wins.
+    Best-effort: an unwritable dir degrades to restart-style redrive,
+    never a failed task. On a real cluster the journal dir must be
+    shared storage (documented in jobs.py)."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -261,6 +272,30 @@ def _make_udf(
                     except Exception:
                         blob = None
                     out["error_pkl"].append(blob)
+            if partial_dir is not None and out["idx"]:
+                try:
+                    import os as _os
+                    import uuid as _uuid
+
+                    _os.makedirs(partial_dir, exist_ok=True)
+                    rows_pkl = pickle.dumps(
+                        list(
+                            zip(
+                                out["idx"], out["is_error"], out["payload"],
+                                out["stdout"], out["error_type"],
+                                out["error_msg"], out["error_tb"],
+                                out["error_pkl"],
+                            )
+                        )
+                    )
+                    path = _os.path.join(
+                        partial_dir, f"part-{_uuid.uuid4().hex}.pkl"
+                    )
+                    with open(path + ".tmp", "wb") as fh:
+                        fh.write(rows_pkl)
+                    _os.replace(path + ".tmp", path)  # readers never see torn acks
+                except Exception:  # noqa: BLE001 — ack log is best-effort
+                    pass
             yield pd.DataFrame(out)
         if log_client is not None:
             log_client.close()
@@ -544,6 +579,10 @@ def remote_parallel_map(
     stdout_sink: Callable[[int, str], None] | None = None,
     _job_id: str | None = None,  # internal: jobs.redrive resubmits under the orphan's id
     journal_dir: str | None = None,
+    # internal, jobs.redrive resume: pre-pickled (orig_idx, blob) inputs
+    # still to run, and already-acked RESULT_SCHEMA tuples to merge.
+    _raw_input_rows: list | None = None,
+    _done_rows: list | None = None,
 ):
     """Apply ``function_`` to every input on the cluster; return results
     (unordered list; a generator when ``generator=True``; a
@@ -592,7 +631,8 @@ def remote_parallel_map(
         raise ValueError("detach=True and generator=True are mutually exclusive")
 
     inputs = list(inputs)
-    if not inputs:  # reference short-circuit (_remote_parallel_map.py:542)
+    if not inputs and _raw_input_rows is None:
+        # reference short-circuit (_remote_parallel_map.py:542)
         return iter(()) if generator else []
 
     cp = _cloudpickle()
@@ -604,22 +644,43 @@ def remote_parallel_map(
                 f"(max {MAX_FUNCTION_SIZE_BYTES})"
             )
 
-        rows = []
-        for i, item in enumerate(inputs):
-            # cloudpickle (not plain pickle): inputs may be locally-defined
-            # classes/closures, exactly like the reference's input path.
-            blob = cp.dumps(item)
-            if len(blob) > MAX_INPUT_SIZE_BYTES:
-                raise InputTooBig(
-                    f"input {i} pickles to {len(blob)} bytes "
-                    f"(max {MAX_INPUT_SIZE_BYTES})"
-                )
-            rows.append((i, blob))
+        if _raw_input_rows is not None:
+            # redrive resume: inputs were pickled (and size-checked) by
+            # the original submission; indices are the ORIGINAL ones so
+            # journaled partials and new results key consistently.
+            rows = list(_raw_input_rows)
+        else:
+            rows = []
+            for i, item in enumerate(inputs):
+                # cloudpickle (not plain pickle): inputs may be
+                # locally-defined classes/closures, exactly like the
+                # reference's input path.
+                blob = cp.dumps(item)
+                if len(blob) > MAX_INPUT_SIZE_BYTES:
+                    raise InputTooBig(
+                        f"input {i} pickles to {len(blob)} bytes "
+                        f"(max {MAX_INPUT_SIZE_BYTES})"
+                    )
+                rows.append((i, blob))
 
     cpu_cap = spark.sparkContext.defaultParallelism // max(func_cpu, 1)
     ram_cap = _ram_parallelism_cap(spark, func_ram)
     default_par = max(1, min(cpu_cap, ram_cap))
-    n_parts = min(len(rows), max_parallelism or default_par * 2)
+    # max(1, ..): a redrive whose inputs are all acked submits an empty
+    # frame — the trivial job keeps one code path for the merge below.
+    n_parts = max(1, min(len(rows), max_parallelism or default_par * 2))
+
+    # Detach decides its job id BEFORE the plan is built so executors
+    # can ack per-input results into the job's own journal dir.
+    partial_path = None
+    jdir = journal_dir
+    if detach:
+        import uuid as _uuid
+
+        from burla_spark import jobs
+
+        _detach_job_id = _job_id or f"burla-job-{_uuid.uuid4().hex[:12]}"
+        partial_path = jobs._partial_dir(jobs._journal_dir(spark, jdir), _detach_job_id)
 
     # One delivery sink for BOTH channels: the live TCP push (arrives
     # while tasks run) and the with-result fallback. Exactly-once per
@@ -659,6 +720,7 @@ def remote_parallel_map(
             function_pkl,
             capture_stdout,
             log_server.advertise if log_server is not None else None,
+            partial_dir=partial_path,
         ),
         RESULT_SCHEMA,
     )
@@ -696,19 +758,22 @@ def remote_parallel_map(
         # jobs.list_jobs / jobs.fetch_results after this driver exits.
         # Journaling is best-effort: an unwritable journal dir degrades
         # to in-process-only detach, never to a failed job.
-        import uuid as _uuid
-
         from burla_spark import jobs
 
-        job_id = _job_id or f"burla-job-{_uuid.uuid4().hex[:12]}"
-        jdir = journal_dir
+        job_id = _detach_job_id
+        # already-acked rows from a previous run of this job id — merged
+        # into the journal and the returned results, never recomputed.
+        done_tuples = [tuple(t) for t in (_done_rows or [])]
         try:
             # payload first (function + inputs, size-capped) so the
             # manifest's redrivable flag is truthful from the start —
             # an orphaned job (driver death, stale heartbeat) can then
             # be re-driven by a second process via jobs.redrive.
             redrivable = jobs.journal_payload(spark, job_id, function_pkl, rows, jdir)
-            jobs.journal_start(spark, job_id, len(rows), jdir, redrivable=redrivable)
+            jobs.journal_start(
+                spark, job_id, len(rows) + len(done_tuples), jdir,
+                redrivable=redrivable,
+            )
         except Exception:  # noqa: BLE001
             pass
 
@@ -748,13 +813,17 @@ def remote_parallel_map(
                     pass
                 raise
             stop_beat.set()
+            all_rows = list(rows_out) + done_tuples
             try:
                 # error rows journal too — fetch_results re-raises them
                 # with the same fidelity a live call would have.
-                jobs.journal_finish(spark, job_id, rows_out, RESULT_SCHEMA, jdir)
+                jobs.journal_finish(spark, job_id, all_rows, RESULT_SCHEMA, jdir)
             except Exception:  # noqa: BLE001
                 pass
-            return [handle(row) for row in rows_out]
+            return [
+                handle(row if not isinstance(row, tuple) else _ResultRow(row))
+                for row in all_rows
+            ]
 
         bg = jobs.submit(spark, journaled_action, tag=job_id)
         bg.job_id = job_id

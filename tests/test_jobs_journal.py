@@ -301,3 +301,143 @@ def test_redrive_refuses_completed_job(spark, journal_dir):
     job.result(timeout=120)
     with pytest.raises(RuntimeError, match="not an orphaned running job"):
         jobs.redrive(spark, job.job_id)
+
+
+# ---------------------------------------------------------------------------
+# round 6: per-input ack journal — redrive RESUMES instead of restarting
+# (reference ack/replay keeps completed inputs across client loss,
+# client/src/burla/_node.py:463-524) — plus the heartbeat/claim races.
+# ---------------------------------------------------------------------------
+def _manufacture_orphan(spark, journal_dir, job_id, func, items, done=None):
+    """Journal state exactly as a dead driver would have left it:
+    payload + running manifest with an hours-stale heartbeat, plus an
+    optional partial/ ack file for already-completed inputs."""
+    import pickle
+    import time
+
+    from burla_spark.rpm import _cloudpickle
+
+    cp = _cloudpickle()
+    rows = [(i, cp.dumps(x)) for i, x in enumerate(items)]
+    jobs.journal_payload(spark, job_id, cp.dumps(func), rows)
+    jobs.journal_start(spark, job_id, len(rows), redrivable=True)
+    path = os.path.join(journal_dir, job_id, "manifest.json")
+    with open(path) as fh:
+        doc = json.load(fh)
+    doc["heartbeat_at"] = doc["started_at"] = doc["heartbeat_at"] - 3600
+    with open(path, "w") as fh:
+        json.dump(doc, fh)
+    if done:
+        pdir = os.path.join(journal_dir, job_id, "partial")
+        os.makedirs(pdir, exist_ok=True)
+        tuples = [
+            (idx, False, cp.dumps(val), "", None, None, None, None)
+            for idx, val in done.items()
+        ]
+        with open(os.path.join(pdir, "part-manufactured.pkl"), "wb") as fh:
+            pickle.dump(tuples, fh)
+
+
+def test_detached_job_acks_partials(spark, journal_dir):
+    """Executors append per-input results to partial/ WHILE the job
+    runs — the ack log a redrive resumes from."""
+    job = remote_parallel_map(lambda x: x + 1, range(12), spark=spark, detach=True)
+    assert sorted(job.result(timeout=120)) == list(range(1, 13))
+    done = jobs.read_partial_results(journal_dir, job.job_id)
+    assert sorted(done) == list(range(12))
+    import pickle
+
+    assert pickle.loads(done[4][2]) == 5
+
+
+def test_redrive_resumes_from_acked_inputs(spark, journal_dir, tmp_path):
+    """The round-6 closing of the last detach gap: inputs whose results
+    were acked before the driver died are NOT recomputed by redrive."""
+    execs = tmp_path / "execs"
+    execs.mkdir()
+    exec_dir = str(execs)
+
+    def fn(x):
+        with open(os.path.join(exec_dir, f"exec_{x}"), "a") as fh:
+            fh.write("ran\n")
+        return x * 11
+
+    _manufacture_orphan(
+        spark, journal_dir, "burla-job-resume", fn, list(range(6)),
+        done={0: 0, 1: 11, 2: 22},  # acked by the dead driver's tasks
+    )
+    bg = jobs.redrive(spark, "burla-job-resume")
+    assert sorted(bg.result(timeout=120)) == [x * 11 for x in range(6)]
+    # acked inputs never re-executed; the rest ran exactly once
+    assert sorted(os.listdir(exec_dir)) == ["exec_3", "exec_4", "exec_5"]
+    assert sorted(jobs.fetch_results(spark, "burla-job-resume")) == [
+        x * 11 for x in range(6)
+    ]
+    assert next(
+        d for d in jobs.list_jobs(spark) if d["job_id"] == "burla-job-resume"
+    )["status"] == "done"
+
+
+def test_redrive_with_all_inputs_acked_skips_compute(spark, journal_dir, tmp_path):
+    execs = tmp_path / "execs2"
+    execs.mkdir()
+    exec_dir = str(execs)
+
+    def fn(x):
+        with open(os.path.join(exec_dir, f"exec_{x}"), "a") as fh:
+            fh.write("ran\n")
+        return x
+
+    _manufacture_orphan(
+        spark, journal_dir, "burla-job-allacked", fn, [0, 1, 2],
+        done={0: 0, 1: 1, 2: 2},
+    )
+    bg = jobs.redrive(spark, "burla-job-allacked")
+    assert sorted(bg.result(timeout=120)) == [0, 1, 2]
+    assert os.listdir(exec_dir) == []  # nothing recomputed
+    assert sorted(jobs.fetch_results(spark, "burla-job-allacked")) == [0, 1, 2]
+
+
+def test_heartbeat_never_unfinishes_manifest(spark, journal_dir):
+    """Regression for the beat/finish race: heartbeats write a sidecar,
+    never the manifest, so a beat that fires after completion cannot
+    flip a done job back to running."""
+    job = remote_parallel_map(lambda x: x, range(3), spark=spark, detach=True)
+    job.result(timeout=120)
+    jobs.journal_heartbeat(spark, job.job_id)  # late beat, post-completion
+    doc = next(d for d in jobs.list_jobs(spark) if d["job_id"] == job.job_id)
+    assert doc["status"] == "done"
+    assert sorted(jobs.fetch_results(spark, job.job_id)) == [0, 1, 2]
+
+
+def test_redrive_claim_blocks_concurrent_redrive(spark, journal_dir):
+    """Two processes redriving the same orphan must not double-run:
+    the second claimant fails while the first's claim is fresh."""
+    import time
+
+    def slow(x):
+        time.sleep(20)
+        return x
+
+    _manufacture_orphan(spark, journal_dir, "burla-job-claimed", slow, [0, 1])
+    bg = jobs.redrive(spark, "burla-job-claimed")
+    try:
+        with pytest.raises(RuntimeError, match="already being redriven"):
+            jobs.redrive(spark, "burla-job-claimed", force=True)
+    finally:
+        bg.cancel()
+
+
+def test_redrive_clears_stale_cancel_flag(spark, journal_dir):
+    """A cancel aimed at the dead driver must not auto-cancel the
+    redriven run within one heartbeat interval."""
+    _manufacture_orphan(spark, journal_dir, "burla-job-stalecancel", lambda x: x + 7, [0, 1, 2])
+    flag = os.path.join(journal_dir, "burla-job-stalecancel", "cancel_requested")
+    with open(flag, "w") as fh:
+        fh.write("0")
+    bg = jobs.redrive(spark, "burla-job-stalecancel")
+    assert sorted(bg.result(timeout=120)) == [7, 8, 9]
+    assert not os.path.exists(flag)
+    assert next(
+        d for d in jobs.list_jobs(spark) if d["job_id"] == "burla-job-stalecancel"
+    )["status"] == "done"

@@ -43,6 +43,16 @@ BNLJ_OK = {
     "pagerank_fixed_point",  # 1-row node-count broadcast per iteration
     "sql_defined_functions",  # 3-row quantity-band table, theta (BETWEEN) join
     "equidepth_price_histogram",  # 9-row rank targets + 1-row bounds array broadcast
+    # round-6 oracle companions (plans/ann_oracle.py): each broadcast
+    # side is fixed-size by construction (bounded pair block, 64-row
+    # codebook, 8 centroids, 5-query pool) — the exhaustive shapes
+    # exist only to make the fuzzy operators' exact stages
+    # DuckDB-checkable; production candidates come from the LSH/IVF
+    # generators.
+    "neardup_cosine_pairs_exact",
+    "pq_fixed_codebook_topk",
+    "kmeans_assign_fixed_centroids",
+    "mmr_lambda1_topk",
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]
