@@ -303,6 +303,45 @@ def _make_udf(
     return run
 
 
+def gpu_resource_profile(func_gpu: int, func_cpu: int = 1):
+    """Stage-level ResourceProfile for ``func_gpu`` — the Spark
+    analogue of the reference routing GPU jobs to GPU machine types
+    (providers/catalog.py:31-62,140-160). Task side pins func_gpu GPUs
+    + func_cpu cores per input; executor side requests enough device
+    slots with the standard nvidia discovery script. Building the
+    profile needs no GPUs (it's metadata until applied), so this is
+    unit-testable anywhere; applying it happens via
+    ``rdd.withResources`` on a cluster that advertises
+    spark.executor.resource.gpu.amount."""
+    import math
+
+    from pyspark.resource import (
+        ExecutorResourceRequests,
+        ResourceProfileBuilder,
+        TaskResourceRequests,
+    )
+
+    treqs = (
+        TaskResourceRequests().cpus(max(1, int(func_cpu))).resource("gpu", float(func_gpu))
+    )
+    ereqs = ExecutorResourceRequests().resource(
+        "gpu",
+        max(1, int(math.ceil(func_gpu))),
+        discoveryScript="/opt/spark/scripts/getGpusResources.sh",
+        vendor="nvidia.com",
+    )
+    return ResourceProfileBuilder().require(treqs).require(ereqs).build
+
+
+def _cluster_has_gpus(spark: SparkSession) -> bool:
+    """Does this cluster advertise GPU executor resources?"""
+    try:
+        amount = spark.conf.get("spark.executor.resource.gpu.amount", None)
+        return amount is not None and float(amount) > 0
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def _ram_parallelism_cap(spark: SparkSession, func_ram) -> int:
     """RAM half of the reference's packing rule (catalog.py:94-101):
     how many func_ram-sized tasks fit in ONE executor's memory, times
@@ -623,10 +662,35 @@ def remote_parallel_map(
             "remote_parallel_map over the expanded list."
         )
     if func_gpu:
-        raise NotImplementedError(
-            "func_gpu maps to stage-level ResourceProfiles on a GPU cluster; "
-            "this environment has no GPUs"
-        )
+        # Build the exact stage-level profile a GPU cluster would run
+        # with (reference providers/catalog.py:31-62,140-160 routes
+        # func_gpu to GPU machine types), then gate on the cluster
+        # actually advertising GPU executor resources — this env has
+        # none, so the profile is constructed and verified but the run
+        # refuses with the recipe attached.
+        if generator:
+            raise ValueError(
+                "func_gpu with generator=True is not supported — run "
+                "detached or collecting (the profile applies to the "
+                "collect-path job)"
+            )
+        profile = gpu_resource_profile(func_gpu, func_cpu=func_cpu)
+        if not _cluster_has_gpus(spark):
+            err = NotImplementedError(
+                "func_gpu maps to a stage-level ResourceProfile "
+                f"(task: {func_gpu} gpu + {func_cpu} cpus; executor: gpu "
+                "request with nvidia discovery script), but this cluster "
+                "advertises no GPU executor resources. On a GPU cluster "
+                "set spark.executor.resource.gpu.amount / "
+                "spark.task.resource.gpu.amount (or use dynamic "
+                "allocation) and the attached .resource_profile is "
+                "applied via rdd.withResources()."
+            )
+            err.resource_profile = profile
+            raise err
+        gpu_profile = profile
+    else:
+        gpu_profile = None
     if detach and generator:
         raise ValueError("detach=True and generator=True are mutually exclusive")
 
@@ -737,6 +801,14 @@ def remote_parallel_map(
     if generator:
         return _stream_results(spark, result_df, handle, log_server, len(rows))
 
+    def _run_collect():
+        if gpu_profile is not None:
+            # stage-level scheduling: the single mapInPandas stage runs
+            # under the GPU profile (the job is submitted through the
+            # RDD so withResources can attach the profile).
+            return result_df.rdd.withResources(gpu_profile).collect()
+        return result_df.collect()
+
     def collect_rows():
         import contextlib as _ctx
 
@@ -745,8 +817,8 @@ def remote_parallel_map(
                 from burla_spark.progress import ProgressReporter
 
                 with ProgressReporter(spark):
-                    return result_df.collect()
-            return result_df.collect()
+                    return _run_collect()
+            return _run_collect()
 
     def collect_all():
         return [handle(row) for row in collect_rows()]

@@ -117,9 +117,40 @@ def test_detach_generator_conflict(spark):
         remote_parallel_map(lambda x: x, [1], spark=spark, detach=True, generator=True)
 
 
-def test_func_gpu_raises(spark):
-    with pytest.raises(NotImplementedError):
-        remote_parallel_map(lambda x: x, [1], spark=spark, func_gpu=1)
+def test_func_gpu_raises_with_profile_attached(spark):
+    """GPU-less env: the run refuses, but the EXACT stage-level profile
+    a GPU cluster would use is built, attached to the error, and
+    carries the requested amounts (reference catalog.py:31-62 GPU
+    routing, re-expressed as Spark stage-level scheduling)."""
+    with pytest.raises(NotImplementedError) as excinfo:
+        remote_parallel_map(lambda x: x, [1], spark=spark, func_gpu=2, func_cpu=3)
+    profile = excinfo.value.resource_profile
+    assert profile.taskResources["gpu"].amount == 2.0
+    assert profile.taskResources["cpus"].amount == 3.0
+    ereq = profile.executorResources["gpu"]
+    assert ereq.amount == 2
+    assert ereq.vendor == "nvidia.com"
+    assert "getGpusResources" in ereq.discoveryScript
+
+
+def test_gpu_resource_profile_builds_without_gpus():
+    from burla_spark.rpm import gpu_resource_profile
+
+    p = gpu_resource_profile(1)
+    assert p.taskResources["gpu"].amount == 1.0
+    assert p.executorResources["gpu"].amount == 1
+    # fractional task GPUs (sharing one device across tasks) round the
+    # executor request UP to whole devices
+    p2 = gpu_resource_profile(0.5)
+    assert p2.taskResources["gpu"].amount == 0.5
+    assert p2.executorResources["gpu"].amount == 1
+
+
+def test_func_gpu_generator_conflict(spark):
+    with pytest.raises(ValueError, match="generator"):
+        remote_parallel_map(
+            lambda x: x, [1], spark=spark, func_gpu=1, generator=True
+        )
 
 
 def test_func_cpu_and_spinner(spark):
