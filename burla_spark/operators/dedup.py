@@ -220,6 +220,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_size: int = 5,
     threshold: float = 0.5,
+    max_bucket: int | None = 128,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, exact-Jaccard verified.
 
@@ -227,7 +228,18 @@ def minhash_lsh_pairs(
     band iff that band's minhashes all match → candidates; candidates
     are then verified with exact shingle Jaccard >= threshold.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
-    """
+
+    ``max_bucket`` bounds band-bucket membership: with fixed banding
+    the FALSE-POSITIVE collision rate per pair is constant, so
+    candidate pairs grow quadratically with the corpus (the round-6
+    scaling harness measured the band self-join going from ~12 s at
+    5 k docs to minutes at 50 k). A band key shared by more than
+    max_bucket docs is near-certainly a boilerplate/templated pattern,
+    not a duplicate cluster — those rows are dropped from THAT band
+    (the standard production cap; a real near-dup pair still collides
+    in its other bands, and genuinely duplicated clusters larger than
+    the cap surface through exact dedup first). Candidates are then
+    bounded by bands × n × max_bucket — linear in corpus size."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
@@ -274,6 +286,15 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "doc_id", F.explode(band_structs).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        bw = Window.partitionBy("band_id", "band_key")
+        banded = (
+            banded.withColumn("__bsz", F.count("*").over(bw))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -918,13 +918,27 @@ def embedding_neardup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.9,
-    num_planes: int = 4,
+    num_planes: int | None = None,
     num_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH
     bucketing + exact verify — the embedding analogue of MinHash dedup.
-    Recall follows 1-(1-p^planes)^tables like lsh_bucketed_topk."""
+    Recall follows 1-(1-p^planes)^tables like lsh_bucketed_topk.
+
+    ``num_planes=None`` (default) sizes the plane count to the corpus:
+    ceil(log2(n / 64)) with a floor of 4, keeping expected bucket size
+    ~constant as the corpus grows. With a FIXED plane count the 2^planes
+    buckets per table grow linearly with n, so within-bucket candidate
+    pairs grow QUADRATICALLY — the round-6 scaling harness
+    (scaling_bench.py) measured exactly that before this fix. log-sizing
+    is the standard LSH capacity rule (more planes at scale, recall
+    recovered by num_tables / multi-probe)."""
+    if num_planes is None:
+        import math
+
+        n = df.count()  # one cheap count per build-once indexing job
+        num_planes = max(4, int(math.ceil(math.log2(max(n, 2) / 64))))
     # persist: the self-join below would otherwise run the plane-
     # projection UDF over the corpus TWICE (aliases share the plan, not
     # the computation) — same multi-consumer rule as the MinHash

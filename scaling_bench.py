@@ -1,0 +1,209 @@
+"""Scaling-curve smoke: catch hidden O(n²) before a real cluster does.
+
+Replicates the sf0.1 fixtures 10× (key-shifted so every FK join keeps
+its per-replica fan-out; embeddings rotated and document texts
+replica-marked so near-dup STRUCTURE scales linearly instead of every
+replica pairing with every other — a correct dedup op on naive copies
+would legitimately produce ×100 pairs and look quadratic), then times
+the most expensive registry queries at 1× and 10× and reports the
+wall-time ratio per query. A scale-safe plan grows ≤ ~linearly; a
+ratio far above the replication factor is the O(n²) alarm this harness
+exists for.
+
+Run: ``python scaling_bench.py`` — prints one JSON line
+{"scale": 10, "queries": {name: {"t1": s, "t10": s, "ratio": r}}, ...}.
+The pytest wrapper (tests/test_scaling_curve.py, env-gated
+BURLA_SCALING=1) asserts every ratio ≤ scale × slack.
+
+Fixtures land in ``.scaling/x10`` (gitignored, built once, ~1 min).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE = 10
+SCALED_DIR = os.path.join(REPO_DIR, ".scaling", f"x{SCALE}")
+
+# Per-key-domain offsets: replica i shifts each key by i * base, far
+# above any real key, so joins match only within a replica and total
+# join work scales exactly ×SCALE.
+OK, CK, PK, SK, EK, DK, VK = (
+    100_000_000, 10_000_000, 10_000_000, 10_000_000, 100_000_000,
+    10_000_000, 10_000_000,
+)
+
+# The scaling set: the most expensive registry queries per BENCH_r05
+# plus one from each scan-heavy family (joins, windows, sessionization,
+# dedup, ANN, clustering, text, graph, CDC, histogram).
+QUERIES = [
+    "q1_pricing_summary", "q21_sole_failing_supplier", "q17_small_quantity",
+    "minhash_dedup_pairs", "embedding_neardup", "dedup_components_exact",
+    "kmeans_cluster_sizes", "events_sessionize",
+    "equidepth_price_histogram", "bm25_scores", "gopher_repetition_filters",
+    "pagerank_fixed_point", "bigram_logprob_scores", "cdc_latest_state",
+    "repeated_ngram_coverage",
+]
+# Deliberately excluded: interval_overlap_join — replicating a FIXED
+# time window multiplies temporal density, and interval-overlap OUTPUT
+# is quadratic in density by definition; its wall ratio would measure
+# result size, not plan quality. (Runtime ∝ output is already optimal
+# there; its per-band candidate bound is plan-lint-checked instead.)
+
+
+def generate_fixtures() -> None:
+    """Key-shifted ×SCALE replication of every table, via DuckDB."""
+    import duckdb
+
+    os.makedirs(SCALED_DIR, exist_ok=True)
+    done_marker = os.path.join(SCALED_DIR, ".complete")
+    if os.path.exists(done_marker):
+        return
+    con = duckdb.connect()
+    src = lambda t: f"read_parquet('{BASE_SF_DIR}/{t}.parquet')"  # noqa: E731
+    out = lambda t: os.path.join(SCALED_DIR, f"{t}.parquet")  # noqa: E731
+    rep = f"(SELECT UNNEST(generate_series(0, {SCALE - 1})) AS i) r"
+
+    copies = {
+        # fixed dimensions: unchanged (25 nations / 5 regions at any SF)
+        "region": f"SELECT * FROM {src('region')}",
+        "nation": f"SELECT * FROM {src('nation')}",
+        "customer": f"""
+          SELECT c_custkey + r.i * {CK} AS c_custkey, c_name, c_nationkey,
+                 c_acctbal, c_mktsegment
+          FROM {src('customer')}, {rep}""",
+        "supplier": f"""
+          SELECT s_suppkey + r.i * {SK} AS s_suppkey, s_name, s_nationkey,
+                 s_acctbal
+          FROM {src('supplier')}, {rep}""",
+        "part": f"""
+          SELECT p_partkey + r.i * {PK} AS p_partkey, p_name, p_brand,
+                 p_type, p_size, p_retailprice
+          FROM {src('part')}, {rep}""",
+        "orders": f"""
+          SELECT o_orderkey + r.i * {OK} AS o_orderkey,
+                 o_custkey + r.i * {CK} AS o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          FROM {src('orders')}, {rep}""",
+        "lineitem": f"""
+          SELECT l_orderkey + r.i * {OK} AS l_orderkey,
+                 l_partkey + r.i * {PK} AS l_partkey,
+                 l_suppkey + r.i * {SK} AS l_suppkey,
+                 l_linenumber, l_quantity, l_extendedprice, l_discount,
+                 l_tax, l_returnflag, l_linestatus, l_shipdate
+          FROM {src('lineitem')}, {rep}""",
+        "events": f"""
+          SELECT event_id + r.i * {EK} AS event_id, ts,
+                 user_id + r.i * {CK} AS user_id,
+                 event_type, value, props
+          FROM {src('events')}, {rep}""",
+        # replica marker after EVERY word: within a replica both members
+        # of a near-dup pair get the same marker (Jaccard preserved);
+        # across replicas every 5-gram contains a differing marker
+        # (Jaccard ~0) — so the near-dup PAIR COUNT scales ×SCALE, not
+        # ×SCALE² as naive text copies would.
+        "documents": rf"""
+          SELECT doc_id + r.i * {DK} AS doc_id,
+                 array_to_string(
+                   flatten([[w, 'zrep' || r.i]
+                            FOR w IN regexp_split_to_array(trim(text), '\s+')]),
+                   ' ') AS text,
+                 lang, source,
+                 CAST(length(array_to_string(
+                   flatten([[w, 'zrep' || r.i]
+                            FOR w IN regexp_split_to_array(trim(text), '\s+')]),
+                   ' ')) AS BIGINT) AS n_chars
+          FROM {src('documents')}, {rep}""",
+        # per-replica deterministic sign pattern (diagonal isometry):
+        # flipping a fixed subset of dims preserves every WITHIN-replica
+        # cosine exactly (near-dup structure ×SCALE) while for any two
+        # replicas ~half the dims flip relative to each other, cancelling
+        # cross-replica correlation — circular rotation does NOT work
+        # here (the fixture vectors are autocorrelated across dims and
+        # rotated copies stayed near-duplicates, verified quadratic).
+        "embeddings": f"""
+          SELECT vec_id + r.i * {VK} AS vec_id,
+                 [CASE WHEN hash(r.i * 64 + j) % 2 = 0
+                       THEN embedding[j] ELSE -embedding[j] END
+                  FOR j IN generate_series(1, 64)] AS embedding,
+                 label
+          FROM {src('embeddings')}, {rep}""",
+    }
+    for table, sql in copies.items():
+        con.execute(f"COPY ({sql}) TO '{out(table)}' (FORMAT PARQUET)")
+    con.close()
+    with open(done_marker, "w") as fh:
+        fh.write(str(time.time()))
+
+
+def _time_queries(spark, specs, sf_dir: str) -> dict[str, tuple[float, float]]:
+    """(first_run, best_of_two) per query. For build-once operators
+    (minhash/neardup pairs tables) the FIRST run is the index build —
+    the number that exposes candidate-generation scaling — and the
+    best-of-two is the steady-state read."""
+    t: dict[str, tuple[float, float]] = {}
+    for spec in specs:
+        print(f"[scaling] {sf_dir.rsplit('/', 1)[-1]} {spec.name} ...",
+              file=sys.stderr, flush=True)
+        times = []
+        for _ in range(2):  # 2nd run has codegen warm
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).count()
+            times.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        t[spec.name] = (round(times[0], 3), round(min(times), 3))
+        print(f"[scaling]   -> {t[spec.name]}s", file=sys.stderr, flush=True)
+    return t
+
+
+def main() -> dict:
+    from burla_spark.plans.registry import all_specs
+    from burla_spark.session import get_spark
+
+    generate_fixtures()
+    spark = get_spark(app_name="burla_spark_scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    specs = [s for s in all_specs() if s.name in set(QUERIES)]
+    base = _time_queries(spark, specs, BASE_SF_DIR)
+    scaled = _time_queries(spark, specs, SCALED_DIR)
+    queries = {}
+    for name in sorted(base):
+        (b_cold, b_best), (s_cold, s_best) = base[name], scaled[name]
+        queries[name] = {
+            "t1": b_best,
+            f"t{SCALE}": s_best,
+            # floor t1 at 50 ms: ratios of sub-fixed-cost timings are
+            # noise, not scaling signal. `ratio` is steady-state;
+            # `ratio_cold` includes any build-once index construction.
+            "ratio": round(s_best / max(b_best, 0.05), 2),
+            "ratio_cold": round(s_cold / max(b_cold, 0.05), 2),
+        }
+    worst = max(queries.values(), key=lambda q: max(q["ratio"], q["ratio_cold"]))
+    return {
+        "metric": "scaling_ratio",
+        "scale": SCALE,
+        "base_sf_dir": BASE_SF_DIR,
+        "queries": queries,
+        "max_ratio": max(worst["ratio"], worst["ratio_cold"]),
+        "n_queries": len(queries),
+    }
+
+
+if __name__ == "__main__":
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+    try:
+        result = main()
+    finally:
+        sys.stdout = real_stdout
+    print(json.dumps(result))

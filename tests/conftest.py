@@ -9,6 +9,12 @@ REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_DIR not in sys.path:
     sys.path.insert(0, REPO_DIR)
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running opt-in sweeps (env-gated)"
+    )
+
+
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECTNESS = "/root/testdata/sf0.01"
 
