@@ -536,7 +536,75 @@ LIMIT 50
 """
 
 
+def source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency capping — the pretraining-mix downsampler:
+    over-represented sources (crawl domains, dumps) are capped at a
+    fixed number of documents, selected by a DETERMINISTIC hash rank so
+    the kept set is reproducible across engines, runs, and
+    partitionings (the same multiplicative-hash family as the
+    train/test split, mlprep.py; Spark's seeded sample() is neither).
+    Output is the per-source accounting row a mix report shows:
+    total / kept / dropped plus the smallest kept doc id.
+
+    100 TB shape: rank is a per-source window (shuffle on source —
+    the natural partitioning for a per-domain pass; a skewed mega-
+    source is exactly the thing being capped, and AQE splits its
+    partition), accounting is a map-side combine. At corpus scales
+    where doc_id * MULT could overflow BIGINT, swap the rank key for
+    xxhash64 — the oracle here keeps the multiplicative form because
+    DuckDB must reproduce it."""
+    cap = 15
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+    ranked = (
+        d.select("source", "doc_id", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("rk") <= cap, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rk") > cap, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.min(F.when(F.col("rk") <= cap, F.col("doc_id")))
+            .cast("long")
+            .alias("first_kept_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_FREQUENCY_CAP_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+  FROM documents
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN rk > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  CAST(MIN(CASE WHEN rk <= 15 THEN doc_id END) AS BIGINT) AS first_kept_doc
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "source_frequency_cap",
+        source_frequency_cap,
+        SOURCE_FREQUENCY_CAP_SQL,
+        ("llm", "sampling", "curation"),
+        doc="Per-source frequency capping by deterministic hash rank "
+        "(pretraining-mix downsampler).",
+    ),
     QuerySpec(
         "gopher_repetition_filters",
         gopher_repetition_filters,

@@ -215,6 +215,115 @@ ORDER BY node
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection — the ACTION a dedup pipeline
+    takes after clustering: per duplicate cluster keep exactly one doc
+    (longest n_chars, ties to the smallest id) and account for the
+    dropped members. Runs over the DETERMINISTIC exact-Jaccard
+    components so the whole keep/drop decision is oracle-checked end to
+    end (the MinHash-edge variant makes the same decision over hash
+    edges).
+
+    100 TB shape: components come from the O(log d) propagation
+    (dedup.connected_components); the representative pick is one
+    per-component window over member rows (cluster-sized groups), and
+    the dropped-id list is duplicate-mass-sized, never corpus-sized."""
+    edges = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = dd.connected_components(edges)
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), "n_chars"
+    )
+    from pyspark.sql import Window
+
+    m = comp.join(d, "node")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("node")
+    )
+    ranked = m.withColumn("rk", F.row_number().over(w))
+    kept = ranked.filter(F.col("rk") == 1).select(
+        "component",
+        F.col("node").alias("kept_doc"),
+        F.col("n_chars").cast("long").alias("kept_chars"),
+    )
+    dropped = (
+        ranked.filter(F.col("rk") > 1)
+        .groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("dropped_ids"),
+        )
+    )
+    return (
+        kept.join(dropped, "component")
+        .select(
+            "component", "kept_doc", "kept_chars", "n_dropped", "dropped_ids"
+        )
+        .orderBy("component")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = r"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, source,
+    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 2
+         THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+         ELSE list_distinct(list_transform(
+                generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 1),
+                i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                     regexp_split_to_array(trim(text), '\s+')[i + 1]))
+    END AS grams
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b
+    ON a.source = b.source
+   AND len(a.grams) // 8 = len(b.grams) // 8
+   AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (CAST(len(a.grams) + len(b.grams) AS DOUBLE) - len(list_intersect(a.grams, b.grams))) >= 0.4
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+),
+ranked AS (
+  SELECT c.component, c.node, d.n_chars,
+    ROW_NUMBER() OVER (PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, c.node) AS rk
+  FROM comp c JOIN documents d ON c.node = d.doc_id
+)
+SELECT k.component,
+  k.node AS kept_doc,
+  CAST(k.n_chars AS BIGINT) AS kept_chars,
+  CAST(dr.n_dropped AS BIGINT) AS n_dropped,
+  dr.dropped_ids
+FROM ranked k
+JOIN (
+  SELECT component, COUNT(*) AS n_dropped,
+         string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS dropped_ids
+  FROM ranked WHERE rk > 1 GROUP BY component
+) dr ON k.component = dr.component
+WHERE k.rk = 1
+ORDER BY k.component
+"""
+
+
 def simhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dd.simhash_collision_groups(d, "doc_id", "text").withColumn(
@@ -1487,6 +1596,14 @@ SPECS: list[QuerySpec] = [
         DEDUP_COMPONENTS_EXACT_SQL,
         ("dedup", "graph"),
         doc="Connected components over exact jaccard edges — closure oracle-checked vs recursive CTE.",
+    ),
+    QuerySpec(
+        "dedup_keep_best",
+        dedup_keep_best,
+        DEDUP_KEEP_BEST_SQL,
+        ("dedup", "graph"),
+        doc="Canonical-representative selection per duplicate cluster "
+        "(keep longest, drop the rest) — the dedup ACTION, oracle-checked.",
     ),
     QuerySpec(
         "fuzzy_name_pairs",

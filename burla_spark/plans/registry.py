@@ -99,6 +99,8 @@ _DRIVER_PRIORITY = frozenset(
         "shingle_jaccard_verified_pairs", "neardup_cosine_pairs_exact",
         "pq_fixed_codebook_topk", "kmeans_assign_fixed_centroids",
         "mmr_lambda1_topk",
+        # round-6 new first-class operators
+        "source_frequency_cap", "dedup_keep_best",
     }
 )
 
