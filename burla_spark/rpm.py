@@ -342,6 +342,51 @@ def _cluster_has_gpus(spark: SparkSession) -> bool:
         return False
 
 
+def _parse_ram_gb(func_ram) -> float | None:
+    """'dynamic' → 4 GB (the reference default); int → GB; strings
+    accept '8', '8G', '8GB', '512M'. None/unparseable → None."""
+    try:
+        if isinstance(func_ram, str):
+            s = func_ram.strip().upper()
+            if s == "DYNAMIC":
+                return 4.0
+            if s.endswith("GB") or s.endswith("G"):
+                return float(s.rstrip("GB"))
+            if s.endswith("MB") or s.endswith("M"):
+                return float(s.rstrip("MB")) / 1024
+            return float(s)
+        return float(func_ram)
+    except Exception:  # noqa: BLE001 — sizing is best-effort
+        return None
+
+
+def _live_ram_cap(spark: SparkSession, func_ram) -> int:
+    """RAM cap from LIVE executor memory — the dynamic half of the
+    reference's packing rule (worker_client.py:88-151 repacks as
+    workers free RAM): how many func_ram-sized tasks fit in the
+    cluster's currently-FREE block-manager memory. Spark exposes
+    remaining storage memory per executor (getExecutorMemoryStatus),
+    which is the live signal available without an agent on each host;
+    a heavily-cached/spilling cluster reports less free and the next
+    wave narrows. Falls back to the static rule when the JVM call is
+    unavailable."""
+    gb = _parse_ram_gb(func_ram)
+    if gb is None or gb <= 0:
+        return 1 << 30
+    try:
+        status = spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+        it = status.iterator()
+        free_gb = 0.0
+        while it.hasNext():
+            kv = it.next()
+            free_gb += kv._2()._2() / float(1024**3)
+        if free_gb <= 0:
+            return 1
+        return max(1, int(free_gb // gb))
+    except Exception:  # noqa: BLE001
+        return _ram_parallelism_cap(spark, func_ram)
+
+
 def _ram_parallelism_cap(spark: SparkSession, func_ram) -> int:
     """RAM half of the reference's packing rule (catalog.py:94-101):
     how many func_ram-sized tasks fit in ONE executor's memory, times
@@ -613,6 +658,7 @@ def remote_parallel_map(
     detach: bool = False,
     generator: bool = False,
     spinner: bool = False,
+    repack: bool = False,
     spark: SparkSession | None = None,
     capture_stdout: bool = True,
     stdout_sink: Callable[[int, str], None] | None = None,
@@ -635,9 +681,13 @@ def remote_parallel_map(
       reference's packing rule (catalog.py:94-101:
       ``min(cpus // func_cpu, ram_gb // func_ram)``): concurrent tasks
       are additionally capped at executor_memory_gb // func_ram_gb
-      ('dynamic' = 4 GB like the reference). MID-JOB repacking (A16)
-      remains a documented divergence (SURVEY.md §7.3.3) — Spark cannot
-      resize a running stage.
+      ('dynamic' = 4 GB like the reference). With ``repack=True``
+      the job runs in WAVES and the width is recomputed from LIVE
+      executor free memory between waves — the dynamic half of the
+      reference's rule (worker_client.py:88-151 repacks as workers
+      free RAM) at wave granularity, since Spark cannot resize a
+      RUNNING stage (the residual §7.3.3 divergence: within one wave
+      the width is fixed).
     * func_gpu — stage-level ResourceProfiles on a GPU cluster; raises
       here (no GPUs in this environment).
     * image / grow — container image and autoscaling are cluster-level
@@ -693,6 +743,12 @@ def remote_parallel_map(
         gpu_profile = None
     if detach and generator:
         raise ValueError("detach=True and generator=True are mutually exclusive")
+    if repack and (detach or generator):
+        raise ValueError(
+            "repack=True runs the job in resizable waves on the calling "
+            "thread — incompatible with detach/generator (whose single "
+            "submission the journal and completion-order channel rely on)"
+        )
 
     inputs = list(inputs)
     if not inputs and _raw_input_rows is None:
@@ -775,19 +831,24 @@ def remote_parallel_map(
     # the row-list path (one Arrow buffer vs per-row pickling).
     import pandas as pd
 
-    pdf = pd.DataFrame(
-        {"idx": [r[0] for r in rows], "payload": [r[1] for r in rows]}
-    )
-    df = spark.createDataFrame(pdf, "idx long, payload binary").repartition(n_parts)
-    result_df = df.mapInPandas(
-        _make_udf(
-            function_pkl,
-            capture_stdout,
-            log_server.advertise if log_server is not None else None,
-            partial_dir=partial_path,
-        ),
-        RESULT_SCHEMA,
-    )
+    def _build_result_df(rows_slice, parts):
+        wave_pdf = pd.DataFrame(
+            {"idx": [r[0] for r in rows_slice], "payload": [r[1] for r in rows_slice]}
+        )
+        wave_df = spark.createDataFrame(
+            wave_pdf, "idx long, payload binary"
+        ).repartition(parts)
+        return wave_df.mapInPandas(
+            _make_udf(
+                function_pkl,
+                capture_stdout,
+                log_server.advertise if log_server is not None else None,
+                partial_dir=partial_path,
+            ),
+            RESULT_SCHEMA,
+        )
+
+    result_df = _build_result_df(rows, n_parts)
 
     def handle(row):
         if row.stdout:
@@ -801,7 +862,30 @@ def remote_parallel_map(
     if generator:
         return _stream_results(spark, result_df, handle, log_server, len(rows))
 
+    # Wave size: WAVES_PER_WIDTH partitions-worth of inputs per wave —
+    # wide enough to amortize per-job overhead, narrow enough that a
+    # RAM-pressure change takes effect within a couple of waves.
+    WAVES_PER_WIDTH = 4
+
+    def _run_collect_waves():
+        out = []
+        remaining = list(rows)
+        while remaining:
+            width = max(
+                1, min(cpu_cap, _live_ram_cap(spark, func_ram))
+            )
+            if max_parallelism:
+                width = min(width, max_parallelism)
+            take = max(1, width * WAVES_PER_WIDTH)
+            wave, remaining = remaining[:take], remaining[take:]
+            out.extend(
+                _build_result_df(wave, min(len(wave), width)).collect()
+            )
+        return out
+
     def _run_collect():
+        if repack:
+            return _run_collect_waves()
         if gpu_profile is not None:
             # stage-level scheduling: the single mapInPandas stage runs
             # under the GPU profile (the job is submitted through the

@@ -322,3 +322,58 @@ def test_generator_bounded_queue_backpressure(spark):
         gen2.close()  # abandon with a full queue → cancel, no hang
     finally:
         spark.conf.set("spark.burla.streamQueueDepth", prev)
+
+
+def test_repack_waves_complete_and_resize(spark, monkeypatch):
+    """A16 dynamic repacking, wave granularity: the job runs in waves
+    whose width is recomputed from live executor memory between waves —
+    all inputs complete exactly once, and the width probe is consulted
+    once per wave."""
+    import burla_spark.rpm as rpm_mod
+
+    calls = []
+    widths = iter([4, 2, 8, 8, 8, 8, 8, 8])
+
+    def fake_cap(spark_, func_ram):
+        w = next(widths)
+        calls.append(w)
+        return w
+
+    monkeypatch.setattr(rpm_mod, "_live_ram_cap", fake_cap)
+    got = remote_parallel_map(
+        lambda x: x * 3, range(50), spark=spark, repack=True, func_ram=1
+    )
+    assert sorted(got) == [x * 3 for x in range(50)]
+    # wave sizes: 4*4=16, 2*4=8, then 8*4=32-wide waves drain the rest
+    assert len(calls) >= 3
+
+
+def test_repack_conflicts(spark):
+    with pytest.raises(ValueError, match="repack"):
+        remote_parallel_map(lambda x: x, [1], spark=spark, repack=True, detach=True)
+    with pytest.raises(ValueError, match="repack"):
+        remote_parallel_map(
+            lambda x: x, [1], spark=spark, repack=True, generator=True
+        )
+
+
+def test_live_ram_cap_positive(spark):
+    from burla_spark.rpm import _live_ram_cap
+
+    cap = _live_ram_cap(spark, 1)
+    assert isinstance(cap, int) and cap >= 1
+    # no RAM request → effectively uncapped
+    assert _live_ram_cap(spark, None) >= 1 << 20
+
+
+def test_repack_stdout_still_delivered(spark):
+    lines = []
+    got = remote_parallel_map(
+        lambda x: print(f"in-{x}") or x,
+        range(6),
+        spark=spark,
+        repack=True,
+        stdout_sink=lambda idx, text: lines.append((idx, text.strip())),
+    )
+    assert sorted(got) == list(range(6))
+    assert sorted(lines) == [(i, f"in-{i}") for i in range(6)]
