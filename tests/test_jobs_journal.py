@@ -426,6 +426,15 @@ def test_redrive_claim_blocks_concurrent_redrive(spark, journal_dir):
             jobs.redrive(spark, "burla-job-claimed", force=True)
     finally:
         bg.cancel()
+        # wait for the job to actually end — a lingering active job
+        # leaks into later tests' progress snapshots. A cancel that
+        # raced the submission may have missed the tag, in which case
+        # the job just runs to completion; either terminal state is a
+        # clean exit here.
+        try:
+            bg.result(timeout=120)
+        except jobs.JobCanceled:
+            pass
 
 
 def test_redrive_clears_stale_cancel_flag(spark, journal_dir):
