@@ -62,18 +62,30 @@ def shingle_jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     map-side higher-order-function pass; the set ops run on the joined
     pair only. This is exactly how the production verify stage behaves
     with LSH-band keys in place of the prefix."""
+    from burla_spark.functions.numeric import let
+
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # let-bind the token split: lambdas don't CSE, so an unbound `toks`
+    # inside the transform re-splits the whole text once PER GRAM
+    # (ENGINEERING_NOTES Catalyst pitfalls — measured 6.2 s -> ~1 s
+    # at sf0.1 for this query).
+    shingles = let(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda toks: F.when(
+            F.size(toks) >= 5,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 4),
+                    lambda i: F.array_join(F.slice(toks, i, 5), " "),
+                )
+            ),
+        ),
+    )
     sh = d.select(
         "doc_id",
         F.substring("text", 1, 40).alias("pfx"),
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 4),
-                lambda i: F.array_join(F.slice(toks, i, 5), " "),
-            )
-        ).alias("shingles"),
-    ).filter(F.size(toks) >= 5)
+        shingles.alias("shingles"),
+    ).filter(F.col("shingles").isNotNull())
     a = sh.select(
         F.col("doc_id").alias("id_a"), F.col("pfx"), F.col("shingles").alias("sh_a")
     )
