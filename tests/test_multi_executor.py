@@ -118,6 +118,22 @@ job = remote_parallel_map(lambda x: x * 13, range(12), spark=spark, detach=True)
 assert sorted(job.result(timeout=180)) == [x * 13 for x in range(12)]
 print("DETACH_JOB_ID=" + job.job_id)
 
+# --- per-input ack journal written by REAL executor processes (round 6:
+# the redrive-resume substrate; on a cluster the journal dir must be
+# shared storage — local-cluster shares this machine's FS)
+import os
+from burla_spark.jobs import read_partial_results
+
+acked = read_partial_results(%(journal)r, job.job_id)
+assert sorted(acked) == list(range(12)), "executor acks incomplete: %%r" %% sorted(acked)
+print("PARTIAL_ACKS_OK")
+
+# --- wave-repack across real executors (live executor-memory probe
+# aggregates BOTH executors' free memory)
+out = remote_parallel_map(lambda x: x + 7, range(40), spark=spark, repack=True, func_ram=1)
+assert sorted(out) == [x + 7 for x in range(40)], "repack on cluster"
+print("REPACK_OK")
+
 spark.stop()
 print("CLUSTER_DONE")
 """
@@ -173,6 +189,20 @@ def test_cluster_detach_journal_fetched_from_second_process(
     assert any(d["job_id"] == job_id and d["status"] == "done" for d in listed)
     got = jobs.fetch_results(spark, job_id, journal_dir=r["journal"])
     assert sorted(got) == [x * 13 for x in range(12)]
+
+
+def test_cluster_executors_ack_partials(sf_dir, tmp_path_factory):
+    """Round 6: real executor processes append per-input result acks to
+    the shared journal — the substrate redrive resumes from."""
+    r = _cluster_run(sf_dir, tmp_path_factory)
+    assert "PARTIAL_ACKS_OK" in r["out"], r["out"][-2000:] + r["err"][-2000:]
+
+
+def test_cluster_repack_waves(sf_dir, tmp_path_factory):
+    """Round 6: wave-repack width probe reads BOTH executors' live free
+    memory and the waves complete across real processes."""
+    r = _cluster_run(sf_dir, tmp_path_factory)
+    assert "REPACK_OK" in r["out"], r["out"][-2000:] + r["err"][-2000:]
 
 
 def test_spill_refuses_driver_tempdir_on_remote_master():
