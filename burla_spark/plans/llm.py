@@ -58,7 +58,27 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 # dedup — n-gram Jaccard (exact, source-blocked; oracle-checked)
 # ---------------------------------------------------------------------------
+# Session-lifetime exact-pairs cache (same build-once contract as the
+# MinHash pairs table below): three registered queries consume the
+# exact n-gram pair set (ngram_jaccard_pairs, dedup_components_exact,
+# dedup_keep_best) — in production the pairs table is written ONCE and
+# every downstream consumer reads it.
+_NGRAM_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _NGRAM_PAIRS_CACHE.get(sf_dir)
+    if df is None or df.sparkSession is not spark:
+        from burla_spark.operators.dedup import _spill_to_temp_parquet
+
+        df = _spill_to_temp_parquet(
+            _ngram_jaccard_pairs_build(spark, sf_dir), "ngram_pairs"
+        )
+        _NGRAM_PAIRS_CACHE[sf_dir] = df
+    return df
+
+
+def _ngram_jaccard_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard >= 0.4 among docs sharing a block of
     (source, gram-count band of 8). Near-dups have near-equal lengths,
     so banding bounds the pairwise work; the unblocked scale path is
