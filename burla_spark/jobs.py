@@ -252,15 +252,27 @@ def _claim_redrive(base: str, job_id: str, stale_s: float) -> None:
     """Atomically claim an orphan before resubmitting: two processes
     redriving concurrently would both pass the staleness check and
     double-run user code under the same job id. O_CREAT|O_EXCL makes
-    exactly one winner; a claim whose OWNER also died (older than the
-    staleness threshold, manifest still running) is taken over via
-    atomic rename — rename succeeds for exactly one of N racers."""
+    exactly one winner; a claim whose OWNER also died is taken over
+    via atomic rename — rename succeeds for exactly one of N racers.
+    Dead-owner detection: a claim older than the staleness threshold,
+    OR (without waiting) one whose recorded pid is provably gone on
+    THIS host — a fresh same-host claim from a crashed redriver must
+    not block recovery for a full staleness window. Cross-host
+    liveness is unknowable from a file, so a foreign fresh claim wins
+    (double-running is worse than waiting)."""
+    import socket
+
     claim = os.path.join(base, job_id, "redrive_claim")
+    host = socket.gethostname()
     for _ in range(2):
         try:
             fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as fh:
-                fh.write(json.dumps({"pid": os.getpid(), "at": time.time()}))
+                fh.write(
+                    json.dumps(
+                        {"pid": os.getpid(), "host": host, "at": time.time()}
+                    )
+                )
             return
         except FileExistsError:
             try:
@@ -268,14 +280,22 @@ def _claim_redrive(base: str, job_id: str, stale_s: float) -> None:
                     doc = json.load(fh)
                 age = time.time() - float(doc.get("at", 0))
             except (OSError, ValueError, json.JSONDecodeError):
-                age = float("inf")  # torn claim — treat as stale
-            if age <= stale_s:
+                doc, age = {}, float("inf")  # torn claim — treat as stale
+            owner_dead = False
+            if doc.get("host") == host:
+                try:
+                    os.kill(int(doc.get("pid", -1)), 0)
+                except (ProcessLookupError, ValueError, OverflowError):
+                    owner_dead = True
+                except PermissionError:
+                    pass  # alive under another uid
+            if age <= stale_s and not owner_dead:
                 raise RuntimeError(
                     f"job {job_id} is already being redriven (claim by pid "
-                    f"{doc.get('pid')}, {age:.1f}s ago) — racing would "
-                    "double-run user code"
+                    f"{doc.get('pid')} on {doc.get('host')}, {age:.1f}s ago) "
+                    "— racing would double-run user code"
                 )
-            try:  # stale claim: its owner died too — take it over
+            try:  # stale/dead-owner claim — take it over
                 os.rename(claim, f"{claim}.stale-{uuid.uuid4().hex[:8]}")
             except OSError:
                 pass  # another racer renamed it first; retry O_EXCL
@@ -387,6 +407,31 @@ def _last_heartbeat_at(base: str, job_id: str, manifest: dict) -> float:
     return best
 
 
+def _cleanup_run_artifacts(base: str, job_id: str) -> None:
+    """Remove run-scoped artifacts once a job reaches a terminal state:
+    the partial/ ack files (a second pickled copy of every result —
+    only useful while status=running), redrive claims, the heartbeat
+    sidecar, and any cancel flag. Without this every detached job
+    permanently doubled its journal footprint. Best-effort."""
+    import shutil
+
+    d = os.path.join(base, job_id)
+    shutil.rmtree(os.path.join(d, "partial"), ignore_errors=True)
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return
+    for name in names:
+        if (
+            name in ("heartbeat", "cancel_requested", "redrive_claim")
+            or name.startswith("redrive_claim.stale-")
+        ):
+            try:
+                os.remove(os.path.join(d, name))
+            except OSError:
+                pass
+
+
 def journal_finish(
     spark: SparkSession, job_id: str, result_rows, schema: str,
     journal_dir: str | None = None,
@@ -404,6 +449,7 @@ def journal_finish(
         {"job_id": job_id, "status": "done", "n_results": len(result_rows),
          "finished_at": time.time()},
     )
+    _cleanup_run_artifacts(base, job_id)
 
 
 def request_cancel(spark: SparkSession, job_id: str, journal_dir: str | None = None) -> None:
@@ -427,18 +473,22 @@ def cancel_requested(spark: SparkSession, job_id: str, journal_dir: str | None =
 
 
 def journal_cancel(spark: SparkSession, job_id: str, journal_dir: str | None = None) -> None:
+    base = _journal_dir(spark, journal_dir)
     _write_manifest(
-        _journal_dir(spark, journal_dir), job_id,
+        base, job_id,
         {"job_id": job_id, "status": "canceled", "finished_at": time.time()},
     )
+    _cleanup_run_artifacts(base, job_id)
 
 
 def journal_fail(spark: SparkSession, job_id: str, exc: BaseException, journal_dir: str | None = None) -> None:
+    base = _journal_dir(spark, journal_dir)
     _write_manifest(
-        _journal_dir(spark, journal_dir), job_id,
+        base, job_id,
         {"job_id": job_id, "status": "error", "error_type": type(exc).__name__,
          "error_msg": str(exc), "finished_at": time.time()},
     )
+    _cleanup_run_artifacts(base, job_id)
 
 
 def list_jobs(spark: SparkSession, journal_dir: str | None = None) -> list[dict]:

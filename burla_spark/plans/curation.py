@@ -553,9 +553,11 @@ def source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     where doc_id * MULT could overflow BIGINT, swap the rank key for
     xxhash64 — the oracle here keeps the multiplicative form because
     DuckDB must reproduce it."""
+    from burla_spark.plans.mlprep import _HASH_MOD, _HASH_MULT
+
     cap = 15
     d = load_table(spark, sf_dir, "documents")
-    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    h = (F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
     w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
     ranked = (
         d.select("source", "doc_id", h.alias("h"))
@@ -579,12 +581,15 @@ def source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SOURCE_FREQUENCY_CAP_SQL = """
+from burla_spark.plans.mlprep import _HASH_MOD as _SFC_MOD
+from burla_spark.plans.mlprep import _HASH_MULT as _SFC_MULT
+
+SOURCE_FREQUENCY_CAP_SQL = f"""
 WITH ranked AS (
   SELECT source, doc_id,
     ROW_NUMBER() OVER (
       PARTITION BY source
-      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+      ORDER BY (doc_id * {_SFC_MULT}) % {_SFC_MOD}, doc_id) AS rk
   FROM documents
 )
 SELECT source,

@@ -1163,7 +1163,7 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            # + 0.0: signed-zero normalization (contract rule 9)
+            # + 0.0: signed-zero normalization (contract rule 13)
             (F.round(F.avg(logp), 6) + F.lit(0.0)).alias("mean_logprob"),
         )
         .orderBy("doc_id")
@@ -1231,7 +1231,7 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            # + 0.0: signed-zero normalization (contract rule 9)
+            # + 0.0: signed-zero normalization (contract rule 13)
             (F.round(F.avg(logp), 6) + F.lit(0.0)).alias("mean_logprob"),
         )
         .orderBy("doc_id")

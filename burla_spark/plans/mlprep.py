@@ -156,7 +156,7 @@ def feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_orderpriority",
-            # + 0.0: signed-zero normalization (contract rule 9) — a row
+            # + 0.0: signed-zero normalization (contract rule 13) — a row
             # whose price sits within 0.5e-6 of the group mean rounds to
             # -0.0 in DuckDB but 0.0 in Spark.
             (
@@ -449,7 +449,7 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             # + 0.0 normalizes IEEE signed zero: ROUND of a tiny negative
             # yields -0.0 in DuckDB but 0.0 in Spark (determinism contract
-            # rule 9); adding positive zero is the identity for every other
+            # rule 13); adding positive zero is the identity for every other
             # double and maps -0.0 -> +0.0 in both engines.
             (F.round("sample_priority", 9) + F.lit(0.0)).alias("sample_priority"),
         )

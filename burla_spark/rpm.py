@@ -878,9 +878,14 @@ def remote_parallel_map(
                 width = min(width, max_parallelism)
             take = max(1, width * WAVES_PER_WIDTH)
             wave, remaining = remaining[:take], remaining[take:]
-            out.extend(
-                _build_result_df(wave, min(len(wave), width)).collect()
-            )
+            wave_df = _build_result_df(wave, min(len(wave), width))
+            if gpu_profile is not None:
+                # func_gpu + repack: every wave still runs under the
+                # GPU profile — dropping it would schedule more tasks
+                # than devices.
+                out.extend(wave_df.rdd.withResources(gpu_profile).collect())
+            else:
+                out.extend(wave_df.collect())
         return out
 
     def _run_collect():
@@ -925,7 +930,17 @@ def remote_parallel_map(
             # manifest's redrivable flag is truthful from the start —
             # an orphaned job (driver death, stale heartbeat) can then
             # be re-driven by a second process via jobs.redrive.
-            redrivable = jobs.journal_payload(spark, job_id, function_pkl, rows, jdir)
+            # On a redrive RESUME keep the ORIGINAL full payload:
+            # overwriting it with only the remaining inputs would make
+            # recoverability of the acked inputs depend solely on the
+            # partial/ files — a torn ack file after a second driver
+            # death would then silently drop them from the job.
+            if _raw_input_rows is not None:
+                redrivable = True  # redrive loaded it, so it exists
+            else:
+                redrivable = jobs.journal_payload(
+                    spark, job_id, function_pkl, rows, jdir
+                )
             jobs.journal_start(
                 spark, job_id, len(rows) + len(done_tuples), jdir,
                 redrivable=redrivable,

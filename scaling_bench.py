@@ -156,7 +156,13 @@ def _time_queries(spark, specs, sf_dir: str) -> dict[str, tuple[float, float]]:
         times = []
         for _ in range(2):  # 2nd run has codegen warm
             t0 = time.perf_counter()
-            spec.spark(spark, sf_dir).count()
+            # noop sink, not count(): a count() wrapper lets Catalyst
+            # drop trailing sorts and prune output-only projections
+            # (the very expressions a quadratic could hide in); noop
+            # materializes every output column.
+            spec.spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             times.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
         t[spec.name] = (round(times[0], 3), round(min(times), 3))

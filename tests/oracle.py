@@ -80,7 +80,7 @@ def compare(spark_df, con, sql: str, exact: bool = True) -> None:
         for j, (sv, dv) in enumerate(zip(sr, dr)):
             if isinstance(sv, float) and isinstance(dv, float):
                 if sv == dv or (math.isnan(sv) and math.isnan(dv)):
-                    # signed-zero strict (determinism contract rule 9):
+                    # signed-zero strict (determinism contract rule 13):
                     # Python -0.0 == 0.0, but the driver's value hash is
                     # over the typed bytes, so a -0.0/0.0 split is a real
                     # red row. Engines disagree on ROUND of tiny negatives
@@ -91,7 +91,7 @@ def compare(spark_df, con, sql: str, exact: bool = True) -> None:
                         raise AssertionError(
                             f"signed-zero mismatch row {i} col {j}: "
                             f"spark={sv!r} duck={dv!r} — normalize with + 0.0 "
-                            "on both sides (contract rule 9)"
+                            "on both sides (contract rule 13)"
                         )
                     continue
                 if not exact and math.isclose(sv, dv, rel_tol=REL_TOL, abs_tol=1e-12):

@@ -340,14 +340,33 @@ def _manufacture_orphan(spark, journal_dir, job_id, func, items, done=None):
 
 def test_detached_job_acks_partials(spark, journal_dir):
     """Executors append per-input results to partial/ WHILE the job
-    runs — the ack log a redrive resumes from."""
-    job = remote_parallel_map(lambda x: x + 1, range(12), spark=spark, detach=True)
-    assert sorted(job.result(timeout=120)) == list(range(1, 13))
-    done = jobs.read_partial_results(journal_dir, job.job_id)
-    assert sorted(done) == list(range(12))
+    runs — the ack log a redrive resumes from — and the acks are
+    cleaned up once the job reaches a terminal state (they are a
+    second pickled copy of every result, useful only mid-run)."""
     import pickle
+    import time
 
-    assert pickle.loads(done[4][2]) == 5
+    def fn(x):
+        if x == 11:
+            time.sleep(6)  # straggler holds the job open
+        return x + 1
+
+    job = remote_parallel_map(fn, range(12), spark=spark, detach=True)
+    # fast inputs' acks must appear while the straggler still runs
+    deadline = time.time() + 5.5
+    seen: dict = {}
+    while time.time() < deadline and len(seen) < 8:
+        seen = jobs.read_partial_results(journal_dir, job.job_id)
+        time.sleep(0.2)
+    assert len(seen) >= 8 and not job.done, (
+        f"only {len(seen)} acks before completion"
+    )
+    assert pickle.loads(seen[4][2]) == 5
+    assert sorted(job.result(timeout=120)) == list(range(1, 13))
+    # terminal state: ack files cleaned, results served from parquet
+    assert jobs.read_partial_results(journal_dir, job.job_id) == {}
+    assert not os.path.isdir(os.path.join(journal_dir, job.job_id, "partial"))
+    assert sorted(jobs.fetch_results(spark, job.job_id)) == list(range(1, 13))
 
 
 def test_redrive_resumes_from_acked_inputs(spark, journal_dir, tmp_path):

@@ -114,19 +114,31 @@ print("IVF_PQ_OK")
 # process (a second process with its own local[*] session) fetches the
 # results after this driver exits
 spark.conf.set("spark.burla.jobJournalDir", %(journal)r)
-job = remote_parallel_map(lambda x: x * 13, range(12), spark=spark, detach=True)
-assert sorted(job.result(timeout=180)) == [x * 13 for x in range(12)]
-print("DETACH_JOB_ID=" + job.job_id)
 
 # --- per-input ack journal written by REAL executor processes (round 6:
 # the redrive-resume substrate; on a cluster the journal dir must be
-# shared storage — local-cluster shares this machine's FS)
-import os
+# shared storage — local-cluster shares this machine's FS). Acks exist
+# only mid-run (terminal states clean them), so observe them while a
+# straggler holds the job open.
+import time as _t
 from burla_spark.jobs import read_partial_results
 
-acked = read_partial_results(%(journal)r, job.job_id)
-assert sorted(acked) == list(range(12)), "executor acks incomplete: %%r" %% sorted(acked)
+def _fn13(x):
+    if x == 11:
+        _t.sleep(6)
+    return x * 13
+
+job = remote_parallel_map(_fn13, range(12), spark=spark, detach=True)
+seen = {}
+deadline = _t.time() + 5.5
+while _t.time() < deadline and len(seen) < 6:
+    seen = read_partial_results(%(journal)r, job.job_id)
+    _t.sleep(0.2)
+assert len(seen) >= 6, "executor acks before completion: %%d" %% len(seen)
+assert sorted(job.result(timeout=180)) == [x * 13 for x in range(12)]
+assert read_partial_results(%(journal)r, job.job_id) == {}, "acks not cleaned"
 print("PARTIAL_ACKS_OK")
+print("DETACH_JOB_ID=" + job.job_id)
 
 # --- wave-repack across real executors (live executor-memory probe
 # aggregates BOTH executors' free memory)
