@@ -256,8 +256,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     m = comp.join(d, "node")
+    # explicit NULLS LAST: Spark's DESC defaults nulls-last but
+    # DuckDB's defaults nulls-first — a NULL n_chars member would
+    # otherwise win the representative pick in one engine only.
     w = Window.partitionBy("component").orderBy(
-        F.desc("n_chars"), F.asc("node")
+        F.desc_nulls_last("n_chars"), F.asc("node")
     )
     ranked = m.withColumn("rk", F.row_number().over(w))
     kept = ranked.filter(F.col("rk") == 1).select(
@@ -325,7 +328,7 @@ comp AS (
 ranked AS (
   SELECT c.component, c.node, d.n_chars,
     ROW_NUMBER() OVER (PARTITION BY c.component
-                       ORDER BY d.n_chars DESC, c.node) AS rk
+                       ORDER BY d.n_chars DESC NULLS LAST, c.node) AS rk
   FROM comp c JOIN documents d ON c.node = d.doc_id
 )
 SELECT k.component,
