@@ -186,6 +186,25 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-components cache: the closure over the exact pair set feeds
+# both dedup_components_exact and dedup_keep_best — like the pairs
+# table, compute it once per corpus and read the spilled result.
+_NGRAM_COMPONENTS_CACHE: dict[str, DataFrame] = {}
+
+
+def _ngram_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _NGRAM_COMPONENTS_CACHE.get(sf_dir)
+    if df is None or df.sparkSession is not spark:
+        from burla_spark.operators.dedup import _spill_to_temp_parquet
+
+        edges = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+        df = _spill_to_temp_parquet(
+            dd.connected_components(edges), "ngram_components"
+        )
+        _NGRAM_COMPONENTS_CACHE[sf_dir] = df
+    return df
+
+
 def dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over DETERMINISTIC edges (the exact n-gram
     Jaccard pairs) so the transitive-closure operator itself is
@@ -193,8 +212,7 @@ def dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE and both engines must agree on every (node, component) row.
     Complements `dedup_components` (same operator over MinHash edges,
     rows-only because the edges are hash-dependent)."""
-    edges = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
-    return dd.connected_components(edges).orderBy("node")
+    return _ngram_components(spark, sf_dir).orderBy("node")
 
 
 DEDUP_COMPONENTS_EXACT_SQL = r"""
@@ -248,8 +266,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.connected_components); the representative pick is one
     per-component window over member rows (cluster-sized groups), and
     the dropped-id list is duplicate-mass-sized, never corpus-sized."""
-    edges = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
-    comp = dd.connected_components(edges)
+    comp = _ngram_components(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node"), "n_chars"
     )
