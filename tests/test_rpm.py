@@ -377,3 +377,25 @@ def test_repack_stdout_still_delivered(spark):
     )
     assert sorted(got) == list(range(6))
     assert sorted(lines) == [(i, f"in-{i}") for i in range(6)]
+
+
+def test_public_api_parity_helpers(spark):
+    """Reference client surface beyond rpm (client __init__.py):
+    version, config get/set (spark.burla.* namespace), dashboard URL
+    (the Spark web UI)."""
+    import burla_spark as b
+
+    assert b.version() == b.__version__
+    assert b.set_config("jobJournalDir", "/tmp/j1", spark=spark) == "/tmp/j1"
+    assert b.get_config("jobJournalDir", spark=spark) == "/tmp/j1"
+    # full-prefix keys are accepted too, and the dict view filters to ours
+    b.set_config("spark.burla.streamQueueDepth", "64", spark=spark)
+    allconf = b.get_config(spark=spark)
+    assert allconf["spark.burla.jobJournalDir"] == "/tmp/j1"
+    assert allconf["spark.burla.streamQueueDepth"] == "64"
+    # dashboard: UI is disabled in the test profile -> None; with UI on
+    # this is the Spark web UI URL
+    url = b.get_cluster_dashboard_url(spark=spark)
+    assert url is None or url.startswith("http")
+    spark.conf.unset("spark.burla.jobJournalDir")
+    spark.conf.unset("spark.burla.streamQueueDepth")
