@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 import pickle
 import sys
 import threading
@@ -198,7 +199,14 @@ def _make_udf(
     shared storage (documented in jobs.py)."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import os as _os
+
         import pandas as pd
+
+        # mark this python worker so a NESTED remote_parallel_map call
+        # (user function calling rpm again) degrades to the
+        # executor-local map instead of failing on a missing session.
+        _os.environ["BURLA_SPARK_IN_WORKER"] = "1"
 
         # results serialize with cloudpickle so locally-defined classes
         # round-trip (by-value), mirroring the input path.
@@ -301,6 +309,53 @@ def _make_udf(
             log_client.close()
 
     return run
+
+
+def _nested_local_map(function_, inputs, generator=False, detach=False):
+    """Executor-local nested RPM. The reference schedules a nested
+    ``remote_parallel_map`` back onto the same cluster
+    (node_service/__init__.py:54-55); Spark executors cannot submit
+    jobs, so the inner level runs HERE with the same client-observable
+    semantics — tuple unpacking, completion-ordered results, and
+    input-index error attribution on the ORIGINAL exception (the outer
+    worker's error path then ships it to the driver with full
+    fidelity). Parallelism is bounded to this worker's threads instead
+    of the cluster — the documented residual of SURVEY §7.3.4."""
+    if detach:
+        raise ValueError(
+            "detach=True is not supported inside a nested remote_parallel_map"
+        )
+    items = list(inputs)
+    if not items:
+        return iter(()) if generator else []
+    from concurrent.futures import ThreadPoolExecutor, as_completed
+
+    def run_one(i, item):
+        try:
+            return function_(*item) if isinstance(item, tuple) else function_(item)
+        except Exception as exc:
+            try:
+                exc.burla_input_index = i
+            except Exception:  # noqa: BLE001 — attribution is best-effort
+                pass
+            raise
+
+    pool = ThreadPoolExecutor(max_workers=min(len(items), 8))
+    futures = [pool.submit(run_one, i, it) for i, it in enumerate(items)]
+    if generator:
+
+        def gen():
+            try:
+                for f in as_completed(futures):
+                    yield f.result()
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
+
+        return gen()
+    try:
+        return [f.result() for f in as_completed(futures)]
+    finally:
+        pool.shutdown(wait=True)
 
 
 def gpu_resource_profile(func_gpu: int, func_cpu: int = 1):
@@ -701,15 +756,19 @@ def remote_parallel_map(
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
         # The reference supports nested RPM (a UDF calling RPM again —
-        # node_service/__init__.py:54-55); Spark executors cannot
-        # submit jobs, so this is a documented divergence (SURVEY
-        # §7.3.4): raise with the recipe instead of hanging.
+        # node_service/__init__.py:54-55, scheduled back onto the same
+        # cluster). Spark executors cannot submit jobs, so a nested
+        # call DEGRADES to an executor-local map with identical
+        # semantics (tuple unpacking, completion order, input-index
+        # error attribution) — parallelism bounded to this worker
+        # instead of the cluster (SURVEY §7.3.4's residual divergence).
+        if os.environ.get("BURLA_SPARK_IN_WORKER") == "1":
+            return _nested_local_map(
+                function_, inputs, generator=generator, detach=detach
+            )
         raise RuntimeError(
-            "no active SparkSession. If this call is inside a "
-            "remote_parallel_map worker (nested RPM), Spark executors "
-            "cannot submit jobs — restructure as driver-side "
-            "composition: expand inputs first (flatMap) and run ONE "
-            "remote_parallel_map over the expanded list."
+            "no active SparkSession — call burla_spark.get_spark() first "
+            "(or pass spark=...)."
         )
     if func_gpu:
         # Build the exact stage-level profile a GPU cluster would run

@@ -160,18 +160,63 @@ def test_func_cpu_and_spinner(spark):
     assert sorted(results) == [x * 2 for x in range(64)]
 
 
-def test_nested_rpm_raises_clear_error(spark):
-    """The reference allows nested RPM; Spark executors can't submit
-    jobs (SURVEY §7.3.4) — the inner call must fail with guidance, not
-    hang."""
+def test_nested_rpm_degrades_to_local_map(spark):
+    """The reference allows nested RPM (scheduled onto the same
+    cluster); Spark executors can't submit jobs, so the inner call
+    runs executor-locally with the same semantics (SURVEY §7.3.4) —
+    reference code using nested rpm runs unmodified."""
 
     def outer(x):
         from burla_spark import remote_parallel_map as rpm
 
-        return rpm(lambda y: y, [x])
+        return sorted(rpm(lambda y: y * 2, [x, x + 1]))
+
+    results = remote_parallel_map(outer, [1, 3], spark=spark)
+    assert sorted(results) == [[2, 4], [6, 8]]
+
+
+def test_nested_rpm_tuple_unpack_and_generator(spark):
+    def outer(x):
+        from burla_spark import remote_parallel_map as rpm
+
+        summed = rpm(lambda a, b: a + b, [(x, 1), (x, 2)])
+        gen = rpm(lambda y: y + 10, [x], generator=True)
+        return sorted(summed) + list(gen)
+
+    results = remote_parallel_map(outer, [5], spark=spark)
+    assert results == [[6, 7, 15]]
+
+
+def test_nested_rpm_error_attribution(spark):
+    """A nested failure carries BOTH input indices: the inner call
+    tags the original exception with its index; the outer worker ships
+    it with the outer index."""
+
+    def outer(x):
+        from burla_spark import remote_parallel_map as rpm
+
+        def inner(y):
+            if y == 7:
+                raise ValueError("inner seven")
+            return y
+
+        return rpm(inner, [x, 7])
 
     with pytest.raises(RpmError) as exc_info:
-        remote_parallel_map(outer, [1, 2], spark=spark)
+        remote_parallel_map(outer, [1], spark=spark)
+    e = exc_info.value
+    assert e.burla_input_index == 0  # outer input that failed
+    assert "inner seven" in e.original_message
+
+
+def test_nested_rpm_detach_unsupported(spark):
+    def outer(x):
+        from burla_spark import remote_parallel_map as rpm
+
+        return rpm(lambda y: y, [x], detach=True)
+
+    with pytest.raises(RpmError) as exc_info:
+        remote_parallel_map(outer, [1], spark=spark)
     assert "nested" in exc_info.value.original_message.lower()
 
 
