@@ -602,6 +602,58 @@ FROM s
 """
 
 
+def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-symbol pair counting — the kernel of BPE vocabulary
+    induction: the first merge of tokenizer training is exactly
+    "the most frequent adjacent pair in the corpus", and every later
+    iteration repeats this count over re-segmented text. Here: top-50
+    within-word lowercase character pairs with exact BIGINT counts and
+    a unique total order (count desc, pair asc).
+
+    100 TB shape: one scan, two map-side explodes (words, then pairs —
+    the pair transform is let-bound so the word isn't re-split per
+    pair), one combine-heavy groupBy whose key space is bounded by the
+    alphabet² (tiny shuffle regardless of corpus size), and a
+    TakeOrderedAndProject top-k. This is why corpus-scale BPE counting
+    is cheap on Spark: the aggregate state never exceeds |vocab|²."""
+    from burla_spark.functions.numeric import let
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = let(
+        F.col("w"),
+        lambda w: F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1),
+            lambda i: w.substr(i, F.lit(2)),
+        ),
+    )
+    return (
+        words.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+BPE_PAIR_SQL = r"""
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT substr(w, i, 2) AS pair
+  FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ), UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+)
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 50
+"""
+
+
 def token_pieces_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish sub-word segmentation (letter-runs / digit-runs /
     punctuation marks as pieces) — the regex tokenizer every training
@@ -1679,6 +1731,14 @@ SPECS: list[QuerySpec] = [
         doc="typed blob metadata (bytes/sha256) — the oracle-checked half",
     ),
     QuerySpec("token_pieces_stats", token_pieces_stats, TOKEN_PIECES_SQL, ("text",)),
+    QuerySpec(
+        "bpe_pair_frequencies",
+        bpe_pair_frequencies,
+        BPE_PAIR_SQL,
+        ("text", "llm"),
+        doc="Adjacent-symbol pair counting — the BPE vocabulary-"
+        "induction kernel (alphabet²-bounded aggregate state).",
+    ),
     QuerySpec("embedding_neardup", embedding_neardup, None, ("similarity", "dedup", "lsh")),
     QuerySpec("corpus_curation_pipeline", corpus_curation_pipeline, CORPUS_CURATION_SQL, ("text", "dedup", "pipeline")),
     QuerySpec(

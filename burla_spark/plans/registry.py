@@ -100,7 +100,7 @@ _DRIVER_PRIORITY = frozenset(
         "pq_fixed_codebook_topk", "kmeans_assign_fixed_centroids",
         "mmr_lambda1_topk",
         # round-6 new first-class operators
-        "source_frequency_cap", "dedup_keep_best",
+        "source_frequency_cap", "dedup_keep_best", "bpe_pair_frequencies",
     }
 )
 
