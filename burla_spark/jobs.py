@@ -265,16 +265,25 @@ def _claim_redrive(base: str, job_id: str, stale_s: float) -> None:
     claim = os.path.join(base, job_id, "redrive_claim")
     host = socket.gethostname()
     for _ in range(2):
+        # publish the claim ATOMICALLY with its content: a reader must
+        # never observe the name without the payload (O_CREAT|O_EXCL +
+        # buffered write had a window where a racer read an empty file,
+        # classified it torn->stale, and stole the claim). link() both
+        # fails-if-exists and carries the fully-written content.
+        tmp = f"{claim}.{os.getpid()}.{uuid.uuid4().hex[:6]}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(
+                json.dumps({"pid": os.getpid(), "host": host, "at": time.time()})
+            )
         try:
-            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as fh:
-                fh.write(
-                    json.dumps(
-                        {"pid": os.getpid(), "host": host, "at": time.time()}
-                    )
-                )
+            os.link(tmp, claim)
+            os.unlink(tmp)
             return
         except FileExistsError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
             try:
                 with open(claim) as fh:
                     doc = json.load(fh)
@@ -343,27 +352,43 @@ def redrive(spark: SparkSession, job_id: str, journal_dir: str | None = None, fo
             "an older engine) — it cannot be re-driven"
         )
     _claim_redrive(base, job_id, stale_s)
-    # a cancel flag aimed at the DEAD driver must not auto-cancel the
-    # fresh run within one heartbeat: an explicit redrive supersedes it.
     try:
-        os.remove(os.path.join(base, job_id, "cancel_requested"))
-    except OSError:
-        pass
-    import pickle as _pickle
+        # a cancel flag aimed at the DEAD driver must not auto-cancel
+        # the fresh run within one heartbeat: an explicit redrive
+        # supersedes it.
+        try:
+            os.remove(os.path.join(base, job_id, "cancel_requested"))
+        except OSError:
+            pass
+        import pickle as _pickle
 
-    with open(payload_path, "rb") as fh:
-        payload = _pickle.load(fh)
-    from burla_spark.rpm import _cloudpickle, remote_parallel_map
+        with open(payload_path, "rb") as fh:
+            payload = _pickle.load(fh)
+        from burla_spark.rpm import _cloudpickle, remote_parallel_map
 
-    cp = _cloudpickle()
-    func = cp.loads(payload["function_pkl"])
-    done = read_partial_results(base, job_id)
-    todo = [(idx, blob) for (idx, blob) in sorted(payload["inputs"]) if idx not in done]
-    return remote_parallel_map(
-        func, [], spark=spark, detach=True, _job_id=job_id,
-        journal_dir=journal_dir, _raw_input_rows=todo,
-        _done_rows=[done[i] for i in sorted(done)],
-    )
+        cp = _cloudpickle()
+        func = cp.loads(payload["function_pkl"])
+        done = read_partial_results(base, job_id)
+        todo = [
+            (idx, blob) for (idx, blob) in sorted(payload["inputs"]) if idx not in done
+        ]
+        return remote_parallel_map(
+            func, [], spark=spark, detach=True, _job_id=job_id,
+            journal_dir=journal_dir, _raw_input_rows=todo,
+            _done_rows=[done[i] for i in sorted(done)],
+        )
+    except BaseException:
+        # release the claim so a retry (same process or another) is not
+        # refused for a full staleness window after e.g. an unpicklable
+        # payload or a failed resubmission.
+        try:
+            os.rename(
+                os.path.join(base, job_id, "redrive_claim"),
+                os.path.join(base, job_id, f"redrive_claim.stale-{uuid.uuid4().hex[:8]}"),
+            )
+        except OSError:
+            pass
+        raise
 
 
 HEARTBEAT_INTERVAL_S = 2.0

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from burla_spark.plans.base import QuerySpec
+from burla_spark.plans.mlprep import _HASH_MOD, _HASH_MULT
 from burla_spark.sources.tables import load_table
 
 
@@ -553,8 +554,6 @@ def source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     where doc_id * MULT could overflow BIGINT, swap the rank key for
     xxhash64 — the oracle here keeps the multiplicative form because
     DuckDB must reproduce it."""
-    from burla_spark.plans.mlprep import _HASH_MOD, _HASH_MULT
-
     cap = 15
     d = load_table(spark, sf_dir, "documents")
     h = (F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
@@ -581,15 +580,12 @@ def source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from burla_spark.plans.mlprep import _HASH_MOD as _SFC_MOD
-from burla_spark.plans.mlprep import _HASH_MULT as _SFC_MULT
-
 SOURCE_FREQUENCY_CAP_SQL = f"""
 WITH ranked AS (
   SELECT source, doc_id,
     ROW_NUMBER() OVER (
       PARTITION BY source
-      ORDER BY (doc_id * {_SFC_MULT}) % {_SFC_MOD}, doc_id) AS rk
+      ORDER BY (doc_id * {_HASH_MULT}) % {_HASH_MOD}, doc_id) AS rk
   FROM documents
 )
 SELECT source,

@@ -50,6 +50,10 @@ RESULT_SCHEMA = (
 )
 
 
+class _SkipAck(Exception):
+    """Internal: abort a partial-ack write (job already terminal)."""
+
+
 class FunctionTooBig(Exception):
     pass
 
@@ -282,9 +286,27 @@ def _make_udf(
                     out["error_pkl"].append(blob)
             if partial_dir is not None and out["idx"]:
                 try:
+                    import json as _json
                     import os as _os
                     import uuid as _uuid
 
+                    # a task of a canceled/failed job may finish a batch
+                    # AFTER the terminal cleanup removed partial/ — skip
+                    # the ack once the manifest left 'running' so late
+                    # writes don't recreate permanent journal litter.
+                    still_running = True
+                    manifest = _os.path.join(
+                        _os.path.dirname(partial_dir), "manifest.json"
+                    )
+                    try:
+                        with open(manifest) as _fh:
+                            still_running = (
+                                _json.load(_fh).get("status") == "running"
+                            )
+                    except (OSError, ValueError):
+                        pass  # unreadable/missing manifest: ack anyway
+                    if not still_running:
+                        raise _SkipAck()
                     _os.makedirs(partial_dir, exist_ok=True)
                     rows_pkl = pickle.dumps(
                         list(
@@ -355,7 +377,10 @@ def _nested_local_map(function_, inputs, generator=False, detach=False):
     try:
         return [f.result() for f in as_completed(futures)]
     finally:
-        pool.shutdown(wait=True)
+        # on failure, cancel still-pending siblings so the error
+        # reaches the outer worker immediately instead of after every
+        # slow input finishes; on success all futures are already done.
+        pool.shutdown(wait=False, cancel_futures=True)
 
 
 def gpu_resource_profile(func_gpu: int, func_cpu: int = 1):
@@ -429,12 +454,22 @@ def _live_ram_cap(spark: SparkSession, func_ram) -> int:
     if gb is None or gb <= 0:
         return 1 << 30
     try:
-        status = spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+        sc = spark.sparkContext
+        status = sc._jsc.sc().getExecutorMemoryStatus()
+        # the driver's block manager appears in the status map too —
+        # counting it would overcommit executors on a real cluster, so
+        # exclude it whenever actual executors are present (local mode
+        # has only the driver entry, which IS the executor there).
+        bmid = sc._jsc.sc().env().blockManager().blockManagerId()
+        driver_key = f"{bmid.host()}:{bmid.port()}"
         it = status.iterator()
-        free_gb = 0.0
+        free = {}
         while it.hasNext():
             kv = it.next()
-            free_gb += kv._2()._2() / float(1024**3)
+            free[kv._1()] = kv._2()._2() / float(1024**3)
+        if len(free) > 1:
+            free.pop(driver_key, None)
+        free_gb = sum(free.values())
         if free_gb <= 0:
             return 1
         return max(1, int(free_gb // gb))
@@ -768,7 +803,12 @@ def remote_parallel_map(
             )
         raise RuntimeError(
             "no active SparkSession — call burla_spark.get_spark() first "
-            "(or pass spark=...)."
+            "(or pass spark=...). If this call is inside a Spark worker "
+            "(nested RPM in your OWN UDF), executors cannot submit jobs — "
+            "either call through burla_spark's remote_parallel_map (whose "
+            "workers run nested calls executor-locally) or restructure as "
+            "driver-side composition: expand inputs first and run ONE "
+            "remote_parallel_map over the expanded list."
         )
     if func_gpu:
         # Build the exact stage-level profile a GPU cluster would run
@@ -907,7 +947,10 @@ def remote_parallel_map(
             RESULT_SCHEMA,
         )
 
-    result_df = _build_result_df(rows, n_parts)
+    # repack ships inputs per wave — building (and eagerly Arrow-
+    # transferring) the full-input frame here would double driver
+    # memory and driver->JVM traffic for a plan the wave loop ignores.
+    result_df = None if repack else _build_result_df(rows, n_parts)
 
     def handle(row):
         if row.stdout:

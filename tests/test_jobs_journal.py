@@ -469,3 +469,16 @@ def test_redrive_clears_stale_cancel_flag(spark, journal_dir):
     assert next(
         d for d in jobs.list_jobs(spark) if d["job_id"] == "burla-job-stalecancel"
     )["status"] == "done"
+
+
+def test_redrive_releases_claim_on_failure(spark, journal_dir):
+    """A redrive that fails after claiming (e.g. corrupt payload) must
+    release its claim so a retry isn't refused for a staleness window."""
+    _manufacture_orphan(spark, journal_dir, "burla-job-claimfail", lambda x: x, [0])
+    pp = os.path.join(journal_dir, "burla-job-claimfail", "payload.pkl")
+    with open(pp, "wb") as fh:
+        fh.write(b"not a pickle")
+    for _ in range(2):  # the second attempt must hit the SAME error,
+        with pytest.raises(Exception) as ei:  # not a stuck claim
+            jobs.redrive(spark, "burla-job-claimfail")
+        assert "already being redriven" not in str(ei.value)
