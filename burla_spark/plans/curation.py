@@ -597,7 +597,69 @@ FROM ranked GROUP BY source ORDER BY source
 """
 
 
+def importance_acceptance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional acceptance sampling — the corpus
+    reweighting move (DCLM/quality-resampling style): keep doc i iff
+    u_i < p_i, with u_i a DETERMINISTIC hash-uniform of the doc id and
+    p_i proportional to a per-doc weight (here min(1, n_tokens/400) as
+    the weight proxy; production swaps in a quality or perplexity
+    score). Unlike top-k weighted sampling (weighted_sample_orders),
+    acceptance sampling needs no rank, no shuffle on the weight — it
+    is a pure map-side filter, which is why it's the default at
+    100 TB: each partition decides its own rows, membership is a pure
+    function of (id, weight), and re-runs keep the exact same docs.
+
+    Determinism: u is an exact BIGINT ratio, p a ratio of exact ints;
+    the comparison is per-row IEEE arithmetic (contract rule 9 —
+    identical on both engines). Accounting avoids double accumulation:
+    counts are BIGINT, the only other outputs are MIN/MAX."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    u = (
+        ((F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD))
+        .cast("double")
+        / F.lit(float(_HASH_MOD))
+    )
+    p = F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(400.0))
+    return (
+        d.select("doc_id", "lang", u.alias("u"), p.alias("p"))
+        .withColumn("kept", F.col("u") < F.col("p"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.min(F.when(F.col("kept"), F.col("doc_id"))).cast("long").alias("first_kept"),
+            F.max(F.when(F.col("kept"), F.col("doc_id"))).cast("long").alias("last_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+IMPORTANCE_SAMPLE_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    CAST((doc_id * {_HASH_MULT}) % {_HASH_MOD} AS DOUBLE) / {_HASH_MOD}.0 AS u,
+    LEAST(1.0, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 400.0) AS p
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN u < p THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(MIN(CASE WHEN u < p THEN doc_id END) AS BIGINT) AS first_kept,
+  CAST(MAX(CASE WHEN u < p THEN doc_id END) AS BIGINT) AS last_kept
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "importance_acceptance_sample",
+        importance_acceptance_sample,
+        IMPORTANCE_SAMPLE_SQL,
+        ("llm", "sampling", "curation"),
+        doc="Probability-proportional acceptance sampling (map-side "
+        "deterministic corpus reweighting — no rank, no shuffle).",
+    ),
     QuerySpec(
         "source_frequency_cap",
         source_frequency_cap,

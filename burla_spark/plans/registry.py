@@ -101,6 +101,7 @@ _DRIVER_PRIORITY = frozenset(
         "mmr_lambda1_topk",
         # round-6 new first-class operators
         "source_frequency_cap", "dedup_keep_best", "bpe_pair_frequencies",
+        "importance_acceptance_sample",
     }
 )
 
