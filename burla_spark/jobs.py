@@ -264,50 +264,72 @@ def _claim_redrive(base: str, job_id: str, stale_s: float) -> None:
 
     claim = os.path.join(base, job_id, "redrive_claim")
     host = socket.gethostname()
-    for _ in range(2):
-        # publish the claim ATOMICALLY with its content: a reader must
-        # never observe the name without the payload (O_CREAT|O_EXCL +
-        # buffered write had a window where a racer read an empty file,
-        # classified it torn->stale, and stole the claim). link() both
-        # fails-if-exists and carries the fully-written content.
+    def _publish() -> bool:
+        """Write the claim atomically-with-content; True if we won.
+        link() both fails-if-exists and carries the fully-written
+        payload, so a racer never observes the name without content
+        (O_CREAT|O_EXCL + buffered write had a window where a reader
+        classified an empty file torn->stale and stole the claim).
+        Hardlink-less filesystems (GCS/S3 FUSE, some NFS/SMB — the
+        documented shared-journal mounts) raise ENOTSUP/EPERM from
+        link(); there we fall back to O_CREAT|O_EXCL with an
+        unbuffered single write, accepting the small torn-read window
+        only where link() is unavailable (the reader already treats a
+        torn claim as stale)."""
+        payload = json.dumps(
+            {"pid": os.getpid(), "host": host, "at": time.time()}
+        )
         tmp = f"{claim}.{os.getpid()}.{uuid.uuid4().hex[:6]}.tmp"
         with open(tmp, "w") as fh:
-            fh.write(
-                json.dumps({"pid": os.getpid(), "host": host, "at": time.time()})
-            )
+            fh.write(payload)
         try:
             os.link(tmp, claim)
-            os.unlink(tmp)
-            return
+            return True
         except FileExistsError:
+            return False
+        except OSError:
+            try:
+                fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            try:
+                os.write(fd, payload.encode())
+            finally:
+                os.close(fd)
+            return True
+        finally:
             try:
                 os.unlink(tmp)
             except OSError:
                 pass
+
+    for _ in range(2):
+        if _publish():
+            return
+        try:
+            with open(claim) as fh:
+                doc = json.load(fh)
+            age = time.time() - float(doc.get("at", 0))
+        except (OSError, ValueError, json.JSONDecodeError):
+            doc, age = {}, float("inf")  # torn claim — treat as stale
+        owner_dead = False
+        if doc.get("host") == host:
             try:
-                with open(claim) as fh:
-                    doc = json.load(fh)
-                age = time.time() - float(doc.get("at", 0))
-            except (OSError, ValueError, json.JSONDecodeError):
-                doc, age = {}, float("inf")  # torn claim — treat as stale
-            owner_dead = False
-            if doc.get("host") == host:
-                try:
-                    os.kill(int(doc.get("pid", -1)), 0)
-                except (ProcessLookupError, ValueError, OverflowError):
-                    owner_dead = True
-                except PermissionError:
-                    pass  # alive under another uid
-            if age <= stale_s and not owner_dead:
-                raise RuntimeError(
-                    f"job {job_id} is already being redriven (claim by pid "
-                    f"{doc.get('pid')} on {doc.get('host')}, {age:.1f}s ago) "
-                    "— racing would double-run user code"
-                )
-            try:  # stale/dead-owner claim — take it over
-                os.rename(claim, f"{claim}.stale-{uuid.uuid4().hex[:8]}")
-            except OSError:
-                pass  # another racer renamed it first; retry O_EXCL
+                os.kill(int(doc.get("pid", -1)), 0)
+            except (ProcessLookupError, ValueError, OverflowError):
+                owner_dead = True
+            except PermissionError:
+                pass  # alive under another uid
+        if age <= stale_s and not owner_dead:
+            raise RuntimeError(
+                f"job {job_id} is already being redriven (claim by pid "
+                f"{doc.get('pid')} on {doc.get('host')}, {age:.1f}s ago) "
+                "— racing would double-run user code"
+            )
+        try:  # stale/dead-owner claim — take it over
+            os.rename(claim, f"{claim}.stale-{uuid.uuid4().hex[:8]}")
+        except OSError:
+            pass  # another racer renamed it first; retry O_EXCL
     raise RuntimeError(f"could not claim redrive of job {job_id}")
 
 

@@ -220,7 +220,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_size: int = 5,
     threshold: float = 0.5,
-    max_bucket: int | None = 128,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, exact-Jaccard verified.
 
@@ -229,17 +229,22 @@ def minhash_lsh_pairs(
     are then verified with exact shingle Jaccard >= threshold.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
 
-    ``max_bucket`` bounds band-bucket membership: with fixed banding
-    the FALSE-POSITIVE collision rate per pair is constant, so
+    ``max_bucket`` (OPT-IN) bounds band-bucket membership: with fixed
+    banding the FALSE-POSITIVE collision rate per pair is constant, so
     candidate pairs grow quadratically with the corpus (the round-6
     scaling harness measured the band self-join going from ~12 s at
     5 k docs to minutes at 50 k). A band key shared by more than
-    max_bucket docs is near-certainly a boilerplate/templated pattern,
-    not a duplicate cluster — those rows are dropped from THAT band
-    (the standard production cap; a real near-dup pair still collides
-    in its other bands, and genuinely duplicated clusters larger than
-    the cap surface through exact dedup first). Candidates are then
-    bounded by bands × n × max_bucket — linear in corpus size."""
+    max_bucket docs is usually a boilerplate/templated pattern, not a
+    duplicate cluster — those rows are dropped from THAT band (the
+    standard production cap), bounding candidates by
+    bands × n × max_bucket — linear in corpus size. The cap CHANGES
+    RECALL: a pair whose only collision is an oversized bucket is
+    lost, and a genuine duplicate cluster larger than the cap (whose
+    near-identical signatures oversize EVERY band) vanishes entirely
+    unless its members are exact duplicates (those surface through
+    exact dedup first). Default is therefore None (exact LSH
+    semantics); when a cap is passed, the function reports what it
+    dropped via ``warnings.warn`` so the recall change is observable."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
@@ -287,14 +292,33 @@ def minhash_lsh_pairs(
         "doc_id", F.explode(band_structs).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
     if max_bucket is not None:
+        import warnings
+
         from pyspark.sql import Window
 
         bw = Window.partitionBy("band_id", "band_key")
-        banded = (
-            banded.withColumn("__bsz", F.count("*").over(bw))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
+        banded = banded.withColumn("__bsz", F.count("*").over(bw))
+        # the cap is opt-in and changes recall — surface what it
+        # dropped (one extra small job over the persisted signatures)
+        # so a caller can detect a skipped >cap duplicate cluster
+        # instead of its pairs silently vanishing.
+        dropped = (
+            banded.filter(F.col("__bsz") > max_bucket)
+            .agg(
+                F.count_distinct("band_id", "band_key").alias("buckets"),
+                F.count("*").alias("rows"),
+            )
+            .collect()[0]
         )
+        if dropped["buckets"]:
+            warnings.warn(
+                f"minhash_lsh_pairs: max_bucket={max_bucket} dropped "
+                f"{dropped['buckets']} oversized band buckets "
+                f"({dropped['rows']} banded rows); pairs colliding only "
+                "in those buckets are lost",
+                stacklevel=2,
+            )
+        banded = banded.filter(F.col("__bsz") <= max_bucket).drop("__bsz")
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -226,8 +226,13 @@ def pq_fixed_codebook_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # argmin on the ROUNDED distance: raw float sums may differ by an
+    # ULP between engines (accumulation order is unspecified), which
+    # near a tie would flip the assignment; rounding to 6 dp with the
+    # codeword-id tiebreak is engine-stable (same pattern as the ADC
+    # rank below and mmr_lambda1_topk).
     w_assign = Window.partitionBy("neighbor_id", "s").orderBy(
-        F.asc("d2"), F.asc("c")
+        F.asc(F.round("d2", 6)), F.asc("c")
     )
     codes = (
         corpus.join(F.broadcast(cb), "s")
@@ -251,7 +256,7 @@ def pq_fixed_codebook_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_rank = Window.partitionBy("query_id").orderBy(
-        F.desc("adc_raw"), F.asc("neighbor_id")
+        F.desc(F.round("adc_raw", 6)), F.asc("neighbor_id")
     )
     return (
         codes.join(F.broadcast(lut), ["s", "c"])
@@ -283,7 +288,8 @@ d2 AS (
 ),
 codes AS (
   SELECT neighbor_id, s, c FROM d2
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY neighbor_id, s ORDER BY d2, c) = 1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY neighbor_id, s
+                             ORDER BY ROUND(d2, 6), c) = 1
 ),
 lut AS (
   SELECT q.vec_id AS query_id, s.s, cb.vec_id AS c,
@@ -301,7 +307,8 @@ adc AS (
 )
 SELECT query_id, neighbor_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY adc_raw DESC, neighbor_id) AS BIGINT) AS rank,
+                               ORDER BY ROUND(adc_raw, 6) DESC,
+                                        neighbor_id) AS BIGINT) AS rank,
        ROUND(adc_raw, 6) + 0.0 AS adc_dot
 FROM adc
 QUALIFY rank <= 10
@@ -342,7 +349,11 @@ def kmeans_assign_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster_id"))
+    # same engine-stability rule as the PQ argmin: rank on the rounded
+    # distance so an ULP accumulation difference can't flip a near-tie.
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc(F.round("d2", 6)), F.asc("cluster_id")
+    )
     assigned = (
         e.crossJoin(F.broadcast(cents))
         .select("vec_id", "cluster_id", d2.alias("d2"))
@@ -372,7 +383,8 @@ d2 AS (
 ),
 assigned AS (
   SELECT vec_id, cluster_id, d2 FROM d2
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) = 1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY ROUND(d2, 6), cluster_id) = 1
 )
 SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
        ROUND(MIN(d2), 6) AS min_d2, ROUND(MAX(d2), 6) AS max_d2

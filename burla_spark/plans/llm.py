@@ -159,9 +159,14 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a cached DataFrame is only valid in the session that built it
     if df is None or df.sparkSession is not spark:
         d = load_table(spark, sf_dir, "documents")
+        # max_bucket=128 opted into explicitly: the registry corpora
+        # have no >128-member near-dup clusters (verified — the cap
+        # drops nothing at sf0.01/sf0.1, and the function warns if a
+        # future corpus changes that), and the cap keeps the band
+        # self-join linear in corpus size (round-6 scaling harness).
         df = dd.minhash_lsh_pairs(
             d, "doc_id", "text", num_hashes=32, bands=8, shingle_size=5,
-            threshold=0.5,
+            threshold=0.5, max_bucket=128,
         )
         _MINHASH_PAIRS_CACHE[sf_dir] = df
     return df

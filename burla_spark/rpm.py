@@ -210,125 +210,137 @@ def _make_udf(
         # mark this python worker so a NESTED remote_parallel_map call
         # (user function calling rpm again) degrades to the
         # executor-local map instead of failing on a missing session.
+        # Scoped try/finally: python workers are REUSED across jobs
+        # (spark.python.worker.reuse), so a flag left set process-wide
+        # would make a LATER non-rpm code path in the same worker
+        # silently degrade its own remote_parallel_map call to a
+        # worker-local map instead of raising the guidance error.
+        _prior_flag = _os.environ.get("BURLA_SPARK_IN_WORKER")
         _os.environ["BURLA_SPARK_IN_WORKER"] = "1"
-
-        # results serialize with cloudpickle so locally-defined classes
-        # round-trip (by-value), mirroring the input path.
         try:
-            from pyspark import cloudpickle as result_pickler  # type: ignore
-        except ImportError:  # pragma: no cover
-            import cloudpickle as result_pickler  # type: ignore
 
-        log_client = None
-        if log_addr is not None:
+            # results serialize with cloudpickle so locally-defined classes
+            # round-trip (by-value), mirroring the input path.
             try:
-                from burla_spark.logs import LogStreamClient
+                from pyspark import cloudpickle as result_pickler  # type: ignore
+            except ImportError:  # pragma: no cover
+                import cloudpickle as result_pickler  # type: ignore
 
-                log_client = LogStreamClient(*log_addr)
-            except Exception:  # noqa: BLE001 — log channel is best-effort
-                log_client = None
-
-        fn = pickle.loads(function_pkl)
-        for batch in batches:
-            out: dict[str, list] = {
-                "idx": [], "is_error": [], "payload": [], "stdout": [],
-                "error_type": [], "error_msg": [], "error_tb": [],
-                "error_pkl": [],
-            }
-            for idx, blob in zip(batch["idx"], batch["payload"]):
-                arg = pickle.loads(bytes(blob))
-                buf = io.StringIO()
+            log_client = None
+            if log_addr is not None:
                 try:
-                    if capture_stdout:
-                        with redirect_stdout(buf):
+                    from burla_spark.logs import LogStreamClient
+
+                    log_client = LogStreamClient(*log_addr)
+                except Exception:  # noqa: BLE001 — log channel is best-effort
+                    log_client = None
+
+            fn = pickle.loads(function_pkl)
+            for batch in batches:
+                out: dict[str, list] = {
+                    "idx": [], "is_error": [], "payload": [], "stdout": [],
+                    "error_type": [], "error_msg": [], "error_tb": [],
+                    "error_pkl": [],
+                }
+                for idx, blob in zip(batch["idx"], batch["payload"]):
+                    arg = pickle.loads(bytes(blob))
+                    buf = io.StringIO()
+                    try:
+                        if capture_stdout:
+                            with redirect_stdout(buf):
+                                result = fn(*arg) if isinstance(arg, tuple) else fn(arg)
+                        else:
                             result = fn(*arg) if isinstance(arg, tuple) else fn(arg)
-                    else:
-                        result = fn(*arg) if isinstance(arg, tuple) else fn(arg)
-                    text = buf.getvalue()
-                    if log_client is not None and log_client.send(int(idx), text):
-                        text = ""  # delivered live — don't re-deliver with the row
-                    out["idx"].append(int(idx))
-                    out["is_error"].append(False)
-                    out["payload"].append(result_pickler.dumps(result))
-                    out["stdout"].append(text)
-                    out["error_type"].append(None)
-                    out["error_msg"].append(None)
-                    out["error_tb"].append(None)
-                    out["error_pkl"].append(None)
-                except Exception as exc:  # noqa: BLE001 — user code may raise anything
-                    text = buf.getvalue()
-                    if log_client is not None and log_client.send(int(idx), text):
-                        text = ""
-                    out["idx"].append(int(idx))
-                    out["is_error"].append(True)
-                    out["payload"].append(None)
-                    out["stdout"].append(text)
-                    out["error_type"].append(type(exc).__name__)
-                    out["error_msg"].append(str(exc))
-                    out["error_tb"].append(traceback.format_exc())
-                    # ship (class, args, state) — NOT the exception
-                    # object: pickling an exception replays
-                    # ``cls(*args)`` on load, which explodes for custom
-                    # __init__ signatures; __new__ + state restore works
-                    # for any class. cloudpickle serializes
-                    # locally-defined exception classes by value. 1 MB
-                    # cap mirrors the reference's result/log response
-                    # cap (job_endpoints.py:28-30) — bigger errors fall
-                    # back to text-only.
-                    try:
-                        blob = result_pickler.dumps(
-                            (type(exc), exc.args, dict(vars(exc)))
-                        )
-                        if len(blob) > 1_000_000:
+                        text = buf.getvalue()
+                        if log_client is not None and log_client.send(int(idx), text):
+                            text = ""  # delivered live — don't re-deliver with the row
+                        out["idx"].append(int(idx))
+                        out["is_error"].append(False)
+                        out["payload"].append(result_pickler.dumps(result))
+                        out["stdout"].append(text)
+                        out["error_type"].append(None)
+                        out["error_msg"].append(None)
+                        out["error_tb"].append(None)
+                        out["error_pkl"].append(None)
+                    except Exception as exc:  # noqa: BLE001 — user code may raise anything
+                        text = buf.getvalue()
+                        if log_client is not None and log_client.send(int(idx), text):
+                            text = ""
+                        out["idx"].append(int(idx))
+                        out["is_error"].append(True)
+                        out["payload"].append(None)
+                        out["stdout"].append(text)
+                        out["error_type"].append(type(exc).__name__)
+                        out["error_msg"].append(str(exc))
+                        out["error_tb"].append(traceback.format_exc())
+                        # ship (class, args, state) — NOT the exception
+                        # object: pickling an exception replays
+                        # ``cls(*args)`` on load, which explodes for custom
+                        # __init__ signatures; __new__ + state restore works
+                        # for any class. cloudpickle serializes
+                        # locally-defined exception classes by value. 1 MB
+                        # cap mirrors the reference's result/log response
+                        # cap (job_endpoints.py:28-30) — bigger errors fall
+                        # back to text-only.
+                        try:
+                            blob = result_pickler.dumps(
+                                (type(exc), exc.args, dict(vars(exc)))
+                            )
+                            if len(blob) > 1_000_000:
+                                blob = None
+                        except Exception:
                             blob = None
-                    except Exception:
-                        blob = None
-                    out["error_pkl"].append(blob)
-            if partial_dir is not None and out["idx"]:
-                try:
-                    import json as _json
-                    import os as _os
-                    import uuid as _uuid
-
-                    # a task of a canceled/failed job may finish a batch
-                    # AFTER the terminal cleanup removed partial/ — skip
-                    # the ack once the manifest left 'running' so late
-                    # writes don't recreate permanent journal litter.
-                    still_running = True
-                    manifest = _os.path.join(
-                        _os.path.dirname(partial_dir), "manifest.json"
-                    )
+                        out["error_pkl"].append(blob)
+                if partial_dir is not None and out["idx"]:
                     try:
-                        with open(manifest) as _fh:
-                            still_running = (
-                                _json.load(_fh).get("status") == "running"
-                            )
-                    except (OSError, ValueError):
-                        pass  # unreadable/missing manifest: ack anyway
-                    if not still_running:
-                        raise _SkipAck()
-                    _os.makedirs(partial_dir, exist_ok=True)
-                    rows_pkl = pickle.dumps(
-                        list(
-                            zip(
-                                out["idx"], out["is_error"], out["payload"],
-                                out["stdout"], out["error_type"],
-                                out["error_msg"], out["error_tb"],
-                                out["error_pkl"],
+                        import json as _json
+                        import os as _os
+                        import uuid as _uuid
+
+                        # a task of a canceled/failed job may finish a batch
+                        # AFTER the terminal cleanup removed partial/ — skip
+                        # the ack once the manifest left 'running' so late
+                        # writes don't recreate permanent journal litter.
+                        still_running = True
+                        manifest = _os.path.join(
+                            _os.path.dirname(partial_dir), "manifest.json"
+                        )
+                        try:
+                            with open(manifest) as _fh:
+                                still_running = (
+                                    _json.load(_fh).get("status") == "running"
+                                )
+                        except (OSError, ValueError):
+                            pass  # unreadable/missing manifest: ack anyway
+                        if not still_running:
+                            raise _SkipAck()
+                        _os.makedirs(partial_dir, exist_ok=True)
+                        rows_pkl = pickle.dumps(
+                            list(
+                                zip(
+                                    out["idx"], out["is_error"], out["payload"],
+                                    out["stdout"], out["error_type"],
+                                    out["error_msg"], out["error_tb"],
+                                    out["error_pkl"],
+                                )
                             )
                         )
-                    )
-                    path = _os.path.join(
-                        partial_dir, f"part-{_uuid.uuid4().hex}.pkl"
-                    )
-                    with open(path + ".tmp", "wb") as fh:
-                        fh.write(rows_pkl)
-                    _os.replace(path + ".tmp", path)  # readers never see torn acks
-                except Exception:  # noqa: BLE001 — ack log is best-effort
-                    pass
-            yield pd.DataFrame(out)
-        if log_client is not None:
-            log_client.close()
+                        path = _os.path.join(
+                            partial_dir, f"part-{_uuid.uuid4().hex}.pkl"
+                        )
+                        with open(path + ".tmp", "wb") as fh:
+                            fh.write(rows_pkl)
+                        _os.replace(path + ".tmp", path)  # readers never see torn acks
+                    except Exception:  # noqa: BLE001 — ack log is best-effort
+                        pass
+                yield pd.DataFrame(out)
+            if log_client is not None:
+                log_client.close()
+        finally:
+            if _prior_flag is None:
+                _os.environ.pop("BURLA_SPARK_IN_WORKER", None)
+            else:
+                _os.environ["BURLA_SPARK_IN_WORKER"] = _prior_flag
 
     return run
 
@@ -440,19 +452,69 @@ def _parse_ram_gb(func_ram) -> float | None:
         return None
 
 
+def _probe_host_available_gb(spark: SparkSession) -> float | None:
+    """Executor-side OS memory probe: total MemAvailable (GiB) across
+    the hosts a short sampling job lands on, min-per-host. This sees
+    what the JVM signal cannot — PYTHON WORKER memory, where
+    func_ram-sized rpm tasks actually live, is off-JVM, so
+    getExecutorMemoryStatus barely moves under exactly the pressure
+    ``repack=True`` reacts to. Best-effort: the sampling tasks may not
+    reach every executor host (per-host min over the ones reached),
+    /proc/meminfo is Linux-only, and any failure returns None (caller
+    falls back to the JVM signal alone)."""
+    try:
+        sc = spark.sparkContext
+        n = max(2, sc.defaultParallelism)
+
+        def probe(_):
+            import socket
+
+            avail = None
+            try:
+                with open("/proc/meminfo") as fh:
+                    for line in fh:
+                        if line.startswith("MemAvailable:"):
+                            avail = int(line.split()[1]) / (1024.0**2)
+                            break
+            except (OSError, ValueError, IndexError):
+                pass
+            return (socket.gethostname(), avail)
+
+        per_host: dict[str, float] = {}
+        for host, avail in sc.parallelize(range(n), n).map(probe).collect():
+            if avail is not None:
+                per_host[host] = min(avail, per_host.get(host, float("inf")))
+        total = sum(per_host.values())
+        return total if total > 0 else None
+    except Exception:  # noqa: BLE001 — probe is advisory
+        return None
+
+
 def _live_ram_cap(spark: SparkSession, func_ram) -> int:
     """RAM cap from LIVE executor memory — the dynamic half of the
     reference's packing rule (worker_client.py:88-151 repacks as
     workers free RAM): how many func_ram-sized tasks fit in the
-    cluster's currently-FREE block-manager memory. Spark exposes
-    remaining storage memory per executor (getExecutorMemoryStatus),
-    which is the live signal available without an agent on each host;
-    a heavily-cached/spilling cluster reports less free and the next
-    wave narrows. Falls back to the static rule when the JVM call is
-    unavailable."""
+    cluster's currently-free memory. Two combined signals, the
+    narrower wins:
+
+    * JVM block-manager free storage (getExecutorMemoryStatus) — the
+      agent-free signal; a heavily-cached/spilling cluster reports
+      less free and the next wave narrows. LIMITATION: Python worker
+      memory (where func_ram-sized rpm tasks actually live) is
+      off-JVM, so this signal alone barely moves when Python workers
+      exhaust host RAM.
+    * an executor-side OS probe (_probe_host_available_gb) sampling
+      /proc/meminfo MemAvailable per host — sees Python-worker
+      pressure directly; advisory (None on failure).
+
+    Falls back to the static rule when the JVM call is unavailable."""
     gb = _parse_ram_gb(func_ram)
     if gb is None or gb <= 0:
         return 1 << 30
+    host_cap = None
+    host_gb = _probe_host_available_gb(spark)
+    if host_gb is not None:
+        host_cap = max(1, int(host_gb // gb))
     try:
         sc = spark.sparkContext
         status = sc._jsc.sc().getExecutorMemoryStatus()
@@ -470,10 +532,11 @@ def _live_ram_cap(spark: SparkSession, func_ram) -> int:
         if len(free) > 1:
             free.pop(driver_key, None)
         free_gb = sum(free.values())
-        if free_gb <= 0:
-            return 1
-        return max(1, int(free_gb // gb))
+        jvm_cap = 1 if free_gb <= 0 else max(1, int(free_gb // gb))
+        return min(jvm_cap, host_cap) if host_cap is not None else jvm_cap
     except Exception:  # noqa: BLE001
+        if host_cap is not None:
+            return min(host_cap, _ram_parallelism_cap(spark, func_ram))
         return _ram_parallelism_cap(spark, func_ram)
 
 

@@ -482,3 +482,34 @@ def test_redrive_releases_claim_on_failure(spark, journal_dir):
         with pytest.raises(Exception) as ei:  # not a stuck claim
             jobs.redrive(spark, "burla-job-claimfail")
         assert "already being redriven" not in str(ei.value)
+
+
+def test_claim_redrive_falls_back_when_hardlinks_unsupported(tmp_path, monkeypatch):
+    """Shared-journal mounts (GCS/S3 FUSE, some NFS/SMB) don't support
+    hardlinks — os.link raises ENOTSUP/EPERM, not FileExistsError. The
+    claim must fall back to O_CREAT|O_EXCL there instead of failing
+    the whole redrive."""
+    import errno
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.ENOTSUP, "hardlinks not supported", dst)
+
+    monkeypatch.setattr(os, "link", no_link)
+    base = str(tmp_path)
+    os.makedirs(os.path.join(base, "j1"))
+    jobs._claim_redrive(base, "j1", stale_s=60.0)
+    claim = os.path.join(base, "j1", "redrive_claim")
+    with open(claim) as fh:  # payload fully written, not torn
+        doc = json.load(fh)
+    assert doc["pid"] == os.getpid()
+    # a second claimant still loses while the claim is fresh
+    with pytest.raises(RuntimeError, match="already being redriven"):
+        # claim owner is THIS live pid, so owner-dead detection must
+        # not kick in; patch kill-probe target to a foreign host to
+        # exercise the fresh-claim refusal path deterministically
+        doc2 = dict(doc, pid=os.getpid(), host=doc["host"])
+        with open(claim, "w") as fh:
+            json.dump(doc2, fh)
+        jobs._claim_redrive(base, "j1", stale_s=60.0)
+    # no tmp litter from the fallback path
+    assert [f for f in os.listdir(os.path.join(base, "j1")) if f.endswith(".tmp")] == []

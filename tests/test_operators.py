@@ -667,3 +667,34 @@ def test_mmr_diversifies_and_keeps_rank_one(spark, sf_dir):
         if mmr_sets[qid] != plain_sets[qid]:
             diversified += 1
     assert diversified > 0, "penalty never changed a selection — vacuous MMR"
+
+
+def test_minhash_bucket_cap_is_opt_in_and_observable(spark):
+    """ADVICE r6: max_bucket changed recall silently as a default. Now
+    (1) the default is None — a large near-dup cluster keeps its pairs;
+    (2) an explicit cap that drops oversized buckets emits a warning
+    with the dropped-bucket count instead of the pairs just vanishing."""
+    import warnings as _warnings
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the rain in spain stays mainly on the plain "
+    )
+    # 20 near-identical docs: every band bucket has ~20 members
+    docs = spark.createDataFrame(
+        [(i, base + f"suffix {i % 2}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    full = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    n_full = full.count()
+    assert n_full >= 150  # ~C(20,2) pairs survive with no cap
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        capped = dd.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_bucket=4
+        )
+        n_capped = capped.count()
+    assert n_capped < n_full
+    msgs = [str(w.message) for w in caught if "max_bucket" in str(w.message)]
+    assert msgs and "dropped" in msgs[0]

@@ -444,3 +444,45 @@ def test_public_api_parity_helpers(spark):
     assert url is None or url.startswith("http")
     spark.conf.unset("spark.burla.jobJournalDir")
     spark.conf.unset("spark.burla.streamQueueDepth")
+
+
+def test_worker_flag_scoped_to_rpm_udf(spark):
+    """The in-worker marker must not outlive the rpm UDF: python
+    workers are REUSED across jobs, so a leaked process-wide flag
+    would make a LATER non-rpm UDF in the same worker silently degrade
+    its own top-level remote_parallel_map to a worker-local map
+    instead of raising the missing-session guidance error."""
+    import os as _os
+
+    import pandas as pd
+
+    # during an rpm batch, the flag is visible to user code
+    seen = remote_parallel_map(
+        lambda _: _os.environ.get("BURLA_SPARK_IN_WORKER"), [0, 1], spark=spark
+    )
+    assert seen == ["1", "1"]
+
+    # a later, non-rpm UDF running in the (reused) workers must NOT
+    # see the flag any more
+    def check(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {"flag": [_os.environ.get("BURLA_SPARK_IN_WORKER", "unset")]
+                 * len(b)}
+            )
+
+    flags = (
+        spark.range(8, numPartitions=4)
+        .mapInPandas(check, "flag string")
+        .collect()
+    )
+    assert {r.flag for r in flags} == {"unset"}
+
+
+def test_host_memory_probe_positive(spark):
+    """The executor-side /proc/meminfo probe must report a positive
+    available-GiB total on Linux (it feeds the repack wave width)."""
+    from burla_spark.rpm import _probe_host_available_gb
+
+    gb = _probe_host_available_gb(spark)
+    assert gb is not None and gb > 0
