@@ -1,0 +1,309 @@
+"""Training-run data-mixing plans: epoch-seeded deterministic
+shuffling, token-budget epoch planning, and length-curriculum phasing.
+
+These are the steps BETWEEN a curated corpus and a training run: decide
+how often each source repeats under a token budget (the Llama/GPT-style
+mixture plan), give every document a reproducible per-epoch shuffle
+position, and stage documents into curriculum phases. They complete the
+pipeline whose upstream lives in plans/curation.py (filtering/capping)
+and plans/llm.py (dedup/packing): reference users run this exact
+sequence around remote_parallel_map preprocessing jobs (reference
+README.md:146 2.4 TB parquet prep example).
+
+Scale/determinism notes (ENGINEERING_NOTES contract):
+* shuffle keys are md5 of a ``doc_id:epoch`` string — identical
+  lowercase-hex output on Spark and DuckDB, stable across runs,
+  engines, and partitionings (seeded rand() is none of those);
+* nothing here sorts globally: batch assignment is a pure map-side
+  hash bucket, curriculum boundaries come from a cumulative histogram
+  over DISTINCT lengths (the equidepth_price_histogram pattern —
+  bounded cardinality, no single-reducer ntile);
+* all counts/sums are exact BIGINTs; the only doubles are final
+  per-row ratios, rounded (rule 9: per-row IEEE ops are engine-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from burla_spark.plans.base import QuerySpec
+from burla_spark.sources.tables import load_table
+
+_N_TOKENS = r"""len(regexp_split_to_array(trim(text), '\s+'))"""
+
+
+def _n_tokens_col():
+    return F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# epoch-seeded deterministic shuffle / batch bucketing
+# ---------------------------------------------------------------------------
+def epoch_batch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shuffle bucketing — the data-ordering
+    step of a training run: every (doc, epoch) gets a reproducible
+    shuffle key md5(doc_id:epoch), and its batch bucket is the key's
+    first hex digit (16 buckets/epoch here; production uses more
+    digits). Reordering per epoch falls out of re-keying, with no
+    global sort anywhere: bucket assignment is map-side, so at 100 TB
+    this is one corpus scan + a 48-group aggregate, and the bucketed
+    write (partitionBy epoch/batch) gives each trainer shard its own
+    files. Output is the balance report: docs and exact token counts
+    per (epoch, batch) — near-uniform buckets certify the shuffle.
+
+    Determinism: md5 hex strings are identical on both engines; counts
+    and token sums are exact BIGINTs (no doubles at all)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    epochs = spark.range(1, 4).select(F.col("id").cast("int").alias("epoch"))
+    keyed = (
+        d.select("doc_id", _n_tokens_col().alias("n_tokens"))
+        .crossJoin(F.broadcast(epochs))
+        .select(
+            "epoch",
+            "doc_id",
+            "n_tokens",
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("epoch").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ).alias("batch_key"),
+        )
+    )
+    return (
+        keyed.groupBy("epoch", "batch_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("epoch", "batch_key")
+    )
+
+
+EPOCH_BATCH_SHUFFLE_SQL = rf"""
+WITH keyed AS (
+  SELECT e.epoch, d.doc_id,
+         CAST({_N_TOKENS} AS BIGINT) AS n_tokens,
+         substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                    CAST(e.epoch AS VARCHAR)), 1, 1) AS batch_key
+  FROM documents d,
+       (SELECT UNNEST(generate_series(1, 3)) AS epoch) e
+  WHERE d.text IS NOT NULL
+)
+SELECT CAST(epoch AS INTEGER) AS epoch, batch_key,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM keyed
+GROUP BY epoch, batch_key
+ORDER BY epoch, batch_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# token-budget epoch planning (mixture → repeat factors)
+# ---------------------------------------------------------------------------
+def token_budget_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch plan under a token budget — the step after
+    temperature mixture weighting (mlprep.temperature_mixture_weights):
+    given a total training budget B and temperature-flattened weights
+    w_s ∝ n_tokens^0.5, each source's token target is B·w_s and its
+    repeat factor (epochs) is target/available, capped at 4 epochs
+    (the standard repetition ceiling — data-constrained scaling work
+    shows returns decay past ~4 repeats). ``capped`` marks sources the
+    budget would over-sample beyond the ceiling; the shortfall is what
+    a mix designer re-allocates.
+
+    100 TB shape: one column-pruned corpus scan into a
+    source-cardinality aggregate; the normalizer is a 1-row broadcast;
+    everything after is arithmetic on a tiny frame. Doubles appear
+    only in final per-row ratios (rounded; all positive — no
+    signed-zero exposure)."""
+    budget = 2_000_000  # tokens; a fixture-scaled stand-in for 1e13
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(_n_tokens_col()).alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "w_raw", F.pow(F.col("n_tokens").cast("double"), F.lit(0.5))
+    )
+    z = per.agg(F.sum("w_raw").alias("z"))
+    planned = (
+        per.crossJoin(F.broadcast(z))
+        .withColumn("weight", F.col("w_raw") / F.col("z"))
+        .withColumn(
+            "target_tokens",
+            F.round(F.lit(float(budget)) * F.col("weight"), 0).cast("long"),
+        )
+        .withColumn(
+            "epochs_raw",
+            F.col("target_tokens").cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+    )
+    return planned.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("weight", 6).alias("mixture_weight"),
+        "target_tokens",
+        F.round(F.least(F.lit(4.0), F.col("epochs_raw")), 4).alias("epochs"),
+        (F.col("epochs_raw") > 4.0).alias("capped"),
+    ).orderBy("source")
+
+
+TOKEN_BUDGET_EPOCH_PLAN_SQL = rf"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({_N_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+), w AS (
+  SELECT *, POW(CAST(n_tokens AS DOUBLE), 0.5) AS w_raw FROM per
+), z AS (SELECT SUM(w_raw) AS z FROM w),
+planned AS (
+  SELECT source, n_docs, n_tokens, w_raw / z AS weight,
+         CAST(ROUND(2000000.0 * (w_raw / z), 0) AS BIGINT) AS target_tokens
+  FROM w, z
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(weight, 6) AS mixture_weight,
+       target_tokens,
+       ROUND(LEAST(4.0, CAST(target_tokens AS DOUBLE)
+                         / CAST(n_tokens AS DOUBLE)), 4) AS epochs,
+       (CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) > 4.0
+         AS capped
+FROM planned
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# length-curriculum phases
+# ---------------------------------------------------------------------------
+def curriculum_length_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short→long length curriculum, exact and single-reducer-free:
+    documents train shortest-first, staged into 3 phases holding the
+    first 50 %, next 30 %, and last 20 % of total TOKEN mass. A global
+    ORDER BY n_tokens + running sum would collapse to one window
+    partition (the 100 TB killer), so phase boundaries come from a
+    cumulative histogram over DISTINCT token lengths (bounded
+    cardinality — the equidepth_price_histogram pattern) and each doc
+    buckets map-side against the two broadcast boundary lengths.
+
+    Boundary rule both engines share: a phase boundary is the smallest
+    length whose cumulative token mass reaches ceil(share · total);
+    all docs of equal length land in the same phase (deterministic,
+    unlike row-ordered running sums which split ties arbitrarily)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _n_tokens_col().alias("len"))
+    )
+    hist = d.groupBy("len").agg(
+        F.count("*").alias("c"), F.sum("len").alias("mass")
+    )
+    wcum = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("mass").over(wcum))
+    total = d.agg(F.sum("len")).collect()[0][0]  # one cheap agg job
+    bounds = (
+        cum.crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(1, -(-total * 50 // 100)), (2, -(-total * 80 // 100))],
+                    "i int, r long",
+                )
+            )
+        )
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("i")
+        .agg(F.min("len").alias("b"))
+        .agg(F.sort_array(F.collect_list("b")).alias("bounds"))
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .select(
+            (1 + F.size(F.expr("filter(bounds, b -> len > b)")))
+            .cast("int")
+            .alias("phase"),
+            "len",
+            "doc_id",
+        )
+        .groupBy("phase")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("len").alias("n_tokens"),
+            F.min("len").alias("min_len"),
+            F.max("len").alias("max_len"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("phase")
+    )
+
+
+CURRICULUM_LENGTH_PHASES_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, CAST({_N_TOKENS} AS BIGINT) AS len
+  FROM documents WHERE text IS NOT NULL
+), hist AS (
+  SELECT len, COUNT(*) AS c, SUM(len) AS mass FROM d GROUP BY len
+), cum AS (
+  SELECT len, SUM(mass) OVER (ORDER BY len
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+), n AS (SELECT SUM(len) AS total FROM d),
+ranks AS (
+  SELECT i, CAST(CEIL(total * share / 100.0) AS BIGINT) AS r
+  FROM (VALUES (1, 50), (2, 80)) AS t(i, share), n
+), bounds AS (
+  SELECT list_sort(list(b)) AS bounds FROM (
+    SELECT i, MIN(len) AS b FROM cum, ranks WHERE cum >= r GROUP BY i)
+)
+SELECT CAST(1 + len(list_filter(bounds, b -> d.len > b)) AS INTEGER) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.len) AS BIGINT) AS n_tokens,
+       CAST(MIN(d.len) AS BIGINT) AS min_len,
+       CAST(MAX(d.len) AS BIGINT) AS max_len,
+       CAST(MIN(d.doc_id) AS BIGINT) AS first_doc
+FROM d, bounds
+GROUP BY 1
+ORDER BY phase
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "epoch_batch_shuffle",
+        epoch_batch_shuffle,
+        EPOCH_BATCH_SHUFFLE_SQL,
+        ("llm", "mixing", "shuffle"),
+        doc="Deterministic per-epoch shuffle bucketing (md5 keys, "
+        "map-side batch assignment, per-bucket balance report).",
+    ),
+    QuerySpec(
+        "token_budget_epoch_plan",
+        token_budget_epoch_plan,
+        TOKEN_BUDGET_EPOCH_PLAN_SQL,
+        ("llm", "mixing", "sampling"),
+        doc="Per-source repeat-factor plan under a token budget with a "
+        "4-epoch repetition ceiling.",
+    ),
+    QuerySpec(
+        "curriculum_length_phases",
+        curriculum_length_phases,
+        CURRICULUM_LENGTH_PHASES_SQL,
+        ("llm", "mixing", "curriculum"),
+        doc="Short-to-long curriculum phases by cumulative token mass "
+        "over distinct lengths (no global sort).",
+    ),
+]

@@ -18,6 +18,7 @@ def all_specs() -> list[QuerySpec]:
         complex_types,
         curation,
         llm,
+        mixing,
         mlprep,
         quality_queries,
         relational,
@@ -49,6 +50,7 @@ def all_specs() -> list[QuerySpec]:
         complex_types.SPECS,
         timeseries.SPECS,
         llm.SPECS,
+        mixing.SPECS,
         mlprep.SPECS,
         quality_queries.SPECS,
         streaming_queries.SPECS,
@@ -80,28 +82,20 @@ def all_specs() -> list[QuerySpec]:
     return specs
 
 
-# Round-6 rotation, recomputed from CORRECTNESS_r0{1..5}.json:
-# cumulative coverage closed at 163/163 in r5, so the priority set is
-# exactly the CONTESTED rows this round must adjudicate — the one r5
-# red row (weighted_sample_orders, signed-zero normalized this round),
-# the three green queries the signed-zero sweep also touched (changed
-# SQL needs a fresh verdict), and the round-6 oracle-companion specs
-# that shrink the no-oracle gray zone (plans/ann_oracle.py).
-# 9 priority slots; the driver's 50-slot sample fills the rest from
-# the layer-interleaved rotation remainder.
+# Round-7 rotation: all of round 6's 50 sampled rows came back green
+# (CORRECTNESS_r06 — zero red, zero errors), so the priority set is
+# exactly the rows round 7 CHANGED and the driver must re-adjudicate:
+# the two oracle companions whose ranking SQL moved to rounded values
+# (ULP-stability fix), and the three new mixing-family specs.
+# The driver's 50-slot sample fills the rest from the layer-interleaved
+# rotation remainder.
 _DRIVER_PRIORITY = frozenset(
     {
-        # r5 red row, fixed by signed-zero normalization (rule 13)
-        "weighted_sample_orders",
-        # green rows whose SQL the rule-13 sweep changed
-        "feature_zscore", "unigram_logprob_scores", "bigram_logprob_scores",
-        # round-6 oracle companions for the no-oracle ANN/dedup family
-        "shingle_jaccard_verified_pairs", "neardup_cosine_pairs_exact",
+        # round-7 ULP-stable rounded-rank rewrite (plans/ann_oracle.py)
         "pq_fixed_codebook_topk", "kmeans_assign_fixed_centroids",
-        "mmr_lambda1_topk",
-        # round-6 new first-class operators
-        "source_frequency_cap", "dedup_keep_best", "bpe_pair_frequencies",
-        "importance_acceptance_sample",
+        # round-7 new mixing family (plans/mixing.py)
+        "epoch_batch_shuffle", "token_budget_epoch_plan",
+        "curriculum_length_phases",
     }
 )
 

@@ -53,6 +53,13 @@ BNLJ_OK = {
     "pq_fixed_codebook_topk",
     "kmeans_assign_fixed_centroids",
     "mmr_lambda1_topk",
+    # round-7 mixing family (plans/mixing.py): every broadcast side is
+    # fixed-size by construction — a 3-row epoch dimension, a 1-row
+    # weight normalizer, and 2-row rank targets / 1-row bounds array
+    # (the equidepth pattern).
+    "epoch_batch_shuffle",
+    "token_budget_epoch_plan",
+    "curriculum_length_phases",
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]
@@ -120,6 +127,7 @@ GLOBAL_WINDOW_OK = {
     "unpivot_measures",  # long-format reshape of a 1-row aggregate
     "q13_count_distribution",  # distribution over distinct order counts (bounded)
     "error_rate_spikes",  # trailing-mean frame over 10-min BUCKETED counts (O(time-range))
+    "curriculum_length_phases",  # cum-hist over DISTINCT token lengths (bounded domain)
 }
 
 _GLOBAL_WINDOW_RE = re.compile(
