@@ -96,6 +96,8 @@ _DRIVER_PRIORITY = frozenset(
         # round-7 new mixing family (plans/mixing.py)
         "epoch_batch_shuffle", "token_budget_epoch_plan",
         "curriculum_length_phases",
+        # round-7 stream-join matrix completion
+        "stream_full_outer_join",
     }
 )
 

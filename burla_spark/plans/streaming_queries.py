@@ -9,6 +9,7 @@ from __future__ import annotations
 from burla_spark.plans.base import QuerySpec
 from burla_spark.streaming.events import (
     stream_click_purchase_join,
+    stream_full_outer_join,
     stream_left_outer_join,
     stream_timer_sessions,
     stream_upsert_user_totals,
@@ -128,6 +129,18 @@ LEFT JOIN events p
 WHERE c.event_type = 'click'
 """
 
+STREAM_FULL_OUTER_SQL = """
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS micros_to_purchase,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
 STREAM_SLIDING_SQL = """
 WITH expanded AS (
   SELECT
@@ -175,6 +188,15 @@ SPECS: list[QuerySpec] = [
         doc="LEFT OUTER stream-stream join: watermark-flushed unmatched "
         "clicks equal the batch left join (sentinel replay mechanics in "
         "streaming/events.py).",
+    ),
+    QuerySpec(
+        "stream_full_outer_join",
+        stream_full_outer_join,
+        STREAM_FULL_OUTER_SQL,
+        ("streaming", "join"),
+        doc="FULL OUTER stream-stream join: watermark-flushed unmatched "
+        "rows on BOTH sides equal the batch full join (completes the "
+        "inner/left/full stream-join matrix).",
     ),
     QuerySpec(
         "stream_upsert_user_totals",

@@ -447,6 +447,81 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_left_outer_join").filter(F.col("click_id") >= 0)
 
 
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the attribution view
+    from BOTH directions at once: every click emits (with its
+    conversions, or NULL purchase columns once the watermark proves no
+    match can arrive) AND every orphan purchase emits with NULL click
+    columns (purchases with no preceding click inside the 30-minute
+    window — the "untracked conversion" set a revenue-integrity
+    pipeline reconciles). Completes the stream-stream join-mode matrix
+    (inner / left_outer / full_outer) over the same two-sided
+    watermark + event-time-bound state contract: the join condition
+    bounds each side's event time by the other's, so state for both
+    sides evicts as the watermark advances — bounded regardless of
+    stream length.
+
+    Sentinel replay mechanics are shared with the left-outer variant
+    (_events_dir_with_sentinels): a finite replay's watermark stops
+    short of the tail, so two far-future sentinel batches flush it;
+    sentinels carry negative event_ids and are dropped below. The
+    batch FULL OUTER join over the same predicate is the exact
+    oracle."""
+    from burla_spark.sources.tables import normalize_events_ts
+
+    stream_dir = _events_dir_with_sentinels(spark, sf_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    s = normalize_events_ts(raw)
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("c_user_id"), F.col("p_user_id")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+        ).alias("micros_to_purchase"),
+        "purchase_value",
+    )
+    run_stream_to_table(joined, "stream_full_outer_join", "append")
+    # drop sentinel-derived rows: sentinels sit past every real event's
+    # join window, so they only ever pair with each other or emit
+    # unmatched — a NULL-or-negative test on each id removes exactly them.
+    t = spark.table("stream_full_outer_join")
+    return t.filter(
+        (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+        & (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+    )
+
+
 # Multi-file copies of the events fixture, one per sf_dir per process —
 # gives maxFilesPerTrigger=1 replays real multi-batch upsert traffic.
 _SPLIT_DIR_CACHE: dict[str, str] = {}
