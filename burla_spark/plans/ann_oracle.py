@@ -25,6 +25,9 @@ driver's scoreboard covers the math the fuzzy pipelines rest on:
 * ``mmr_lambda1_topk`` — MMR at lambda=1, which degenerates exactly to
   cosine top-k (companion to ``mmr_diversified_topk``: proves the
   scoring/selection machinery against the exact-retrieval oracle).
+* ``lsh_fixed_planes_buckets`` — hyperplane-LSH sign-pattern bucketing
+  with FIXED planes (companion to ``embedding_lsh_topk``, whose seeded
+  random planes are the only non-SQL part).
 
 Still irreducible (documented, pytest-verified against brute force):
 HLL (xxhash registers), SimHash (xxhash bits), compression-ratio
@@ -446,7 +449,98 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# LSH bucketing with FIXED hyperplanes
+# ---------------------------------------------------------------------------
+LSH_PLANES = 8  # planes = embeddings vec_id 0..7 → 256 possible buckets
+
+
+def lsh_fixed_planes_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment with FIXED planes —
+    everything ``embedding_lsh_topk`` (operators/similarity.py) does
+    to build a table EXCEPT drawing the planes from a seeded RNG,
+    which is the one non-SQL stage; pinning plane j to embedding
+    vec_id=j makes the sign-pattern bucketing an exact DuckDB replay.
+    bit_j = (dot(v, plane_j) >= 0) on the ROUNDED dot (6 dp) — the
+    same ULP-stability rule as the PQ/k-means argmins, since the two
+    engines' float accumulation orders are unspecified. bucket id is
+    the bit-weighted sum, an exact BIGINT.
+
+    100 TB shape identical to the production LSH path: planes (8 tiny
+    rows) broadcast; ONE corpus scan computes all 8 dots per vector
+    map-side; the only shuffle is the final bucket-cardinality-bounded
+    group-by. Output is the bucket occupancy report — the quantity
+    that determines LSH recall/candidate cost."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = (
+        e.filter(F.col("vec_id") < LSH_PLANES)
+        .select(F.col("vec_id").alias("j"), F.col("embedding").alias("pvec"))
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("pvec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    bits = (
+        e.crossJoin(F.broadcast(planes))
+        .select("vec_id", "j", F.round(dot, 6).alias("rdot"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(F.col("rdot") >= 0, F.pow(F.lit(2.0), F.col("j")))
+                .otherwise(F.lit(0.0))
+                .cast("long")
+            ).alias("bucket")
+        )
+    )
+    return (
+        bits.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("vec_id").alias("first_vec"),
+            F.max("vec_id").alias("last_vec"),
+        )
+        .orderBy("bucket")
+    )
+
+
+LSH_FIXED_PLANES_SQL = f"""
+WITH i(i) AS (SELECT UNNEST(generate_series(1, {DIM}))),
+dots AS (
+  SELECT v.vec_id, p.vec_id AS j,
+    ROUND(SUM(CAST(v.embedding[i.i] AS DOUBLE)
+              * CAST(p.embedding[i.i] AS DOUBLE)), 6) AS rdot
+  FROM embeddings v, embeddings p, i
+  WHERE p.vec_id < {LSH_PLANES}
+  GROUP BY 1, 2
+),
+bits AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN rdot >= 0 THEN POW(2.0, j) ELSE 0.0 END) AS BIGINT)
+      AS bucket
+  FROM dots GROUP BY vec_id
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(vec_id) AS BIGINT) AS first_vec,
+       CAST(MAX(vec_id) AS BIGINT) AS last_vec
+FROM bits GROUP BY bucket ORDER BY bucket
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "lsh_fixed_planes_buckets",
+        lsh_fixed_planes_buckets,
+        LSH_FIXED_PLANES_SQL,
+        ("similarity", "oracle-companion"),
+        doc="Hyperplane-LSH bucket assignment with fixed planes "
+        "(companion to embedding_lsh_topk's bucketing stage).",
+    ),
     QuerySpec(
         "shingle_jaccard_verified_pairs",
         shingle_jaccard_verified_pairs,

@@ -98,6 +98,8 @@ _DRIVER_PRIORITY = frozenset(
         "curriculum_length_phases",
         # round-7 stream-join matrix completion
         "stream_full_outer_join",
+        # round-7 oracle companion (LSH bucketing with fixed planes)
+        "lsh_fixed_planes_buckets",
     }
 )
 

@@ -53,6 +53,7 @@ BNLJ_OK = {
     "pq_fixed_codebook_topk",
     "kmeans_assign_fixed_centroids",
     "mmr_lambda1_topk",
+    "lsh_fixed_planes_buckets",  # 8-row fixed plane set broadcast
     # round-7 mixing family (plans/mixing.py): every broadcast side is
     # fixed-size by construction — a 3-row epoch dimension, a 1-row
     # weight normalizer, and 2-row rank targets / 1-row bounds array
