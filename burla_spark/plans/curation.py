@@ -651,7 +651,107 @@ FROM scored GROUP BY lang ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental (delta-vs-base) dedup
+# ---------------------------------------------------------------------------
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the production shape dedup actually
+    runs in: a NEW batch arrives and must dedup (a) against the
+    EXISTING corpus and (b) within itself, without rescanning corpus
+    text. The batch split here is a deterministic 20 % hash slice of
+    doc_id (stand-in for an ingest partition). Rules, applied in
+    order: a new doc whose sha256 digest already exists in the base
+    corpus is ``dropped_base``; of the remaining new docs sharing a
+    digest, the smallest doc_id is ``kept`` and the rest are
+    ``dropped_within``. Output is the per-lang ingest report.
+
+    100 TB shape: only DIGESTS move — the base corpus contributes a
+    distinct-digest table (in production: the bucketed digest index
+    maintained across ingests, so the join is co-located and the new
+    batch never touches corpus text); the batch-side dedup is one
+    digest-keyed aggregate. Text is scanned exactly once to hash."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hashed = d.select(
+        "doc_id",
+        "lang",
+        F.sha2(F.col("text"), 256).alias("dig"),
+        (
+            (F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+            < F.lit(_HASH_MOD // 5)
+        ).alias("is_new"),
+    )
+    base_digs = (
+        hashed.filter(~F.col("is_new")).select("dig").distinct()
+        .withColumn("in_base", F.lit(True))
+    )
+    new = hashed.filter(F.col("is_new")).join(base_digs, "dig", "left")
+    first_new = Window.partitionBy("dig").orderBy("doc_id")
+    status = (
+        new.withColumn("rk", F.row_number().over(first_new))
+        .select(
+            "lang",
+            F.when(F.col("in_base"), F.lit("dropped_base"))
+            .when(F.col("rk") == 1, F.lit("kept"))
+            .otherwise(F.lit("dropped_within"))
+            .alias("status"),
+        )
+    )
+    return (
+        status.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_new"),
+            F.sum(F.when(F.col("status") == "kept", 1).otherwise(0))
+            .cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("status") == "dropped_base", 1).otherwise(0))
+            .cast("long").alias("n_dropped_base"),
+            F.sum(F.when(F.col("status") == "dropped_within", 1).otherwise(0))
+            .cast("long").alias("n_dropped_within"),
+        )
+        .orderBy("lang")
+    )
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, lang, sha256(text) AS dig,
+         (doc_id * {_HASH_MULT}) % {_HASH_MOD} < {_HASH_MOD // 5} AS is_new
+  FROM documents WHERE text IS NOT NULL
+), base_digs AS (
+  SELECT DISTINCT dig FROM hashed WHERE NOT is_new
+), new_marked AS (
+  SELECT h.lang, h.doc_id, h.dig, (b.dig IS NOT NULL) AS in_base,
+         ROW_NUMBER() OVER (PARTITION BY h.dig ORDER BY h.doc_id) AS rk
+  FROM hashed h LEFT JOIN base_digs b ON h.dig = b.dig
+  WHERE h.is_new
+), status AS (
+  SELECT lang,
+         CASE WHEN in_base THEN 'dropped_base'
+              WHEN rk = 1 THEN 'kept'
+              ELSE 'dropped_within' END AS status
+  FROM new_marked
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN status = 'dropped_base' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_base,
+       CAST(SUM(CASE WHEN status = 'dropped_within' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_within
+FROM status GROUP BY lang ORDER BY lang
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "incremental_dedup_new_docs",
+        incremental_dedup_new_docs,
+        INCREMENTAL_DEDUP_SQL,
+        ("dedup", "curation", "incremental"),
+        doc="Delta-vs-base incremental dedup: new-batch ingest report "
+        "(dropped-vs-corpus, deduped-within-batch, kept) on a "
+        "digest-only join.",
+    ),
     QuerySpec(
         "importance_acceptance_sample",
         importance_acceptance_sample,

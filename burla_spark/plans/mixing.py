@@ -281,7 +281,93 @@ ORDER BY phase
 """
 
 
+# ---------------------------------------------------------------------------
+# tokenizer vocabulary coverage (OOV rate)
+# ---------------------------------------------------------------------------
+VOCAB_K = 500  # top-K corpus tokens play the fixed tokenizer vocabulary
+
+
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary-coverage report — the go/no-go check before
+    committing a tokenizer to a corpus mix: with a fixed K-entry
+    vocabulary (here the corpus's own top-K lowercased tokens by
+    frequency, ties broken lexicographically — deterministic on both
+    engines), measure per source how many token OCCURRENCES fall
+    outside it. High OOV for a source means the tokenizer fragments it
+    into bytes/unknowns and its effective token budget silently
+    inflates (companion decision input to token_budget_epoch_plan).
+
+    100 TB shape: vocabulary selection is a partial-agg token count +
+    a distributed top-K (sort-limit = TakeOrdered — never a global
+    sort); the K-row vocab then BROADCASTS into a map-side membership
+    flag, so the corpus is scanned twice and shuffled once (token
+    counts), with only (source, token-count) rows moving."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .limit(VOCAB_K)
+        .select("tok")
+        .withColumn("in_vocab", F.lit(True))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+OOV_RATE_SQL = rf"""
+WITH toks AS (
+  SELECT source,
+         UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ORDER BY c DESC, tok ASC LIMIT {VOCAB_K})
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.source ORDER BY t.source
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "oov_rate_by_source",
+        oov_rate_by_source,
+        OOV_RATE_SQL,
+        ("llm", "mixing", "tokenizer"),
+        doc="Tokenizer vocabulary-coverage (OOV) report per source with "
+        "a deterministic top-K vocabulary (distributed top-K + "
+        "broadcast membership).",
+    ),
     QuerySpec(
         "epoch_batch_shuffle",
         epoch_batch_shuffle,

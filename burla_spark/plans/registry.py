@@ -100,6 +100,8 @@ _DRIVER_PRIORITY = frozenset(
         "stream_full_outer_join",
         # round-7 oracle companion (LSH bucketing with fixed planes)
         "lsh_fixed_planes_buckets",
+        # round-7 ingest/tokenizer ops
+        "incremental_dedup_new_docs", "oov_rate_by_source",
     }
 )
 
