@@ -51,6 +51,10 @@ QUERIES = [
     "equidepth_price_histogram", "bm25_scores", "gopher_repetition_filters",
     "pagerank_fixed_point", "bigram_logprob_scores", "cdc_latest_state",
     "repeated_ngram_coverage",
+    # round-7 additions: the new corpus-scan-heavy operators
+    "oov_rate_by_source", "incremental_dedup_new_docs",
+    "epoch_batch_shuffle", "curriculum_length_phases",
+    "lsh_fixed_planes_buckets",
 ]
 # Deliberately excluded: interval_overlap_join — replicating a FIXED
 # time window multiplies temporal density, and interval-overlap OUTPUT

@@ -1,0 +1,110 @@
+"""Invariant tests for the round-7 mixing/ingest family
+(plans/mixing.py, plans/curation.py incremental dedup) — the
+oracle-parity suite proves engine agreement; these prove the OPERATOR
+semantics hold (partition completeness, budget conservation, curriculum
+monotonicity) independent of any oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from burla_spark.plans.curation import incremental_dedup_new_docs
+from burla_spark.plans.mixing import (
+    curriculum_length_phases,
+    epoch_batch_shuffle,
+    oov_rate_by_source,
+    token_budget_epoch_plan,
+)
+from burla_spark.sources.tables import load_table
+
+from pyspark.sql import functions as F
+
+
+def _doc_count(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .count()
+    )
+
+
+def test_epoch_batch_shuffle_partitions_corpus(spark, sf_dir):
+    """Every epoch's buckets must partition the corpus exactly (each
+    doc in exactly one bucket), keys must be hex nibbles, and the
+    shuffle must differ between epochs (different md5 salt)."""
+    rows = epoch_batch_shuffle(spark, sf_dir).collect()
+    n = _doc_count(spark, sf_dir)
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        assert r.batch_key in set("0123456789abcdef")
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert sorted(by_epoch) == [1, 2, 3]
+    for epoch, ers in by_epoch.items():
+        assert sum(r.n_docs for r in ers) == n, f"epoch {epoch} lost docs"
+    # same corpus, different epoch salt → different bucket occupancy
+    occ = {
+        e: tuple(sorted((r.batch_key, r.n_docs) for r in ers))
+        for e, ers in by_epoch.items()
+    }
+    assert occ[1] != occ[2] or occ[2] != occ[3]
+
+
+def test_token_budget_epoch_plan_conserves_budget(spark, sf_dir):
+    """Targets must sum to ~the budget (rounding slack ≤ 1 token per
+    source), epochs must respect the 4-epoch ceiling, and capped rows
+    must be exactly those whose uncapped ratio exceeds it."""
+    rows = token_budget_epoch_plan(spark, sf_dir).collect()
+    assert rows, "no sources"
+    budget = 2_000_000
+    assert abs(sum(r.target_tokens for r in rows) - budget) <= len(rows)
+    for r in rows:
+        assert 0 < r.epochs <= 4.0
+        uncapped = r.target_tokens / r.n_tokens
+        assert r.capped == (uncapped > 4.0)
+        if not r.capped:
+            assert r.epochs == pytest.approx(round(uncapped, 4))
+
+
+def test_curriculum_phases_are_monotone_and_complete(spark, sf_dir):
+    """Phases must partition the corpus, be length-monotone (every
+    phase-k doc no longer than any phase-k+1 doc), and split token
+    mass ~50/30/20 within one length-value of granularity."""
+    rows = sorted(
+        curriculum_length_phases(spark, sf_dir).collect(), key=lambda r: r.phase
+    )
+    assert [r.phase for r in rows] == [1, 2, 3]
+    n = _doc_count(spark, sf_dir)
+    assert sum(r.n_docs for r in rows) == n
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_len <= b.min_len  # equal lengths share a phase
+    total = sum(r.n_tokens for r in rows)
+    # the boundary rule (smallest length whose cumulative mass reaches
+    # ceil(share·total), whole length-cohort stays together) guarantees
+    # each cumulative share REACHES its target; the overshoot is at most
+    # that one boundary cohort's mass, checked loosely via phase 3
+    # remaining non-empty.
+    assert rows[0].n_tokens >= 0.50 * total - 1
+    assert rows[0].n_tokens + rows[1].n_tokens >= 0.80 * total - 1
+    assert rows[2].n_tokens > 0
+
+
+def test_incremental_dedup_accounting_balances(spark, sf_dir):
+    """kept + dropped_base + dropped_within must equal the new-batch
+    size per lang, and a batch with no base collisions keeps at least
+    one doc per digest."""
+    rows = incremental_dedup_new_docs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_new == r.n_kept + r.n_dropped_base + r.n_dropped_within
+        assert r.n_kept >= 1 or r.n_new == r.n_dropped_base
+
+
+def test_oov_rate_bounds_and_consistency(spark, sf_dir):
+    rows = oov_rate_by_source(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert r.oov_rate == pytest.approx(
+            round(r.n_oov / r.n_tokens, 6), abs=1e-9
+        )
