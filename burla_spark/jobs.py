@@ -293,7 +293,13 @@ def _claim_redrive(base: str, job_id: str, stale_s: float) -> None:
             except FileExistsError:
                 return False
             try:
-                os.write(fd, payload.encode())
+                # write ALL bytes: a short write (realistic on exactly
+                # the network mounts this fallback targets) would leave
+                # a permanently torn claim that a racer classifies as
+                # stale and steals — re-opening the double-run race.
+                buf = payload.encode()
+                while buf:
+                    buf = buf[os.write(fd, buf):]
             finally:
                 os.close(fd)
             return True

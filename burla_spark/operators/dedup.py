@@ -291,17 +291,25 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "doc_id", F.explode(band_structs).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
+    capped_banded = None
     if max_bucket is not None:
         import warnings
 
         from pyspark.sql import Window
 
         bw = Window.partitionBy("band_id", "band_key")
-        banded = banded.withColumn("__bsz", F.count("*").over(bw))
+        # persist WITH the bucket-size column: the dropped-stats job
+        # below, and both sides of the candidate self-join, would each
+        # recompute the banding + window shuffle otherwise. Small frame
+        # (n × bands rows of longs); released after the candidate spill.
+        banded = banded.withColumn(
+            "__bsz", F.count("*").over(bw)
+        ).persist()
+        capped_banded = banded
         # the cap is opt-in and changes recall — surface what it
-        # dropped (one extra small job over the persisted signatures)
-        # so a caller can detect a skipped >cap duplicate cluster
-        # instead of its pairs silently vanishing.
+        # dropped (one small job over the now-cached banded frame) so a
+        # caller can detect a skipped >cap duplicate cluster instead of
+        # its pairs silently vanishing.
         dropped = (
             banded.filter(F.col("__bsz") > max_bucket)
             .agg(
@@ -362,6 +370,8 @@ def minhash_lsh_pairs(
     # holds at any pair volume.
     verified = _spill_to_temp_parquet(verified, "minhash_pairs")
     sigs.unpersist()
+    if capped_banded is not None:
+        capped_banded.unpersist()
     return verified
 
 

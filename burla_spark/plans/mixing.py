@@ -125,9 +125,11 @@ def token_budget_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: one column-pruned corpus scan into a
     source-cardinality aggregate; the normalizer is a 1-row broadcast;
-    everything after is arithmetic on a tiny frame. Doubles appear
-    only in final per-row ratios (rounded; all positive — no
-    signed-zero exposure)."""
+    everything after is arithmetic on a tiny frame. Determinism: the
+    per-source weight is the per-row ROUND of a pow (engine-exact),
+    and the normalizer sums those through a DECIMAL cast (contract
+    rule 1 — a raw double SUM's accumulation order is unspecified and
+    a 1-ULP z shift could flip a ROUND boundary downstream)."""
     budget = 2_000_000  # tokens; a fixture-scaled stand-in for 1e13
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     per = d.groupBy("source").agg(
@@ -135,12 +137,14 @@ def token_budget_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_n_tokens_col()).alias("n_tokens"),
     )
     per = per.withColumn(
-        "w_raw", F.pow(F.col("n_tokens").cast("double"), F.lit(0.5))
+        "w_raw", F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(0.5)), 6)
     )
-    z = per.agg(F.sum("w_raw").alias("z"))
+    z = per.agg(
+        F.sum(F.col("w_raw").cast("decimal(38,6)")).alias("z")
+    )
     planned = (
         per.crossJoin(F.broadcast(z))
-        .withColumn("weight", F.col("w_raw") / F.col("z"))
+        .withColumn("weight", F.col("w_raw") / F.col("z").cast("double"))
         .withColumn(
             "target_tokens",
             F.round(F.lit(float(budget)) * F.col("weight"), 0).cast("long"),
@@ -169,11 +173,13 @@ WITH per AS (
          CAST(SUM({_N_TOKENS}) AS BIGINT) AS n_tokens
   FROM documents WHERE text IS NOT NULL GROUP BY source
 ), w AS (
-  SELECT *, POW(CAST(n_tokens AS DOUBLE), 0.5) AS w_raw FROM per
-), z AS (SELECT SUM(w_raw) AS z FROM w),
+  SELECT *, ROUND(POW(CAST(n_tokens AS DOUBLE), 0.5), 6) AS w_raw FROM per
+), z AS (SELECT SUM(CAST(w_raw AS DECIMAL(38,6))) AS z FROM w),
 planned AS (
-  SELECT source, n_docs, n_tokens, w_raw / z AS weight,
-         CAST(ROUND(2000000.0 * (w_raw / z), 0) AS BIGINT) AS target_tokens
+  SELECT source, n_docs, n_tokens,
+         w_raw / CAST(z AS DOUBLE) AS weight,
+         CAST(ROUND(2000000.0 * (w_raw / CAST(z AS DOUBLE)), 0) AS BIGINT)
+           AS target_tokens
   FROM w, z
 )
 SELECT source, n_docs, n_tokens,
@@ -263,7 +269,9 @@ WITH d AS (
   FROM hist
 ), n AS (SELECT SUM(len) AS total FROM d),
 ranks AS (
-  SELECT i, CAST(CEIL(total * share / 100.0) AS BIGINT) AS r
+  -- exact integer ceil, mirroring the Spark side's -(-total*share//100)
+  -- (double CEIL would diverge once total*share exceeds 2^53 — rule 4)
+  SELECT i, CAST((total * share + 99) // 100 AS BIGINT) AS r
   FROM (VALUES (1, 50), (2, 80)) AS t(i, share), n
 ), bounds AS (
   SELECT list_sort(list(b)) AS bounds FROM (

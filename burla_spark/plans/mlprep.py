@@ -245,11 +245,16 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
         ).alias("n_tokens"),
     )
+    # per-row ROUND of the pow is engine-exact; the normalizer sums the
+    # rounded weights through a DECIMAL cast so z is order-independent
+    # (contract rule 1 — a raw double SUM could shift by an ULP across
+    # partitionings and flip the final ROUND at a 6-dp boundary).
     per = per.withColumn(
-        "w_raw", F.pow(F.col("n_tokens").cast("double"), F.lit(0.3))
+        "w_raw", F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(0.3)), 6)
     )
     totals = per.agg(
-        F.sum("n_tokens").alias("tok_total"), F.sum("w_raw").alias("z")
+        F.sum("n_tokens").alias("tok_total"),
+        F.sum(F.col("w_raw").cast("decimal(38,6)")).alias("z"),
     )
     return (
         per.crossJoin(F.broadcast(totals))
@@ -262,7 +267,9 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("tok_total").cast("double"),
                 6,
             ).alias("natural_weight"),
-            F.round(F.col("w_raw") / F.col("z"), 6).alias("mixture_weight"),
+            F.round(
+                F.col("w_raw") / F.col("z").cast("double"), 6
+            ).alias("mixture_weight"),
         )
         .orderBy("source")
     )
@@ -276,14 +283,16 @@ WITH per AS (
            AS n_tokens
   FROM documents GROUP BY source
 ), w AS (
-  SELECT *, POW(CAST(n_tokens AS DOUBLE), 0.3) AS w_raw FROM per
+  SELECT *, ROUND(POW(CAST(n_tokens AS DOUBLE), 0.3), 6) AS w_raw FROM per
 ), totals AS (
-  SELECT SUM(n_tokens) AS tok_total, SUM(w_raw) AS z FROM w
+  SELECT SUM(n_tokens) AS tok_total,
+         SUM(CAST(w_raw AS DECIMAL(38,6))) AS z
+  FROM w
 )
 SELECT source, n_docs, n_tokens,
        ROUND(CAST(n_tokens AS DOUBLE) / CAST(tok_total AS DOUBLE), 6)
          AS natural_weight,
-       ROUND(w_raw / z, 6) AS mixture_weight
+       ROUND(w_raw / CAST(z AS DOUBLE), 6) AS mixture_weight
 FROM w, totals
 ORDER BY source
 """

@@ -102,6 +102,8 @@ _DRIVER_PRIORITY = frozenset(
         "lsh_fixed_planes_buckets",
         # round-7 ingest/tokenizer ops
         "incremental_dedup_new_docs", "oov_rate_by_source",
+        # green row whose SQL the rule-1 normalizer sweep changed
+        "temperature_mixture_weights",
     }
 )
 

@@ -452,16 +452,34 @@ def _parse_ram_gb(func_ram) -> float | None:
         return None
 
 
-def _probe_host_available_gb(spark: SparkSession) -> float | None:
-    """Executor-side OS memory probe: total MemAvailable (GiB) across
-    the hosts a short sampling job lands on, min-per-host. This sees
-    what the JVM signal cannot — PYTHON WORKER memory, where
-    func_ram-sized rpm tasks actually live, is off-JVM, so
-    getExecutorMemoryStatus barely moves under exactly the pressure
-    ``repack=True`` reacts to. Best-effort: the sampling tasks may not
-    reach every executor host (per-host min over the ones reached),
+# (timestamp, per-host MemAvailable GiB) per SparkSession — a repack
+# wave loop calls _live_ram_cap every wave; re-launching the probe job
+# each time would add a full job round-trip of latency per wave for a
+# signal that moves on seconds, not milliseconds.
+_HOST_PROBE_CACHE: dict[int, tuple[float, dict[str, float]]] = {}
+_HOST_PROBE_TTL_S = 15.0
+
+
+def _probe_host_available_gb(spark: SparkSession) -> dict[str, float] | None:
+    """Executor-side OS memory probe: MemAvailable (GiB) per host a
+    short sampling job lands on, min-per-host. This sees what the JVM
+    signal cannot — PYTHON WORKER memory, where func_ram-sized rpm
+    tasks actually live, is off-JVM, so getExecutorMemoryStatus barely
+    moves under exactly the pressure ``repack=True`` reacts to.
+
+    Best-effort and advisory: the sampling tasks may land on a SUBSET
+    of executor hosts (the caller extrapolates mean-per-host × host
+    count rather than treating the sample as the whole cluster),
     /proc/meminfo is Linux-only, and any failure returns None (caller
-    falls back to the JVM signal alone)."""
+    falls back to the JVM signal alone). Results are cached for
+    ``_HOST_PROBE_TTL_S`` so a wave loop pays one probe job per TTL
+    window, not per wave."""
+    import time as _time
+
+    key = id(spark)
+    cached = _HOST_PROBE_CACHE.get(key)
+    if cached is not None and _time.monotonic() - cached[0] < _HOST_PROBE_TTL_S:
+        return cached[1] or None
     try:
         sc = spark.sparkContext
         n = max(2, sc.defaultParallelism)
@@ -484,9 +502,10 @@ def _probe_host_available_gb(spark: SparkSession) -> float | None:
         for host, avail in sc.parallelize(range(n), n).map(probe).collect():
             if avail is not None:
                 per_host[host] = min(avail, per_host.get(host, float("inf")))
-        total = sum(per_host.values())
-        return total if total > 0 else None
+        _HOST_PROBE_CACHE[key] = (_time.monotonic(), per_host)
+        return per_host or None
     except Exception:  # noqa: BLE001 — probe is advisory
+        _HOST_PROBE_CACHE[key] = (_time.monotonic(), {})
         return None
 
 
@@ -511,10 +530,19 @@ def _live_ram_cap(spark: SparkSession, func_ram) -> int:
     gb = _parse_ram_gb(func_ram)
     if gb is None or gb <= 0:
         return 1 << 30
-    host_cap = None
-    host_gb = _probe_host_available_gb(spark)
-    if host_gb is not None:
-        host_cap = max(1, int(host_gb // gb))
+    probed = _probe_host_available_gb(spark)  # TTL-cached per session
+
+    def _host_cap(n_cluster_hosts: int | None) -> int | None:
+        """Extrapolate sampled per-host MemAvailable to the cluster:
+        the probe may reach only a subset of hosts, and treating that
+        subset as the whole cluster would collapse the wave width to a
+        fraction of real capacity."""
+        if not probed:
+            return None
+        mean_gb = sum(probed.values()) / len(probed)
+        hosts = max(n_cluster_hosts or 0, len(probed))
+        return max(1, int((mean_gb * hosts) // gb))
+
     try:
         sc = spark.sparkContext
         status = sc._jsc.sc().getExecutorMemoryStatus()
@@ -533,8 +561,10 @@ def _live_ram_cap(spark: SparkSession, func_ram) -> int:
             free.pop(driver_key, None)
         free_gb = sum(free.values())
         jvm_cap = 1 if free_gb <= 0 else max(1, int(free_gb // gb))
+        host_cap = _host_cap(len({k.rsplit(":", 1)[0] for k in free}))
         return min(jvm_cap, host_cap) if host_cap is not None else jvm_cap
     except Exception:  # noqa: BLE001
+        host_cap = _host_cap(None)
         if host_cap is not None:
             return min(host_cap, _ram_parallelism_cap(spark, func_ram))
         return _ram_parallelism_cap(spark, func_ram)

@@ -502,14 +502,16 @@ def test_claim_redrive_falls_back_when_hardlinks_unsupported(tmp_path, monkeypat
     with open(claim) as fh:  # payload fully written, not torn
         doc = json.load(fh)
     assert doc["pid"] == os.getpid()
-    # a second claimant still loses while the claim is fresh
+    # a second claimant still loses while the claim is fresh: the
+    # recorded owner is THIS (live) pid on this host, so the same-host
+    # kill-probe finds it alive and the refusal path triggers
     with pytest.raises(RuntimeError, match="already being redriven"):
-        # claim owner is THIS live pid, so owner-dead detection must
-        # not kick in; patch kill-probe target to a foreign host to
-        # exercise the fresh-claim refusal path deterministically
-        doc2 = dict(doc, pid=os.getpid(), host=doc["host"])
-        with open(claim, "w") as fh:
-            json.dump(doc2, fh)
+        jobs._claim_redrive(base, "j1", stale_s=60.0)
+    # ...and a FOREIGN fresh claim (cross-host liveness unknowable)
+    # must also refuse without consulting the kill probe
+    with open(claim, "w") as fh:
+        json.dump(dict(doc, pid=99999999, host="some-other-host"), fh)
+    with pytest.raises(RuntimeError, match="already being redriven"):
         jobs._claim_redrive(base, "j1", stale_s=60.0)
     # no tmp litter from the fallback path
     assert [f for f in os.listdir(os.path.join(base, "j1")) if f.endswith(".tmp")] == []

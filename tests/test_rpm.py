@@ -5,6 +5,8 @@ tests/scenarios/test_large_input_scale.py:24-30; shapes per FIXTURES.md §2).
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from burla_spark.rpm import (
@@ -479,10 +481,19 @@ def test_worker_flag_scoped_to_rpm_udf(spark):
     assert {r.flag for r in flags} == {"unset"}
 
 
+@pytest.mark.skipif(
+    not os.path.exists("/proc/meminfo"),
+    reason="probe is Linux-only (documented: returns None elsewhere)",
+)
 def test_host_memory_probe_positive(spark):
-    """The executor-side /proc/meminfo probe must report a positive
-    available-GiB total on Linux (it feeds the repack wave width)."""
-    from burla_spark.rpm import _probe_host_available_gb
+    """The executor-side /proc/meminfo probe must report positive
+    per-host available GiB on Linux (it feeds the repack wave width),
+    and repeated calls within the TTL must hit the cache."""
+    import burla_spark.rpm as rpm_mod
 
-    gb = _probe_host_available_gb(spark)
-    assert gb is not None and gb > 0
+    rpm_mod._HOST_PROBE_CACHE.clear()
+    per_host = rpm_mod._probe_host_available_gb(spark)
+    assert per_host and all(v > 0 for v in per_host.values())
+    # second call inside the TTL returns the cached dict (no new job)
+    assert rpm_mod._probe_host_available_gb(spark) == per_host
+    assert len(rpm_mod._HOST_PROBE_CACHE) == 1
