@@ -146,6 +146,16 @@ out = remote_parallel_map(lambda x: x + 7, range(40), spark=spark, repack=True, 
 assert sorted(out) == [x + 7 for x in range(40)], "repack on cluster"
 print("REPACK_OK")
 
+# --- round-7 host-memory probe on a real (multi-JVM) cluster: the
+# executor-side /proc/meminfo sample must come back per-host and the
+# combined live cap must stay positive
+from burla_spark.rpm import _live_ram_cap, _probe_host_available_gb
+
+per_host = _probe_host_available_gb(spark)
+assert per_host and all(v > 0 for v in per_host.values()), per_host
+assert _live_ram_cap(spark, 1) >= 1
+print("HOST_PROBE_OK")
+
 spark.stop()
 print("CLUSTER_DONE")
 """
@@ -215,6 +225,14 @@ def test_cluster_repack_waves(sf_dir, tmp_path_factory):
     memory and the waves complete across real processes."""
     r = _cluster_run(sf_dir, tmp_path_factory)
     assert "REPACK_OK" in r["out"], r["out"][-2000:] + r["err"][-2000:]
+
+
+def test_cluster_host_memory_probe(sf_dir, tmp_path_factory):
+    """Round 7: the executor-side /proc/meminfo probe reports per-host
+    availability on a real multi-JVM cluster and the combined live cap
+    stays positive."""
+    r = _cluster_run(sf_dir, tmp_path_factory)
+    assert "HOST_PROBE_OK" in r["out"], r["out"][-2000:] + r["err"][-2000:]
 
 
 def test_spill_refuses_driver_tempdir_on_remote_master():
