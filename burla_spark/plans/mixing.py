@@ -221,7 +221,9 @@ def curriculum_length_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wcum = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("mass").over(wcum))
-    total = d.agg(F.sum("len")).collect()[0][0]  # one cheap agg job
+    # one cheap agg job; SUM over zero rows is NULL → 0 keeps the plan
+    # well-formed on an empty corpus (result is then empty anyway)
+    total = d.agg(F.sum("len")).collect()[0][0] or 0
     bounds = (
         cum.crossJoin(
             F.broadcast(
