@@ -742,7 +742,85 @@ FROM status GROUP BY lang ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# compaction planning (small-file bin rollup)
+# ---------------------------------------------------------------------------
+COMPACT_TARGET_BYTES = 256_000  # fixture-scaled stand-in for ~512 MB
+
+
+def compaction_bins_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan — the table-maintenance pass every
+    long-lived 100 TB dataset needs: roll many small files into
+    target-sized output groups, preserving layout order so data
+    skipping keeps working after the rewrite. Documents play the file
+    manifest (doc_id = file, n_chars = bytes, source = table
+    partition): within each partition, files in layout order are
+    assigned to bin floor(cumulative_bytes / target) — the
+    deterministic rollup rule (contiguous ranges, no re-sorting, both
+    engines agree exactly since everything is BIGINT arithmetic).
+    Output: one row per (source, bin) — the rewrite task list with its
+    size accounting.
+
+    100 TB shape: the cumulative sum windows per PARTITION (source) —
+    the unit a compactor locks and rewrites — never globally; a
+    partition's manifest is millions of rows at most, not the table's
+    row count. Emitting contiguous [first_doc, last_doc] ranges is
+    what lets the rewrite stream each bin without a shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # integer DIV, not `/` + cast: float division of a huge cumulative
+    # byte count would lose exactness past 2^53 (contract rule 4)
+    binned = d.select(
+        "source", "doc_id", "n_chars", F.sum("n_chars").over(w).alias("cum")
+    ).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(f"cum DIV {COMPACT_TARGET_BYTES}").alias("bin"),
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_chars").alias("n_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+COMPACTION_BINS_SQL = f"""
+WITH binned AS (
+  SELECT source, doc_id, n_chars,
+         CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)
+              // {COMPACT_TARGET_BYTES} AS BIGINT) AS bin
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM binned GROUP BY source, bin ORDER BY source, bin
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "compaction_bins_by_source",
+        compaction_bins_by_source,
+        COMPACTION_BINS_SQL,
+        ("layout", "curation", "maintenance"),
+        doc="Small-file compaction plan: per-partition cumulative-size "
+        "bin rollup into contiguous target-sized rewrite groups.",
+    ),
     QuerySpec(
         "incremental_dedup_new_docs",
         incremental_dedup_new_docs,

@@ -45,7 +45,100 @@ ORDER BY "check"
 """
 
 
+def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics — the optimizer-food pass
+    (ndv / null count / min / max per column) a catalog collects so a
+    CBO can size joins and pick broadcast sides. One wide aggregate
+    over ONE scan (count_distinct + conditional counts fuse into a
+    single partial-agg pipeline; no per-column rescans), unpivoted to
+    the catalog's (column, n_rows, n_nulls, ndv, min, max) rows.
+    min/max stringified so heterogeneous column types share a schema
+    (dates render ISO — identical on both engines).
+
+    100 TB shape: exact NDV is a demonstration-scale choice — the same
+    wide-agg shape swaps in approx_count_distinct/HLL for production
+    (hll_cardinality_sketch covers that path); everything else is a
+    map-side conditional count."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus", "l_linenumber", "l_shipdate"]
+    wide = l.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            agg
+            for c in cols
+            for agg in (
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"{c}__nulls"),
+                F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+                F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            )
+        ],
+    )
+    parts = [
+        wide.select(
+            F.lit(c).alias("column"),
+            F.col("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__ndv").alias("ndv"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column")
+
+
+TABLE_COLUMN_STATS_SQL = """
+WITH wide AS (
+  SELECT COUNT(*) AS n_rows,
+    COUNT(CASE WHEN l_returnflag IS NULL THEN 1 END) AS rf_nulls,
+    COUNT(DISTINCT l_returnflag) AS rf_ndv,
+    CAST(MIN(l_returnflag) AS VARCHAR) AS rf_min,
+    CAST(MAX(l_returnflag) AS VARCHAR) AS rf_max,
+    COUNT(CASE WHEN l_linestatus IS NULL THEN 1 END) AS ls_nulls,
+    COUNT(DISTINCT l_linestatus) AS ls_ndv,
+    CAST(MIN(l_linestatus) AS VARCHAR) AS ls_min,
+    CAST(MAX(l_linestatus) AS VARCHAR) AS ls_max,
+    COUNT(CASE WHEN l_linenumber IS NULL THEN 1 END) AS ln_nulls,
+    COUNT(DISTINCT l_linenumber) AS ln_ndv,
+    CAST(MIN(l_linenumber) AS VARCHAR) AS ln_min,
+    CAST(MAX(l_linenumber) AS VARCHAR) AS ln_max,
+    COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS sd_nulls,
+    COUNT(DISTINCT l_shipdate) AS sd_ndv,
+    CAST(MIN(l_shipdate) AS VARCHAR) AS sd_min,
+    CAST(MAX(l_shipdate) AS VARCHAR) AS sd_max
+  FROM lineitem
+)
+SELECT 'l_linestatus' AS "column", n_rows,
+       CAST(ls_nulls AS BIGINT) AS n_nulls, CAST(ls_ndv AS BIGINT) AS ndv,
+       ls_min AS min_value, ls_max AS max_value FROM wide
+UNION ALL
+SELECT 'l_returnflag', n_rows, CAST(rf_nulls AS BIGINT),
+       CAST(rf_ndv AS BIGINT), rf_min, rf_max FROM wide
+UNION ALL
+SELECT 'l_shipdate', n_rows, CAST(sd_nulls AS BIGINT),
+       CAST(sd_ndv AS BIGINT), sd_min, sd_max FROM wide
+UNION ALL
+SELECT 'l_linenumber', n_rows, CAST(ln_nulls AS BIGINT),
+       CAST(ln_ndv AS BIGINT), ln_min, ln_max FROM wide
+ORDER BY "column"
+"""
+
+
 SPECS = [
+    QuerySpec(
+        name="table_column_stats",
+        spark=table_column_stats,
+        oracle=TABLE_COLUMN_STATS_SQL,
+        tags=("quality", "catalog", "stats"),
+        doc="ANALYZE-style per-column stats (nulls/ndv/min/max) in one "
+        "fused wide aggregate, unpivoted to catalog rows.",
+    ),
     QuerySpec(
         name="data_quality_summary",
         spark=data_quality_summary,

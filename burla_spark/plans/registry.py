@@ -104,6 +104,8 @@ _DRIVER_PRIORITY = frozenset(
         "incremental_dedup_new_docs", "oov_rate_by_source",
         # green row whose SQL the rule-1 normalizer sweep changed
         "temperature_mixture_weights",
+        # round-7 layout/catalog ops
+        "compaction_bins_by_source", "table_column_stats",
     }
 )
 
