@@ -361,7 +361,10 @@ def test_detached_job_acks_partials(spark, journal_dir):
     assert len(seen) >= 8 and not job.done, (
         f"only {len(seen)} acks before completion"
     )
-    assert pickle.loads(seen[4][2]) == 5
+    # check any acked input (a FIXED index can share a batch with the
+    # straggler under unlucky hash partitioning and ack late — flaky)
+    k = min(k for k in seen if k != 11)
+    assert pickle.loads(seen[k][2]) == k + 1
     assert sorted(job.result(timeout=120)) == list(range(1, 13))
     # terminal state: ack files cleaned, results served from parquet
     assert jobs.read_partial_results(journal_dir, job.job_id) == {}
