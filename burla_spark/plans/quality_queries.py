@@ -67,7 +67,10 @@ def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg
             for c in cols
             for agg in (
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                # count-of-flag, not SUM(CASE): SUM over zero rows is
+                # NULL where the oracle's COUNT(CASE..) is 0 — a parity
+                # red on an empty table (degraded-sweep shape)
+                F.count(F.when(F.col(c).isNull(), True))
                 .cast("long")
                 .alias(f"{c}__nulls"),
                 F.count_distinct(F.col(c)).alias(f"{c}__ndv"),

@@ -452,11 +452,15 @@ def _parse_ram_gb(func_ram) -> float | None:
         return None
 
 
-# (timestamp, per-host MemAvailable GiB) per SparkSession — a repack
-# wave loop calls _live_ram_cap every wave; re-launching the probe job
-# each time would add a full job round-trip of latency per wave for a
-# signal that moves on seconds, not milliseconds.
-_HOST_PROBE_CACHE: dict[int, tuple[float, dict[str, float]]] = {}
+# (timestamp, per-host MemAvailable GiB) per Spark APPLICATION — a
+# repack wave loop calls _live_ram_cap every wave; re-launching the
+# probe job each time would add a full job round-trip of latency per
+# wave for a signal that moves on seconds, not milliseconds. Keyed by
+# applicationId, NOT id(spark): CPython id reuse after a session GC
+# could serve a dead cluster's readings to a new session. Expired
+# entries are pruned on access, bounding growth in session-churning
+# processes.
+_HOST_PROBE_CACHE: dict[str, tuple[float, dict[str, float]]] = {}
 _HOST_PROBE_TTL_S = 15.0
 
 
@@ -476,9 +480,16 @@ def _probe_host_available_gb(spark: SparkSession) -> dict[str, float] | None:
     window, not per wave."""
     import time as _time
 
-    key = id(spark)
+    now = _time.monotonic()
+    for k in [k for k, (ts, _) in _HOST_PROBE_CACHE.items()
+              if now - ts >= _HOST_PROBE_TTL_S]:
+        _HOST_PROBE_CACHE.pop(k, None)
+    try:
+        key = spark.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 — stopped session: no probe
+        return None
     cached = _HOST_PROBE_CACHE.get(key)
-    if cached is not None and _time.monotonic() - cached[0] < _HOST_PROBE_TTL_S:
+    if cached is not None:
         return cached[1] or None
     try:
         sc = spark.sparkContext
