@@ -108,3 +108,37 @@ def test_oov_rate_bounds_and_consistency(spark, sf_dir):
         assert r.oov_rate == pytest.approx(
             round(r.n_oov / r.n_tokens, 6), abs=1e-9
         )
+
+
+def test_compaction_bins_contiguous_and_bounded(spark, sf_dir):
+    """Bins must cover disjoint contiguous doc ranges in layout order
+    and respect the size law: every bin except a partition's last
+    crosses the target boundary by at most its final file (cumulative
+    binning), so bin bytes < target + that partition's largest file."""
+    from burla_spark.plans.curation import (
+        COMPACT_TARGET_BYTES,
+        compaction_bins_by_source,
+    )
+
+    rows = compaction_bins_by_source(spark, sf_dir).collect()
+    assert rows
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .groupBy("source")
+        .agg(F.max("n_chars").alias("max_file"), F.count("*").alias("n"))
+        .collect()
+    )
+    max_file = {r.source: r.max_file for r in docs}
+    n_docs = {r.source: r.n for r in docs}
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert set(by_source) == set(max_file)
+    for source, bins in by_source.items():
+        bins.sort(key=lambda r: r.bin)
+        assert sum(r.n_files for r in bins) == n_docs[source]
+        for a, b in zip(bins, bins[1:]):
+            assert a.last_doc < b.first_doc  # contiguous, ordered ranges
+        for r in bins:
+            assert r.n_bytes < COMPACT_TARGET_BYTES + max_file[source]
