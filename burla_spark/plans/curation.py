@@ -812,7 +812,94 @@ FROM binned GROUP BY source, bin ORDER BY source, bin
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance — the materialized-view discipline:
+# a standing per-key aggregate (count, sum) is updated by merging a
+# DELTA batch's partial aggregate instead of recomputing over the full
+# history. COUNT/SUM are self-mergeable, so base ⊕ delta must equal
+# the full recompute EXACTLY — which is what the oracle computes, so
+# the parity row proves the merge algebra, not just the numbers.
+# ---------------------------------------------------------------------------
+# mid-range of the fixture's order dates (1995..2001) so BOTH the base
+# aggregate and the delta batch are non-trivial (the q9 vacuity lesson)
+_INCR_CUTOFF = "1998-01-01"
+
+
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order count/total maintained incrementally: base
+    aggregate (orders before the cutoff) FULL OUTER merged with the
+    delta batch's aggregate (orders on/after it); top 25 spenders.
+
+    100 TB shape: the delta aggregate touches ONLY the new partition's
+    rows (partition pruning on the date predicate reaches the scan),
+    and the merge join is keyed on the aggregate's own grouping key —
+    base-side state never rescans history. Sums ride DECIMAL so the
+    merged total is bit-equal to a full recompute regardless of
+    accumulation order."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_INCR_CUTOFF).cast("timestamp")
+
+    def part_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("tot"),
+        )
+
+    base = part_agg(o.filter(F.col("o_orderdate") < cutoff))
+    delta = part_agg(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.alias("b")
+        .join(delta.alias("d"), "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce(F.col("b.cnt"), F.lit(0))
+                + F.coalesce(F.col("d.cnt"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_orders"),
+            F.coalesce(F.col("d.cnt"), F.lit(0)).cast("long").alias("n_new"),
+            (
+                F.coalesce(F.col("b.tot"), F.lit(0).cast("decimal(18,4)"))
+                + F.coalesce(F.col("d.tot"), F.lit(0).cast("decimal(18,4)"))
+            ).alias("tot"),
+        )
+    )
+    return (
+        merged.orderBy(F.desc("tot"), F.asc("o_custkey"))
+        .limit(25)
+        .select(
+            "o_custkey",
+            "n_orders",
+            "n_new",
+            F.col("tot").cast("double").alias("total_spent"),
+        )
+    )
+
+
+INCREMENTAL_AGG_SQL = f"""
+WITH merged AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(COUNT(*) FILTER (
+           WHERE o_orderdate >= TIMESTAMP '{_INCR_CUTOFF} 00:00:00'
+         ) AS BIGINT) AS n_new,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS tot
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, n_orders, n_new, CAST(tot AS DOUBLE) AS total_spent
+FROM merged ORDER BY tot DESC, o_custkey LIMIT 25
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "incremental_agg_maintenance",
+        incremental_agg_maintenance,
+        INCREMENTAL_AGG_SQL,
+        ("agg", "incremental", "merge"),
+        doc="Materialized-view merge: base ⊕ delta equals full recompute.",
+    ),
     QuerySpec(
         "compaction_bins_by_source",
         compaction_bins_by_source,

@@ -106,6 +106,9 @@ _DRIVER_PRIORITY = frozenset(
         "temperature_mixture_weights",
         # round-7 layout/catalog ops
         "compaction_bins_by_source", "table_column_stats",
+        # round-7 graph/sketch/incremental/timeseries additions
+        "triangle_counts_part_graph", "heavy_hitter_bigrams",
+        "ewma_event_values", "incremental_agg_maintenance",
     }
 )
 

@@ -355,6 +355,211 @@ SELECT node, CAST(r AS BIGINT) AS rank_fp FROM it3 ORDER BY r DESC, node LIMIT 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Degree-oriented triangle counting — the standard graph-mining kernel
+# (cohesion metrics, community seeds, spam/link-farm signals). The
+# reference has no graph operators; users would hand-roll adjacency
+# passes inside remote_parallel_map (reference README.md:123-127).
+#
+# Graph: parts co-purchased in the same order (per-order pair
+# generation is bounded by order width, the interval-overlap blocking
+# discipline). Enumeration uses DEGREE ORIENTATION — each undirected
+# edge is directed from its lower-(degree, id) endpoint to the higher —
+# so every wedge join fans out over out-neighborhoods of size O(√m)
+# regardless of hub degree (a raw id-ordering leaves hub out-degrees
+# unbounded and the wedge join quadratic in the hottest vertex). The
+# oracle enumerates the same triangle set with the simple a<b<c form —
+# identical rows, different physical strategy, which is the point.
+# ---------------------------------------------------------------------------
+def triangle_counts_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation counts (top 25) on the
+    co-purchase graph.
+
+    100 TB shape: pair generation self-joins lineitem on l_orderkey
+    (bounded by order width), the wedge join shuffles on the shared
+    endpoint, and the closing join shuffles on the (b, c) edge key —
+    three key-partitioned shuffles, no cartesian anywhere. Degree
+    orientation caps every out-neighborhood at O(√m), so the wedge
+    stage's worst key is bounded even on a power-law graph."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        edges.join(
+            deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v"
+        )
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    edir = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    # wedge: two out-edges of the same src, ordered by the endpoints'
+    # (degree, id) rank so each unordered out-pair appears once
+    x, y = edir.alias("x"), edir.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src"))
+        & (
+            (F.col("x.ddst") < F.col("y.ddst"))
+            | (
+                (F.col("x.ddst") == F.col("y.ddst"))
+                & (F.col("x.dst") < F.col("y.dst"))
+            )
+        ),
+    )
+    tri = wedges.join(
+        edir.select(F.col("src").alias("zs"), F.col("dst").alias("zd")),
+        (F.col("x.dst") == F.col("zs")) & (F.col("y.dst") == F.col("zd")),
+    ).select(
+        F.col("x.src").alias("a"), F.col("x.dst").alias("b"), F.col("y.dst").alias("c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("part_id"))
+        .unionAll(tri.select(F.col("b").alias("part_id")))
+        .unionAll(tri.select(F.col("c").alias("part_id")))
+    )
+    return (
+        nodes.groupBy("part_id")
+        .agg(F.count("*").cast("long").alias("tri_cnt"))
+        .orderBy(F.desc("tri_cnt"), F.asc("part_id"))
+        .limit(25)
+    )
+
+
+TRIANGLE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+nodes AS (
+  SELECT a AS part_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT part_id, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+FROM nodes GROUP BY part_id
+ORDER BY tri_cnt DESC, part_id LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: bounded-memory Misra–Gries candidate pass + exact
+# recount — the two-phase discipline every streaming/top-K frequency
+# system uses (boilerplate-phrase detection over a corpus here). The
+# sketch pass guarantees NO FALSE NEGATIVES for items with global
+# frequency > n/capacity (averaging argument: such an item exceeds
+# n_p/capacity in at least one partition, and an MG summary of
+# capacity m undercounts by at most n_p/(m+1)), so the exact second
+# pass over the candidate set reproduces the exact heavy-hitter set —
+# which is precisely what DuckDB's full GROUP BY computes.
+# ---------------------------------------------------------------------------
+_MG_CAPACITY = 700  # < bigram vocabulary (916 at sf0.01) → evictions real
+
+
+def _mg_candidates(batches):
+    """Per-partition Misra–Gries summary over Arrow batches: merge each
+    batch's exact value_counts into the bounded dict, then shrink by
+    subtracting the (capacity+1)-th largest count (the standard
+    mergeable-summaries MG merge — errors add, bound keeps)."""
+    import pandas as pd
+
+    counts: dict = {}
+    for pdf in batches:
+        for gram, c in pdf["gram"].value_counts().items():
+            counts[gram] = counts.get(gram, 0) + int(c)
+        if len(counts) > _MG_CAPACITY:
+            cut = sorted(counts.values(), reverse=True)[_MG_CAPACITY]
+            counts = {g: c - cut for g, c in counts.items() if c > cut}
+    yield pd.DataFrame({"gram": list(counts.keys())})
+
+
+def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter bigrams (count·capacity > total) via a
+    Misra–Gries candidate sweep and an exact recount of candidates.
+
+    100 TB shape: pass 1 is a full scan with O(capacity) state per
+    partition and emits ≤ capacity·partitions candidate rows (a
+    broadcast-sized relation no matter the corpus size); pass 2 is a
+    scan + broadcast semi-join + one aggregate over only the candidate
+    grams — no full-vocabulary shuffle ever happens, which is the
+    entire point versus the naive GROUP BY the oracle runs."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    toks = d.select(F.split(F.trim("text"), r"\s+").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    grams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")
+        ).alias("gram")
+    )
+    cand = grams.mapInPandas(_mg_candidates, "gram string").distinct()
+    total = grams.agg(F.count("*").alias("n_grams"))
+    return (
+        grams.join(F.broadcast(cand), "gram")
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * _MG_CAPACITY > F.col("n_grams"))
+        .select("gram", "cnt")
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+    )
+
+
+HEAVY_HITTER_SQL = f"""
+WITH d AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0 AND len(regexp_split_to_array(trim(text), '\\s+')) >= 2
+),
+grams AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS gram
+  FROM d, UNNEST(range(1, len(toks))) AS t(i)
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams),
+cnts AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams GROUP BY gram)
+SELECT gram, cnt FROM cnts, n
+WHERE cnt * {_MG_CAPACITY} > n_grams
+ORDER BY cnt DESC, gram
+"""
+
+
 SPECS = [
     QuerySpec(
         name="salted_skew_aggregate",
@@ -397,5 +602,19 @@ SPECS = [
         oracle=STRATIFIED_SAMPLE_SQL,
         tags=("mlprep", "sampling", "scale"),
         doc="deterministic hash-stratified per-class sampling",
+    ),
+    QuerySpec(
+        name="triangle_counts_part_graph",
+        spark=triangle_counts_part_graph,
+        oracle=TRIANGLE_SQL,
+        tags=("graph", "join", "scale"),
+        doc="degree-oriented triangle enumeration on the co-purchase graph",
+    ),
+    QuerySpec(
+        name="heavy_hitter_bigrams",
+        spark=heavy_hitter_bigrams,
+        oracle=HEAVY_HITTER_SQL,
+        tags=("sketch", "text", "scale"),
+        doc="Misra-Gries candidate pass + exact recount, no-false-negative bound",
     ),
 ]

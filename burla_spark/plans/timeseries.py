@@ -655,7 +655,116 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# EWMA smoothing — the exponential-decay signal every monitoring /
+# feature pipeline wants. Free-running EWMA is a sequential recurrence
+# (accumulation-order dependent → engine-divergent in floats); the
+# K-term truncated form with dyadic alpha=1/2 makes every weight a
+# power of two and the whole numerator/denominator EXACT BIGINT
+# arithmetic: ewma_i = Σ_{j<K} 2^(K-1-j)·v_{i-j} / Σ 2^(K-1-j), with
+# absent lags dropping out of both sums. Truncation error of the
+# untruncated EWMA is ≤ 2^-K of the signal range — at K=8 that is the
+# 0.4 % tail, which monitoring use cases don't see.
+# ---------------------------------------------------------------------------
+_EWMA_K = 8
+_V_SCALE = 1_000_000  # value fixed-point: 6 decimal digits
+
+
+def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest truncated-EWMA of ``value`` per user (alpha=1/2, 8 terms).
+
+    100 TB shape: ONE shuffle on user_id; the 8 lag() columns evaluate
+    in a single window sort pass (same frame, same ordering), and the
+    final latest-row filter is a row_number over the same partitioning
+    — Catalyst fuses it into the same sort, so no second exchange."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    base = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * _V_SCALE).cast("long").alias("v_fp"),
+    )
+    lags = [
+        F.lag("v_fp", j).over(w).alias(f"l{j}") for j in range(1, _EWMA_K)
+    ]
+    lagd = base.select(
+        "user_id",
+        F.col("v_fp").alias("l0"),
+        *lags,
+        F.row_number().over(wd).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n_events"),
+    )
+    num = None
+    den = None
+    for j in range(_EWMA_K):
+        wgt = 1 << (_EWMA_K - 1 - j)
+        term = F.coalesce(F.col(f"l{j}") * wgt, F.lit(0))
+        mask = F.when(F.col(f"l{j}").isNotNull(), F.lit(wgt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = mask if den is None else den + mask
+    return (
+        lagd.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            (
+                F.when(
+                    den > 0,
+                    F.round(
+                        num.cast("double") / den.cast("double") / _V_SCALE, 6
+                    )
+                    + F.lit(0.0),
+                )
+            ).alias("ewma_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _ewma_sql() -> str:
+    k, scale = _EWMA_K, _V_SCALE
+    lag_cols = ",\n    ".join(
+        f"LAG(v_fp, {j}) OVER w AS l{j}" for j in range(1, k)
+    )
+    num = " + ".join(f"COALESCE(l{j} * {1 << (k - 1 - j)}, 0)" for j in range(k))
+    den = " + ".join(
+        f"CASE WHEN l{j} IS NOT NULL THEN {1 << (k - 1 - j)} ELSE 0 END"
+        for j in range(k)
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * {scale}) AS BIGINT) AS v_fp
+  FROM events
+), lagd AS (
+  SELECT user_id, v_fp AS l0,
+    {lag_cols},
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+  CASE WHEN ({den}) > 0 THEN
+    ROUND(CAST(({num}) AS DOUBLE) / CAST(({den}) AS DOUBLE) / {scale}, 6) + 0.0
+  END AS ewma_value
+FROM lagd WHERE rn = 1 ORDER BY user_id
+"""
+
+
+EWMA_SQL = _ewma_sql()
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "ewma_event_values",
+        ewma_event_values,
+        EWMA_SQL,
+        ("timeseries", "window", "monitoring"),
+        doc="Truncated dyadic-weight EWMA per user, exact BIGINT accumulation.",
+    ),
     QuerySpec(
         "interval_overlap_join",
         interval_overlap_join,

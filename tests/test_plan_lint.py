@@ -61,6 +61,7 @@ BNLJ_OK = {
     "epoch_batch_shuffle",
     "token_budget_epoch_plan",
     "curriculum_length_phases",
+    "heavy_hitter_bigrams",  # 1-row total-gram-count broadcast (threshold)
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]

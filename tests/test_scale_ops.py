@@ -129,3 +129,126 @@ def test_stratified_sample_partition_invariant(spark, sf_dir):
         ).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# round-7: Misra–Gries heavy hitters + degree-oriented triangles
+# ---------------------------------------------------------------------------
+def test_mg_candidates_no_false_negatives_under_eviction():
+    """The MG guarantee on data that FORCES evictions: vocabulary far
+    above capacity, a few genuinely heavy items. Every item with
+    global cnt * capacity > n must survive the per-partition sweep —
+    that is the property the fixture (vocab 916 vs capacity 700)
+    exercises only mildly."""
+    import pandas as pd
+
+    from burla_spark.plans import scale_ops
+
+    # 3 "partitions", each a batch iterator; 5000 distinct light grams
+    # per partition swamp the capacity; 3 heavy grams dominate.
+    heavy = {"h0": 4000, "h1": 2500, "h2": 1200}
+    parts = []
+    for p in range(3):
+        grams = []
+        for g, c in heavy.items():
+            grams += [g] * (c // 3)
+        grams += [f"light_{p}_{i}" for i in range(5000)]
+        # deterministic interleave (worst case for MG is heavy-first,
+        # light-later evicting them; reverse order stresses that)
+        grams.sort()
+        parts.append(grams)
+    n = sum(len(g) for g in parts)
+    cap = scale_ops._MG_CAPACITY
+    survivors: set[str] = set()
+    for grams in parts:
+        batches = [pd.DataFrame({"gram": grams[i : i + 997]}) for i in range(0, len(grams), 997)]
+        for out in scale_ops._mg_candidates(iter(batches)):
+            survivors |= set(out["gram"])
+    for g, c in heavy.items():
+        if c * cap > n:
+            assert g in survivors, f"heavy gram {g} evicted — MG bound broken"
+    # and the summary stayed bounded per partition
+    assert len(survivors) <= 3 * cap
+
+
+def test_triangle_orientation_matches_naive_enumeration(spark):
+    """Degree-oriented wedge enumeration on a hand graph (two triangles
+    sharing an edge plus a pendant) equals the a<b<c naive count."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (1, 4), (4, 5)], ["u", "v"]
+    )
+    # naive: a<b<c closure
+    e = edges
+    naive = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .count()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    j = (
+        edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    edir = j.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    x, y = edir.alias("x"), edir.alias("y")
+    oriented = (
+        x.join(
+            y,
+            (F.col("x.src") == F.col("y.src"))
+            & (
+                (F.col("x.ddst") < F.col("y.ddst"))
+                | (
+                    (F.col("x.ddst") == F.col("y.ddst"))
+                    & (F.col("x.dst") < F.col("y.dst"))
+                )
+            ),
+        )
+        .join(
+            edir.select(F.col("src").alias("zs"), F.col("dst").alias("zd")),
+            (F.col("x.dst") == F.col("zs")) & (F.col("y.dst") == F.col("zd")),
+        )
+        .count()
+    )
+    assert naive == oriented == 2
+
+
+def test_ewma_truncated_weights_exact():
+    """The dyadic truncated EWMA on a hand series: weights 128..1 over
+    the last 8 values, missing lags drop from both sums."""
+    vals = [10.0, 20.0, 30.0]  # only 3 events → den = 128+64+32
+    num = 30.0 * 128 + 20.0 * 64 + 10.0 * 32
+    den = 128 + 64 + 32
+    expected = round(num / den, 6)
+    import duckdb
+
+    from burla_spark.plans.timeseries import EWMA_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"(1, TIMESTAMP '2024-01-01 00:0{i}:00', {i}, 'view', {v}, NULL)"
+            for i, v in enumerate(vals)
+        )
+        + ") t(user_id, ts, event_id, event_type, value, props)"
+    )
+    row = con.execute(EWMA_SQL).fetchone()
+    assert row == (1, 3, expected)
