@@ -616,3 +616,79 @@ def dedup_component_groups(
         )
         .orderBy("keep_id")
     )
+
+
+def prefix_filter_jaccard_join(
+    docs: DataFrame,
+    id_col: str,
+    grams_col: str,
+    threshold: float,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin family) — returns EVERY pair with Jaccard >=
+    threshold, with a candidate set that is provably complete: if
+    J(A,B) >= t then, under any global total order on grams, the first
+    ``|A| - ceil(t*|A|) + 1`` grams of A and of B must share an
+    element (otherwise the overlap is too small to reach t). Ordering
+    grams rarest-first (document frequency asc, gram asc) makes those
+    prefixes hit the LONG TAIL of the gram distribution, so the
+    prefix-gram join buckets stay small even when the corpus shares
+    hot boilerplate grams — the property banding/LSH only achieve
+    probabilistically. A length filter (t*|A| <= |B| <= |A|/t) prunes
+    the rest.
+
+    100 TB shape: one explode + one gram-keyed aggregate for document
+    frequencies, one equi-join back, per-doc array sort (map-side),
+    then an equi-join ON RARE GRAMS ONLY and an exact verify over the
+    candidate pairs. No O(n²) stage anywhere; every shuffle is keyed.
+    Unlike minhash_lsh_pairs (probabilistic recall) this is the exact
+    tier: recall 1.0 by construction.
+    """
+    g = docs.select(F.col(id_col).alias("pid"), F.col(grams_col).alias("grams"))
+    ex = g.select("pid", F.explode("grams").alias("gram"))
+    freq = ex.groupBy("gram").agg(F.count("*").alias("df_cnt"))
+    ranked = (
+        ex.join(freq, "gram")
+        .groupBy("pid")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df_cnt", "gram"))).alias("sg")
+        )
+        .select(
+            "pid",
+            F.transform("sg", lambda s: s["gram"]).alias("grams"),
+            F.size("sg").alias("n"),
+        )
+    )
+    pre = ranked.select(
+        "pid",
+        "n",
+        F.explode(
+            F.expr(
+                f"slice(grams, 1, size(grams) - cast(ceil({threshold} * size(grams)) as int) + 1)"
+            )
+        ).alias("gram"),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.pid") < F.col("b.pid"))
+            & (F.col("b.n").cast("double") >= F.col("a.n") * threshold)
+            & (F.col("a.n").cast("double") >= F.col("b.n") * threshold),
+        )
+        .select(F.col("a.pid").alias("id_a"), F.col("b.pid").alias("id_b"))
+        .distinct()
+    )
+    ga = ranked.select(F.col("pid").alias("id_a"), F.col("grams").alias("ga"))
+    gb = ranked.select(F.col("pid").alias("id_b"), F.col("grams").alias("gb"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("ga"), F.col("gb")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -141,6 +141,57 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 
 
 # ---------------------------------------------------------------------------
+# Exact similarity join, no blocking assumption — prefix filtering.
+# ngram_jaccard_pairs above bounds work via (source, length-band)
+# blocking, which is a RECALL ASSUMPTION (near-dups share source and
+# length). This is the assumption-free exact tier: AllPairs/PPJoin
+# prefix filtering guarantees complete candidates for any J >= t pair,
+# so the output equals the oracle's brute-force all-pairs join while
+# the Spark plan never materializes O(n²) anything (see
+# operators/dedup.py:prefix_filter_jaccard_join for the bound).
+# ---------------------------------------------------------------------------
+_PREFIX_JACCARD_T = 0.4
+
+
+def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with word-bigram Jaccard >= 0.4 — exact,
+    corpus-wide, via rarest-first prefix filtering (recall 1.0 by the
+    prefix principle, unlike the MinHash/banded tiers)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.size(tx.tokens(F.col("text"))) >= 2)
+    )
+    g = d.select(
+        "doc_id", dd.word_ngrams(tx.tokens(F.col("text")), 2).alias("grams")
+    )
+    return dd.prefix_filter_jaccard_join(
+        g, "doc_id", "grams", _PREFIX_JACCARD_T
+    ).orderBy("id_a", "id_b")
+
+
+PREFIX_FILTER_SQL = rf"""
+WITH g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 1),
+      i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+           regexp_split_to_array(trim(text), '\s+')[i + 1])) AS grams
+  FROM documents
+  WHERE text IS NOT NULL
+    AND len(regexp_split_to_array(trim(text), '\s+')) >= 2
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+    / (CAST(len(a.grams) + len(b.grams) AS DOUBLE)
+       - len(list_intersect(a.grams, b.grams))) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+    / (CAST(len(a.grams) + len(b.grams) AS DOUBLE)
+       - len(list_intersect(a.grams, b.grams))) >= {_PREFIX_JACCARD_T}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup — MinHash LSH & SimHash (hash-based; rows-only driver check,
 # recall property-tested in tests/test_dedup.py)
 # ---------------------------------------------------------------------------
@@ -1801,5 +1852,12 @@ SPECS: list[QuerySpec] = [
         None,  # zlib has no SQL twin; deterministic, property-tested
         ("text", "quality"),
         doc="zlib compression-ratio repetition signal (Gopher rule family)",
+    ),
+    QuerySpec(
+        "similarity_join_prefix_filter",
+        similarity_join_prefix_filter,
+        PREFIX_FILTER_SQL,
+        ("dedup", "join", "scale"),
+        doc="AllPairs/PPJoin exact Jaccard join — complete candidates, recall 1.0",
     ),
 ]

@@ -698,3 +698,42 @@ def test_minhash_bucket_cap_is_opt_in_and_observable(spark):
     assert n_capped < n_full
     msgs = [str(w.message) for w in caught if "max_bucket" in str(w.message)]
     assert msgs and "dropped" in msgs[0]
+
+
+def test_prefix_filter_join_complete_vs_bruteforce(spark):
+    """Prefix filtering must return EXACTLY the brute-force J >= t pair
+    set — including pairs that source/length-band blocking would miss
+    (different lengths, no shared block). Synthetic corpus: a template
+    cluster, a padded variant crossing length bands, and noise docs."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from burla_spark.operators import dedup as dd
+    from burla_spark.operators import text as tx
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),                        # near-dup, longer
+        (3, base + " extra widget gadget gizmo"),     # crosses a length band
+        (4, "unrelated words entirely different content here now"),
+        (5, "alpha beta totally other tail that dilutes the overlap a lot"),
+        (6, base),                                    # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    g = docs.select(
+        "doc_id", dd.word_ngrams(tx.tokens(F.col("text")), 2).alias("grams")
+    )
+    t = 0.4
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.prefix_filter_jaccard_join(g, "doc_id", "grams", t).collect()
+    }
+    sets = {r.doc_id: set(r.grams) for r in g.collect()}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sets), 2)
+        if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= t
+    }
+    assert got == want and (1, 6) in got and len(want) >= 3
