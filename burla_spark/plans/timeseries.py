@@ -679,7 +679,6 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     — Catalyst fuses it into the same sort, so no second exchange."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wd = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     base = e.select(
         "user_id",
         "ts",
@@ -689,11 +688,14 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags = [
         F.lag("v_fp", j).over(w).alias(f"l{j}") for j in range(1, _EWMA_K)
     ]
+    # latest row = ascending row_number == partition count, so the lag
+    # chain, the row_number, and the count all share ONE ascending sort
+    # (a desc row_number would force a second intra-partition sort)
     lagd = base.select(
         "user_id",
         F.col("v_fp").alias("l0"),
         *lags,
-        F.row_number().over(wd).alias("rn"),
+        F.row_number().over(w).alias("rn"),
         F.count("*").over(Window.partitionBy("user_id")).alias("n_events"),
     )
     num = None
@@ -705,7 +707,7 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = term if num is None else num + term
         den = mask if den is None else den + mask
     return (
-        lagd.filter(F.col("rn") == 1)
+        lagd.filter(F.col("rn") == F.col("n_events"))
         .select(
             "user_id",
             F.col("n_events").cast("long").alias("n_events"),
