@@ -154,14 +154,25 @@ _PREFIX_JACCARD_T = 0.4
 
 
 def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All document pairs with word-bigram Jaccard >= 0.4 — exact,
+    """All document pairs with word-TRIGRAM Jaccard >= 0.4 — exact,
     corpus-wide, via rarest-first prefix filtering (recall 1.0 by the
-    prefix principle, unlike the MinHash/banded tiers)."""
+    prefix principle, unlike the MinHash/banded tiers).
+
+    Shingle order matters for the filter's selectivity: trigram
+    shingles are near-unique across documents (fixture median df = 1),
+    so rarest-first prefixes land on singleton grams and the candidate
+    join degenerates to almost exactly the true near-dup pairs. Word
+    BIGRAMS over this fixture's ~900-gram vocabulary have NO rare
+    grams — every prefix bucket is a hot key and the candidate set
+    explodes (measured 30 s vs 2 s at sf0.1), which is the documented
+    regime boundary: prefix filtering needs a heavy-tailed shingle
+    distribution, exactly what ≥3-gram shingling provides on real
+    text."""
     d = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.size(tx.tokens(F.col("text"))) >= 2)
+        F.col("text").isNotNull() & (F.size(tx.tokens(F.col("text"))) >= 3)
     )
     g = d.select(
-        "doc_id", dd.word_ngrams(tx.tokens(F.col("text")), 2).alias("grams")
+        "doc_id", dd.word_ngrams(tx.tokens(F.col("text")), 3).alias("grams")
     )
     return dd.prefix_filter_jaccard_join(
         g, "doc_id", "grams", _PREFIX_JACCARD_T
@@ -172,12 +183,13 @@ PREFIX_FILTER_SQL = rf"""
 WITH g AS (
   SELECT doc_id,
     list_distinct(list_transform(
-      generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 1),
+      generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
       i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
-           regexp_split_to_array(trim(text), '\s+')[i + 1])) AS grams
+           regexp_split_to_array(trim(text), '\s+')[i + 1] || ' ' ||
+           regexp_split_to_array(trim(text), '\s+')[i + 2])) AS grams
   FROM documents
   WHERE text IS NOT NULL
-    AND len(regexp_split_to_array(trim(text), '\s+')) >= 2
+    AND len(regexp_split_to_array(trim(text), '\s+')) >= 3
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)

@@ -55,6 +55,11 @@ QUERIES = [
     "oov_rate_by_source", "incremental_dedup_new_docs",
     "epoch_batch_shuffle", "curriculum_length_phases",
     "lsh_fixed_planes_buckets",
+    # round-7 graph/sketch/similarity family: candidate-generation
+    # stages are exactly where O(n²) hides
+    "triangle_counts_part_graph", "heavy_hitter_bigrams",
+    "similarity_join_prefix_filter", "ewma_event_values",
+    "incremental_agg_maintenance",
 ]
 # Deliberately excluded: interval_overlap_join — replicating a FIXED
 # time window multiplies temporal density, and interval-overlap OUTPUT
