@@ -31,6 +31,7 @@ if REPO_DIR not in sys.path:
 
 BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALE = 10
+GEN_VERSION = "2"  # v2: word-prefix replica transform (see documents comment)
 SCALED_DIR = os.path.join(REPO_DIR, ".scaling", f"x{SCALE}")
 
 # Per-key-domain offsets: replica i shifts each key by i * base, far
@@ -75,7 +76,14 @@ def generate_fixtures() -> None:
     os.makedirs(SCALED_DIR, exist_ok=True)
     done_marker = os.path.join(SCALED_DIR, ".complete")
     if os.path.exists(done_marker):
-        return
+        with open(done_marker) as fh:
+            if fh.read().startswith(f"v{GEN_VERSION} "):
+                return
+        # stale generator version: rebuild from scratch
+        import shutil
+
+        shutil.rmtree(SCALED_DIR)
+        os.makedirs(SCALED_DIR, exist_ok=True)
     con = duckdb.connect()
     src = lambda t: f"read_parquet('{BASE_SF_DIR}/{t}.parquet')"  # noqa: E731
     out = lambda t: os.path.join(SCALED_DIR, f"{t}.parquet")  # noqa: E731
@@ -114,21 +122,27 @@ def generate_fixtures() -> None:
                  user_id + r.i * {CK} AS user_id,
                  event_type, value, props
           FROM {src('events')}, {rep}""",
-        # replica marker after EVERY word: within a replica both members
-        # of a near-dup pair get the same marker (Jaccard preserved);
-        # across replicas every 5-gram contains a differing marker
-        # (Jaccard ~0) — so the near-dup PAIR COUNT scales ×SCALE, not
-        # ×SCALE² as naive text copies would.
+        # replica marker PREFIXED onto every word (v2; v1 inserted a
+        # marker token AFTER every word, which doubled token counts and
+        # halved the effective n-gram order — an 8-gram spanned 4 real
+        # words — distorting every shingle-based operator's ×10 run:
+        # repeated_ngram ran 14×, and trigram document frequencies
+        # collapsed to the bigram regime, blowing up prefix-filter
+        # candidates). Prefixing is a per-replica VOCABULARY BIJECTION:
+        # token counts, n-gram counts, and every within-replica Jaccard
+        # are preserved EXACTLY, while cross-replica token sets are
+        # disjoint (Jaccard 0) — near-dup pair counts scale ×SCALE, not
+        # ×SCALE² as naive copies would.
         "documents": rf"""
           SELECT doc_id + r.i * {DK} AS doc_id,
                  array_to_string(
-                   flatten([[w, 'zrep' || r.i]
-                            FOR w IN regexp_split_to_array(trim(text), '\s+')]),
+                   list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                  w -> 'z' || r.i || 'q' || w),
                    ' ') AS text,
                  lang, source,
                  CAST(length(array_to_string(
-                   flatten([[w, 'zrep' || r.i]
-                            FOR w IN regexp_split_to_array(trim(text), '\s+')]),
+                   list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                  w -> 'z' || r.i || 'q' || w),
                    ' ')) AS BIGINT) AS n_chars
           FROM {src('documents')}, {rep}""",
         # per-replica deterministic sign pattern (diagonal isometry):
@@ -150,7 +164,7 @@ def generate_fixtures() -> None:
         con.execute(f"COPY ({sql}) TO '{out(table)}' (FORMAT PARQUET)")
     con.close()
     with open(done_marker, "w") as fh:
-        fh.write(str(time.time()))
+        fh.write(f"v{GEN_VERSION} {time.time()}")
 
 
 def _time_queries(spark, specs, sf_dir: str) -> dict[str, tuple[float, float]]:
