@@ -199,3 +199,54 @@ def test_morton_key_bijective_and_separable(a, b):
     back_a = sum(((z >> (2 * i)) & 1) << i for i in range(16))
     back_b = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
     assert (back_a, back_b) == (a, b)
+
+
+@given(
+    st.lists(  # partitions of (item_id, count) streams
+        st.lists(
+            st.tuples(st.integers(0, 400), st.integers(1, 30)),
+            min_size=1,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(8, 64),  # MG capacity (far below the 401-item domain)
+)
+@settings(max_examples=60, deadline=None)
+def test_mg_candidates_no_false_negatives_property(parts, cap):
+    """Misra–Gries bound under arbitrary streams and partitionings:
+    every item with global count * capacity > n survives SOME
+    partition's summary — the invariant heavy_hitter_bigrams' exact
+    recount depends on (pure-Python check; no Spark session)."""
+    import collections
+
+    import pandas as pd
+
+    from burla_spark.plans import scale_ops
+
+    # monkeypatch-free: drive the generator with a temporary capacity
+    orig = scale_ops._MG_CAPACITY
+    scale_ops._MG_CAPACITY = cap
+    try:
+        total = collections.Counter()
+        survivors: set = set()
+        n = 0
+        for part in parts:
+            stream = [f"t{i}" for i, c in part for _ in range(c)]
+            n += len(stream)
+            for i, c in part:
+                total[f"t{i}"] += c
+            batches = [
+                pd.DataFrame({"gram": stream[j : j + 17]})
+                for j in range(0, len(stream), 17)
+            ]
+            for out in scale_ops._mg_candidates(iter(batches)):
+                survivors |= set(out["gram"])
+        for item, cnt in total.items():
+            if cnt * cap > n:
+                assert item in survivors, (
+                    f"{item} cnt={cnt} n={n} cap={cap} evicted — bound broken"
+                )
+    finally:
+        scale_ops._MG_CAPACITY = orig

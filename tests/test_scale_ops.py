@@ -252,3 +252,27 @@ def test_ewma_truncated_weights_exact():
     )
     row = con.execute(EWMA_SQL).fetchone()
     assert row == (1, 3, expected)
+
+
+def test_incremental_agg_pushes_date_filter_to_scan(spark, sf_dir):
+    """The delta side's date predicate must reach the orders parquet
+    scan (PushedFilters) — at 100 TB that predicate is what makes the
+    delta aggregate touch only the new partition's files."""
+    from burla_spark.plans.curation import incremental_agg_maintenance
+
+    plan = (
+        incremental_agg_maintenance(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    scans = [
+        m.group(0)
+        for m in re.finditer(r"FileScan parquet[^\n]*orders[^\n]*", plan)
+    ]
+    assert scans, "no orders scan found in plan"
+    assert any("o_orderdate" in s and "PushedFilters: [" in s for s in scans), (
+        "date predicate not pushed to the orders scan:\n" + "\n".join(scans)
+    )
