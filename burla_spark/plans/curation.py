@@ -845,7 +845,12 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("tot"),
         )
 
-    base = part_agg(o.filter(F.col("o_orderdate") < cutoff))
+    # every row must land in EXACTLY one partial or the view silently
+    # loses it: NULL dates route to the base (matches the oracle's
+    # unfiltered full recompute under NULL injection)
+    base = part_agg(
+        o.filter((F.col("o_orderdate") < cutoff) | F.col("o_orderdate").isNull())
+    )
     delta = part_agg(o.filter(F.col("o_orderdate") >= cutoff))
     merged = (
         base.alias("b")
