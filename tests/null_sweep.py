@@ -52,6 +52,19 @@ INJECT = {
         " CASE WHEN hash(c_custkey)%11=0 THEN NULL ELSE c_mktsegment END"
         " AS c_mktsegment FROM t"
     ),
+    # round-7 classes: NULL dates (filter/sort/grouping inputs — Spark
+    # sorts NULLS FIRST asc, DuckDB NULLS LAST; any nullable sort key
+    # must pin placement explicitly) and NULL numeric agg inputs
+    "orders": (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+        " CASE WHEN hash(o_orderkey)%29=0 THEN NULL ELSE o_orderdate END"
+        " AS o_orderdate, o_orderpriority FROM t"
+    ),
+    "events": (
+        "SELECT event_id, ts, user_id, event_type,"
+        " CASE WHEN hash(event_id)%31=0 THEN NULL ELSE value END AS value,"
+        " props FROM t"
+    ),
 }
 
 
