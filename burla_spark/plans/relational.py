@@ -577,13 +577,18 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NULLS FIRST pinned explicitly: Spark sorts NULLs first ascending,
+# DuckDB last — on a nullable sort key the running sums and sequence
+# numbers diverge unless one convention is written down (contract
+# rule 15; caught by the round-7 NULL-date sweep).
 WINDOW_RUNNING_SQL = """
 SELECT
   o_custkey, o_orderkey, o_orderdate,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
-    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
-  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS order_seq
 FROM orders
 """
 

@@ -704,22 +704,28 @@ def _round_decimal4_to_2dp(scaled: int) -> float:
 
 
 def _merge_pending_sessions(
-    sessions: list[tuple[int, int, int, int]],
-    events: list[tuple[int, int]],
+    sessions: list[tuple],
+    events: list[tuple],
     gap_us: int,
-) -> list[tuple[int, int, int, int]]:
-    """Merge new (ts_us, scaled_value) events into the pending-session
-    list, each session a (start_us, last_us, n_events, sum_scaled)
-    tuple.  Classic interval merge with a gap: an event lands in an
-    existing session when it is within ``gap_us`` of the session span
-    (including a late in-gap arrival that BRIDGES two pending sessions
-    — both collapse into one).  Pure function, unit-tested directly."""
-    merged: list[tuple[int, int, int, int]] = []
-    pending = sorted(sessions + [(t, t, 1, sv) for t, sv in events])
+) -> list[tuple]:
+    """Merge new (ts_us, *payload) events into the pending-session
+    list, each session a (start_us, last_us, *summed_payload) tuple
+    (payload fields beyond the span are summed element-wise: event
+    count, decimal-scaled sum, non-null count, ...).  Classic interval
+    merge with a gap: an event lands in an existing session when it is
+    within ``gap_us`` of the session span (including a late in-gap
+    arrival that BRIDGES two pending sessions — both collapse into
+    one).  Pure function, unit-tested directly."""
+    merged: list[tuple] = []
+    pending = sorted(sessions + [(e[0], e[0], 1, *e[1:]) for e in events])
     for s in pending:
         if merged and s[0] - merged[-1][1] <= gap_us:
             p = merged[-1]
-            merged[-1] = (p[0], max(p[1], s[1]), p[2] + s[2], p[3] + s[3])
+            merged[-1] = (
+                p[0],
+                max(p[1], s[1]),
+                *(p[i] + s[i] for i in range(2, len(p))),
+            )
         else:
             merged.append(s)
     return merged
@@ -782,18 +788,21 @@ def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sessionize(key, pdfs, state: GroupState):
         if state.exists:
-            starts, lasts, counts, sums = state.get
-            pending = list(zip(starts, lasts, counts, sums))
+            starts, lasts, counts, sums, nvals = state.get
+            pending = list(zip(starts, lasts, counts, sums, nvals))
         else:
             pending = []
-        events: list[tuple[int, int]] = []
+        events: list[tuple[int, int, int]] = []
         if not state.hasTimedOut:
             for pdf in pdfs:
                 # rows with NULL ts carry no event time — excluded,
                 # like every window/aggregation path treats them
                 ok = pdf["ts_us"].notna()
                 events.extend(
-                    (int(t), _scale_decimal4(v))
+                    # (ts, decimal-scaled value, non-null flag): an
+                    # all-NULL session must emit SQL's SUM = NULL, not
+                    # the 0 the scaler maps NULL to (null-sweep catch)
+                    (int(t), _scale_decimal4(v), int(v == v and v is not None))
                     for t, v in zip(pdf.loc[ok, "ts_us"], pdf.loc[ok, "value"])
                 )
         pending = _merge_pending_sessions(pending, events, gap_us)
@@ -809,9 +818,11 @@ def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "session_start_us": start,
                     "session_end_us": last,
                     "n_events": n,
-                    "session_value": _round_decimal4_to_2dp(sv),
+                    "session_value": (
+                        _round_decimal4_to_2dp(sv) if nv > 0 else None
+                    ),
                 }
-                for start, last, n, sv in closed
+                for start, last, n, sv, nv in closed
             ],
             columns=out_cols,
         )
@@ -836,7 +847,7 @@ def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             stateStructType=(
                 "starts array<long>, lasts array<long>, "
-                "counts array<long>, sums array<long>"
+                "counts array<long>, sums array<long>, nvals array<long>"
             ),
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
