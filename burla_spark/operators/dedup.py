@@ -645,7 +645,10 @@ def prefix_filter_jaccard_join(
     tier: recall 1.0 by construction.
     """
     g = docs.select(F.col(id_col).alias("pid"), F.col(grams_col).alias("grams"))
-    ex = g.select("pid", F.explode("grams").alias("gram"))
+    # distinct (pid, gram): a replayed/duplicated doc row must not
+    # double its grams in the collected set (array sizes would lie to
+    # the Jaccard) nor double-count document frequency
+    ex = g.select("pid", F.explode("grams").alias("gram")).distinct()
     freq = ex.groupBy("gram").agg(F.count("*").alias("df_cnt"))
     ranked = (
         ex.join(freq, "gram")

@@ -181,7 +181,7 @@ def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
 
 PREFIX_FILTER_SQL = rf"""
 WITH g AS (
-  SELECT doc_id,
+  SELECT DISTINCT doc_id,
     list_distinct(list_transform(
       generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
       i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
