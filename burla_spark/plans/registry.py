@@ -30,6 +30,7 @@ def all_specs() -> list[QuerySpec]:
         relational7,
         reshape,
         scale_ops,
+        semantic,
         streaming_queries,
         timeseries,
         udf_surface,
@@ -47,6 +48,7 @@ def all_specs() -> list[QuerySpec]:
         relational7.SPECS,
         reshape.SPECS,
         scale_ops.SPECS,
+        semantic.SPECS,
         complex_types.SPECS,
         timeseries.SPECS,
         llm.SPECS,
@@ -109,6 +111,9 @@ _DRIVER_PRIORITY = frozenset(
         # round-7 graph/sketch/incremental/timeseries additions
         "triangle_counts_part_graph", "heavy_hitter_bigrams",
         "ewma_event_values", "incremental_agg_maintenance",
+        # round-7 semantic-curation family (plans/semantic.py)
+        "semdedup_prune", "winnowing_fingerprints",
+        "winnowing_contamination_pairs", "bpe_train_merges",
     }
 )
 

@@ -1,0 +1,473 @@
+"""Semantic-curation operator family: SemDeDup-style embedding dedup,
+winnowing document fingerprints (the MOSS/Stanford scheme), and
+distributed BPE merge training — the three corpus-curation primitives
+a training-data pipeline runs between raw ingest and tokenization.
+
+All three are oracle-exact (full DuckDB SQL), following the
+plans/ann_oracle.py recipe for pinning the non-SQL degrees of freedom:
+
+* ``semdedup_prune`` — SemDeDup (Abbas et al. 2023): k-means-cluster
+  the embedding space, then drop any vector cosine-similar to another
+  vector IN THE SAME CLUSTER. The trained centroids are the only
+  non-SQL stage, so — exactly like ``kmeans_assign_fixed_centroids`` —
+  the centroids are pinned to embeddings vec_id 0..7 and everything
+  else (assignment, in-cluster pairing, the drop rule) replays
+  bit-for-bit in SQL.
+* ``winnowing_fingerprints`` / ``winnowing_contamination_pairs`` —
+  winnowing (Schleimer, Wilkerson, Aiken; SIGMOD 2003) selects the
+  minimum k-gram hash in every sliding window of ``W`` consecutive
+  grams, guaranteeing any shared token run of length >= W + K - 1
+  yields a shared fingerprint. Hashes are md5 hex strings (identical
+  in both engines), not xxhash, precisely so the oracle can replay
+  the selection.
+* ``bpe_train_merges`` — byte-pair-encoding merge training: the top-k
+  highest-weighted-count adjacent token pairs, merged iteratively over
+  the corpus word-frequency table. The token state is a DOUBLE-SPACE
+  joined string, which makes non-overlapping left-to-right ``replace``
+  EQUAL to greedy BPE merge application (single-space joints would let
+  a replacement consume the boundary space of the next occurrence:
+  'a a a a' -> 'aa a a' instead of 'aa aa').
+
+Reference parity: the reference pipes corpus curation through
+remote_parallel_map-style user functions (README quickstart); these
+specs re-express the same curation stages as declarative plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from burla_spark.functions.numeric import let
+from burla_spark.functions.vectors import cosine_similarity
+from burla_spark.plans.base import QuerySpec
+from burla_spark.sources.tables import load_table
+
+DIM = 64  # embeddings fixture dimension (TESTDATA.md)
+SEM_K = 8  # pinned centroid count (centroids = embeddings vec_id < 8)
+SEM_TAU = 0.4  # in-cluster cosine drop threshold (rounded-value compare)
+
+WIN_K = 4  # winnowing k-gram size (tokens)
+WIN_W = 5  # winnowing window (consecutive grams)
+WIN_MIN_SHARED = 3  # contamination-pair threshold on shared fingerprints
+
+BPE_MERGES = 4  # merge-training iterations
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: in-cluster cosine prune with pinned centroids
+# ---------------------------------------------------------------------------
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over the embedding column: assign every vector
+    to its nearest pinned centroid (squared L2, rounded, ties to the
+    smaller centroid id — the ``kmeans_assign_fixed_centroids``
+    kernel), then inside each cluster drop every vector that has a
+    LOWER-ID neighbor with rounded cosine >= SEM_TAU. One row per
+    dropped vector with its smallest dominating neighbor (``dup_of``)
+    and that pair's similarity — the per-cluster one-pass variant of
+    SemDeDup's keep-one-representative rule, made deterministic by
+    the id order.
+
+    100 TB shape: the pair stage joins ON cluster_id, so candidate
+    work is sum(cluster_size^2), never corpus^2 — the entire point of
+    clustering first (SemDeDup runs k ~ corpus_size/10^4 clusters; the
+    8 here is the oracle pin, not the production setting). Centroids
+    broadcast; the assignment is one scan; the only shuffles are keyed
+    by cluster_id and by the dropped id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.asc(F.round("d2", 6)), F.asc("cluster_id")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cluster_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "embedding")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), "cluster_id", F.col("embedding").alias("va")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), "cluster_id", F.col("embedding").alias("vb")
+    )
+    # threshold on the ROUNDED similarity (contract rule 14): a raw
+    # float compare could flip at an ULP between engines.
+    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) + F.lit(0.0)
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cluster_id", "id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= SEM_TAU)
+    )
+    # dup_of = the smallest dominating neighbor; its pair sim rides
+    # along in the struct-min (id_a is unique per id_b group).
+    best = F.min(F.struct("id_a", "sim"))
+    return (
+        pairs.groupBy(F.col("id_b").alias("vec_id"), "cluster_id")
+        .agg(best.alias("m"))
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("m.id_a").alias("dup_of"),
+            F.col("m.sim").alias("sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH i(i) AS (SELECT UNNEST(generate_series(1, {DIM}))),
+d2 AS (
+  SELECT v.vec_id, c.vec_id AS cluster_id,
+    SUM((CAST(v.embedding[i.i] AS DOUBLE) - CAST(c.embedding[i.i] AS DOUBLE))
+        * (CAST(v.embedding[i.i] AS DOUBLE) - CAST(c.embedding[i.i] AS DOUBLE))) AS d2
+  FROM embeddings v, embeddings c, i
+  WHERE c.vec_id < {SEM_K}
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id, cluster_id FROM d2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY ROUND(d2, 6), cluster_id) = 1
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster_id,
+    SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE)) AS dot,
+    SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(ea.embedding[i.i] AS DOUBLE)) AS aa,
+    SUM(CAST(eb.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE)) AS bb
+  FROM assigned a
+  JOIN assigned b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id, i
+  GROUP BY 1, 2, 3
+),
+sims AS (
+  SELECT id_a, id_b, cluster_id,
+         ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) + 0.0 AS sim
+  FROM p
+)
+SELECT id_b AS vec_id, cluster_id, id_a AS dup_of, sim
+FROM sims WHERE sim >= {SEM_TAU}
+QUALIFY ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY id_a) = 1
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (shared derivation for both specs)
+# ---------------------------------------------------------------------------
+def _winnowed_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, fp): distinct winnowed fingerprints per doc.
+
+    k-gram hashes are md5 hex strings (engine-portable, unlike
+    xxhash); the window selects MIN(hash) over each run of WIN_W
+    consecutive gram positions (full windows only, so the fingerprint
+    set is well-defined at the document tail). Per-doc windows
+    partition by doc_id — document-sized state, embarrassingly
+    parallel at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = let(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda toks: F.when(
+            F.size(toks) >= WIN_K,
+            F.transform(
+                # guard above keeps this sequence ascending: Spark's
+                # sequence(1, stop) REVERSES when stop < 1.
+                F.sequence(F.lit(1), F.size(toks) - (WIN_K - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.array_join(F.slice(toks, i, WIN_K), " ")).alias("h"),
+                ),
+            ),
+        ),
+    )
+    g = (
+        d.select("doc_id", grams.alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", F.explode("g").alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    w_min = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WIN_W - 1)
+    )
+    w_doc = Window.partitionBy("doc_id")
+    return (
+        g.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(w_min).alias("fp"),
+            F.count("*").over(w_doc).alias("n_grams"),
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - (WIN_W - 1))
+        .select("doc_id", "n_grams", "fp")
+        .distinct()
+    )
+
+
+# the same derivation as a SQL prefix both oracles share.
+_WINNOW_FPS_CTE = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(t[i:i+{WIN_K - 1}], ' ')) AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - {WIN_K - 1})) AS u(i)
+  WHERE len(t) >= {WIN_K}
+),
+wins AS (
+  SELECT doc_id, pos,
+    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS fp,
+    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, n_grams, fp
+  FROM wins WHERE pos <= n_grams - {WIN_W - 1}
+)
+"""
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowed fingerprint census: how many k-gram
+    positions the document has and how many distinct fingerprints
+    winnowing kept (the ~2/(W+1) density the paper proves). The
+    fingerprint table this summarizes is the unit of exact-substring
+    contamination checking at corpus scale: storage is O(docs x
+    density), not O(docs x grams)."""
+    fps = _winnowed_fps(spark, sf_dir)
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.count("*").alias("n_fps"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+WINNOWING_FPS_SQL = (
+    _WINNOW_FPS_CTE
+    + """
+SELECT doc_id, n_grams, CAST(COUNT(*) AS BIGINT) AS n_fps
+FROM fps GROUP BY doc_id, n_grams ORDER BY doc_id
+"""
+)
+
+
+def winnowing_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= WIN_MIN_SHARED winnowed fingerprints —
+    the cross-document half of winnowing: a shared fingerprint
+    witnesses a shared token run, and any shared run of
+    W + K - 1 tokens is GUARANTEED to produce one, so this join finds
+    every pair of documents sharing a sufficiently long exact passage
+    (eval-set contamination, boilerplate, plagiarism).
+
+    100 TB shape: an equi-join on the fingerprint hash — candidate
+    work bounded by per-fingerprint document frequency, never
+    corpus^2. A boilerplate fingerprint shared by thousands of docs is
+    the same hot-bucket problem LSH bands have; production caps or
+    drops top-df fingerprints (cf. minhash_lsh_pairs' opt-in
+    max_bucket) — the fixture's df tail needs no cap."""
+    fps = _winnowed_fps(spark, sf_dir).select("doc_id", "fp")
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WIN_MIN_SHARED)
+        .orderBy("id_a", "id_b")
+    )
+
+
+WINNOWING_PAIRS_SQL = (
+    _WINNOW_FPS_CTE
+    + f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {WIN_MIN_SHARED}
+ORDER BY id_a, id_b
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first BPE_MERGES byte-pair-encoding merges over the
+    corpus: per iteration, count every adjacent token pair weighted by
+    word frequency, pick the max (count DESC, pair ASC), and merge it
+    everywhere. Output: (step, pair, weighted_count) — the learned
+    merge table a tokenizer trainer persists.
+
+    Token state is the word's characters joined by TWO spaces: with
+    doubled joints, non-overlapping left-to-right string replace of
+    't1  t2' -> 't1t2' consumes no neighboring separator, so it equals
+    greedy BPE merge application exactly ('a a a a' merges to 'aa aa',
+    not the single-space artifact 'aa a a') — and DuckDB's replace()
+    has the same left-to-right semantics, which is what makes the
+    oracle exact.
+
+    100 TB shape: pair counting and merging run over the DISTINCT-word
+    frequency table, not the corpus — one corpus-sized aggregation up
+    front (cached), then each iteration is one tiny vocab-sized
+    aggregate plus a 1-row argmax probe (the same bounded driver-probe
+    pattern as pagerank's convergence check; the reference trains
+    tokenizers by shipping exactly this loop through its parallel-map
+    API)."""
+    d = load_table(spark, sf_dir, "documents")
+    word = F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    chars = let(
+        F.col("word"),
+        lambda w: F.transform(
+            F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+        ),
+    )
+    vocab = (
+        d.select(word)
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(F.array_join(chars, "  ").alias("ts"), "freq")
+    )
+    # the only corpus-sized work; every iteration below re-reads this
+    # tiny table (vocab-sized, not corpus-sized).
+    vocab = vocab.persist()
+    try:
+        schema = StructType(
+            [
+                StructField("step", LongType()),
+                StructField("pair", StringType()),
+                StructField("weighted_count", LongType()),
+            ]
+        )
+        merges: list[tuple[int, str, int]] = []
+        for step in range(1, BPE_MERGES + 1):
+            pair = let(
+                F.split(F.col("ts"), "  "),
+                lambda tk: F.when(
+                    F.size(tk) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - 1),
+                        lambda i: F.concat(
+                            F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
+                        ),
+                    ),
+                ),
+            )
+            counts = (
+                vocab.select(F.explode(pair).alias("pair"), "freq")
+                .groupBy("pair")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(1)
+            )
+            top = counts.collect()  # 1-row argmax probe, bounded
+            if not top:
+                break
+            best_pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+            merges.append((step, best_pair, cnt))
+            vocab = vocab.withColumn(
+                "ts",
+                F.replace(
+                    F.col("ts"),
+                    F.lit(best_pair.replace(" ", "  ")),
+                    F.lit(best_pair.replace(" ", "")),
+                ),
+            )
+        return spark.createDataFrame(merges, schema)
+    finally:
+        vocab.unpersist()
+
+
+def _bpe_sql() -> str:
+    head = r"""
+WITH words AS (
+  SELECT w AS word, COUNT(*) AS freq
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS u(w)
+  WHERE len(w) >= 1 GROUP BY 1
+),
+v0 AS (
+  SELECT array_to_string([word[i:i] FOR i IN range(1, len(word)+1)], '  ') AS ts,
+         freq
+  FROM words
+)"""
+    step = r""",
+pc{n} AS (
+  SELECT p AS pair, SUM(freq) AS cnt FROM (
+    SELECT UNNEST([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS p, freq
+    FROM (SELECT string_split(ts, '  ') AS tk, freq FROM v{m})
+  ) GROUP BY 1
+),
+m{n} AS (SELECT pair, cnt FROM pc{n} ORDER BY cnt DESC, pair LIMIT 1),
+v{n} AS (
+  SELECT replace(ts, (SELECT replace(pair, ' ', '  ') FROM m{n}),
+                     (SELECT replace(pair, ' ', '') FROM m{n})) AS ts, freq
+  FROM v{m}
+)"""
+    parts = [head]
+    for n in range(1, BPE_MERGES + 1):
+        parts.append(step.format(n=n, m=n - 1))
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({n} AS BIGINT) AS step, pair, "
+        f"CAST(cnt AS BIGINT) AS weighted_count FROM m{n}"
+        for n in range(1, BPE_MERGES + 1)
+    )
+    return "".join(parts) + "\n" + union + "\nORDER BY step"
+
+
+BPE_MERGES_SQL = _bpe_sql()
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "semdedup_prune",
+        semdedup_prune,
+        SEMDEDUP_SQL,
+        tags=("semantic", "dedup", "embeddings"),
+        doc="SemDeDup in-cluster cosine prune with pinned centroids",
+    ),
+    QuerySpec(
+        "winnowing_fingerprints",
+        winnowing_fingerprints,
+        WINNOWING_FPS_SQL,
+        tags=("semantic", "fingerprint", "documents"),
+        doc="per-doc winnowed fingerprint census (SIGMOD'03 winnowing)",
+    ),
+    QuerySpec(
+        "winnowing_contamination_pairs",
+        winnowing_contamination_pairs,
+        WINNOWING_PAIRS_SQL,
+        tags=("semantic", "fingerprint", "dedup", "documents"),
+        doc="doc pairs sharing >= 3 winnowed fingerprints",
+    ),
+    QuerySpec(
+        "bpe_train_merges",
+        bpe_train_merges,
+        BPE_MERGES_SQL,
+        tags=("semantic", "tokenizer", "documents"),
+        doc="first 4 BPE merges trained over the word-frequency table",
+    ),
+]

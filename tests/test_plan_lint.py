@@ -62,6 +62,10 @@ BNLJ_OK = {
     "token_budget_epoch_plan",
     "curriculum_length_phases",
     "heavy_hitter_bigrams",  # 1-row total-gram-count broadcast (threshold)
+    # round-7 semantic family: 8-row pinned-centroid broadcast for the
+    # assignment pass (the kmeans_assign_fixed_centroids kernel); the
+    # in-cluster pair stage below it is a keyed equi-join.
+    "semdedup_prune",
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]
