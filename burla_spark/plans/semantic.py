@@ -40,7 +40,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from burla_spark.functions.numeric import let
-from burla_spark.functions.vectors import cosine_similarity
 from burla_spark.plans.base import QuerySpec
 from burla_spark.sources.tables import load_table
 
@@ -99,15 +98,39 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cluster_id", "embedding")
     )
+    # per-vector norm computed ONCE (same F.aggregate expression the
+    # per-pair form would run, so bit-identical — but 2/3 less work in
+    # the pair stage, which dominates: pairs >> vectors).
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vd, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+    assigned = assigned.select(
+        "vec_id", "cluster_id", vd.alias("v"), norm.alias("nrm")
+    )
     a = assigned.select(
-        F.col("vec_id").alias("id_a"), "cluster_id", F.col("embedding").alias("va")
+        F.col("vec_id").alias("id_a"),
+        "cluster_id",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = assigned.select(
-        F.col("vec_id").alias("id_b"), "cluster_id", F.col("embedding").alias("vb")
+        F.col("vec_id").alias("id_b"),
+        "cluster_id",
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     # threshold on the ROUNDED similarity (contract rule 14): a raw
-    # float compare could flip at an ULP between engines.
-    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) + F.lit(0.0)
+    # float compare could flip at an ULP between engines. try_divide:
+    # a zero vector yields NULL (never >= tau), not an ANSI abort.
+    sim = F.round(F.try_divide(dot, F.col("na") * F.col("nb")), 6) + F.lit(0.0)
     pairs = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
