@@ -114,6 +114,7 @@ _DRIVER_PRIORITY = frozenset(
         # round-7 semantic-curation family (plans/semantic.py)
         "semdedup_prune", "winnowing_fingerprints",
         "winnowing_contamination_pairs", "bpe_train_merges",
+        "editdist_neardup_pairs",
     }
 )
 

@@ -20,6 +20,9 @@ plans/ann_oracle.py recipe for pinning the non-SQL degrees of freedom:
   yields a shared fingerprint. Hashes are md5 hex strings (identical
   in both engines), not xxhash, precisely so the oracle can replay
   the selection.
+* ``editdist_neardup_pairs`` — the relative-edit-distance near-dup
+  tier (catches in-place edits that shift every shingle); the keep
+  rule is pure BIGINT arithmetic, so no float contract is needed.
 * ``bpe_train_merges`` — byte-pair-encoding merge training: the top-k
   highest-weighted-count adjacent token pairs, merged iteratively over
   the corpus word-frequency table. The token state is a DOUBLE-SPACE
@@ -335,6 +338,69 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# Edit-distance near-dup verify tier
+# ---------------------------------------------------------------------------
+EDIT_REL_DEN = 5  # keep pairs with lev * 5 <= max(len_a, len_b), i.e. <= 20%
+
+
+def editdist_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs under RELATIVE EDIT DISTANCE — the metric
+    tier between exact dedup and token-set Jaccard: it catches small
+    in-place edits (typo/number/date substitutions) that shift every
+    overlapping shingle but barely move the edit distance. Candidates
+    block on an equal 40-char prefix (the deterministic stand-in for
+    LSH-band keys, same as shingle_jaccard_verified_pairs); the keep
+    rule ``lev * 5 <= greatest(len_a, len_b)`` is exact BIGINT
+    arithmetic — no float path at all, so the oracle is trivially
+    bit-exact.
+
+    100 TB shape: equi-join on the block key (bounded buckets, never
+    corpus²); levenshtein runs JVM-side per candidate pair only. At
+    production lengths, pass Spark's threshold arg
+    (``levenshtein(l, r, k)`` early-exits at k) with k = the largest
+    absolute distance the relative rule could accept for the block's
+    length band."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.col("text"),
+        F.substring("text", 1, 40).alias("pfx"),
+        F.length("text").alias("ln"),
+    )
+    a = s.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("ta"),
+        "pfx", F.col("ln").alias("la"),
+    )
+    b = s.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("tb"),
+        "pfx", F.col("ln").alias("lb"),
+    )
+    lev = F.levenshtein("ta", "tb").cast("long")
+    return (
+        a.join(b, "pfx")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", lev.alias("lev"), F.greatest("la", "lb").alias("mx"))
+        .filter(F.col("lev") * EDIT_REL_DEN <= F.col("mx"))
+        .select("id_a", "id_b", "lev")
+        .orderBy("id_a", "id_b")
+    )
+
+
+EDITDIST_PAIRS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, substr(text, 1, 40) AS pfx,
+         CAST(len(text) AS BIGINT) AS ln
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) * {EDIT_REL_DEN} <= greatest(a.ln, b.ln)
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE merge training
 # ---------------------------------------------------------------------------
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,6 +551,13 @@ SPECS: list[QuerySpec] = [
         WINNOWING_PAIRS_SQL,
         tags=("semantic", "fingerprint", "dedup", "documents"),
         doc="doc pairs sharing >= 3 winnowed fingerprints",
+    ),
+    QuerySpec(
+        "editdist_neardup_pairs",
+        editdist_neardup_pairs,
+        EDITDIST_PAIRS_SQL,
+        tags=("semantic", "dedup", "documents"),
+        doc="relative-edit-distance near-dup pairs over prefix blocks",
     ),
     QuerySpec(
         "bpe_train_merges",

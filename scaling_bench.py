@@ -61,12 +61,23 @@ QUERIES = [
     "triangle_counts_part_graph", "heavy_hitter_bigrams",
     "similarity_join_prefix_filter", "ewma_event_values",
     "incremental_agg_maintenance",
+    # round-7 semantic family: fingerprint-join and tokenizer-training
+    # paths (winnowing's per-replica gram vocab is disjoint under the
+    # v2 word-prefix transform, so pair structure scales linearly; BPE
+    # counts over the word-frequency table, which grows ×SCALE).
+    "winnowing_contamination_pairs", "bpe_train_merges",
 ]
 # Deliberately excluded: interval_overlap_join — replicating a FIXED
 # time window multiplies temporal density, and interval-overlap OUTPUT
 # is quadratic in density by definition; its wall ratio would measure
 # result size, not plan quality. (Runtime ∝ output is already optimal
 # there; its per-band candidate bound is plan-lint-checked instead.)
+# Also excluded: semdedup_prune — its centroid count is PINNED to 8 to
+# keep the oracle exact, so replicating the corpus grows cluster sizes
+# ×SCALE and in-cluster pair work ×SCALE²: a measurement of the pin,
+# not the plan. Production SemDeDup scales k with the corpus (pairs
+# per cluster constant); the trained-clustering scale path is covered
+# by kmeans_cluster_sizes in this list.
 
 
 def generate_fixtures() -> None:
