@@ -532,6 +532,151 @@ FROM bits GROUP BY bucket ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# SimHash with md5 bits: the sketch's vote/fold math, oracle-exact
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> 60 bits, positive in BIGINT
+
+
+def simhash_md5_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash fold — per-bit ±1 token votes, strict-majority sign
+    — computed over md5-derived 60-bit token hashes instead of
+    xxhash64, which is the ONLY part of ``simhash_dedup_groups`` DuckDB
+    cannot replay (conv(substr(md5(t),1,15),16,10) is bit-identical in
+    both engines). Output: each document's signature plus its bucket
+    size — any divergence in the vote counting, majority rule, or bit
+    packing flips the signature hash.
+
+    100 TB shape identical to the production operator: one token
+    explode fanned ×60 bits map-side, a (doc, bit) partial-sum
+    combine, and a doc-keyed re-fold — all shuffles linear in corpus
+    size; the bucket census is one more signature-keyed combine."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+    toks = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+        )
+        .select("doc_id", h.alias("h"))
+    )
+    bits = toks.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    )
+    # F.shiftright/shiftleft take only literal bit counts; the SQL
+    # forms accept a column.
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum(F.expr("shiftright(h, CAST(bit AS INT)) & 1")).alias("ones"),
+        F.count("*").alias("n"),
+    )
+    contrib = F.when(
+        F.col("ones") * 2 > F.col("n"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    sigs = votes.groupBy("doc_id").agg(F.sum(contrib).alias("simhash"))
+    w = Window.partitionBy("simhash")
+    return (
+        sigs.select("doc_id", "simhash", F.count("*").over(w).alias("bucket_n"))
+        .orderBy("doc_id")
+    )
+
+
+SIMHASH_MD5_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS u(t)
+  WHERE text IS NOT NULL
+),
+votes AS (
+  SELECT doc_id, bit,
+         SUM((h >> bit) & 1) AS ones, COUNT(*) AS n
+  FROM toks, UNNEST(generate_series(0, {SIMHASH_BITS - 1})) AS b(bit)
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN ones * 2 > n THEN (1::BIGINT << bit) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT doc_id, simhash,
+       CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS bucket_n
+FROM sigs ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# HLL registers with md5: the sketch's register math, oracle-exact
+# ---------------------------------------------------------------------------
+HLL_P = 6  # 2^6 = 64 registers
+HLL_REM_BITS = SIMHASH_BITS - HLL_P  # 54 value bits per hash
+
+
+def hll_registers_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog's register computation — index = top HLL_P hash
+    bits, rho = position of the first set bit in the remainder, merged
+    by per-register MAX — over md5-derived hashes of the distinct
+    customer keys in orders. This is everything
+    ``hll_cardinality_sketch`` does except (a) the Spark-internal
+    xxhash and (b) the bias-corrected harmonic estimate, which is a
+    pure driver-side function OF these registers. rho is exact
+    integer-only arithmetic: bin(rem) never has leading zeros, so
+    rho = rem_bits - length(bin(rem)) + 1 (all-zero remainder
+    saturates at rem_bits + 1, the standard HLL convention).
+
+    100 TB shape: the register table IS the map-side combine — every
+    partition reduces to <= 64 (register, max_rho) rows before the
+    shuffle, the same mergeability the sketch exists for."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = (
+        o.select(F.col("o_custkey"))
+        .distinct()
+        .select(
+            (F.shiftright(h, HLL_REM_BITS)).alias("register"),
+            (h.bitwiseAND(F.lit((1 << HLL_REM_BITS) - 1))).alias("rem"),
+        )
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(HLL_REM_BITS + 1)).otherwise(
+        F.lit(HLL_REM_BITS) - F.length(F.bin("rem")) + 1
+    )
+    return (
+        hashed.select("register", rho.cast("long").alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"), F.count("*").alias("n_values"))
+        .orderBy("register")
+    )
+
+
+HLL_REGISTERS_SQL = f"""
+WITH vals AS (
+  SELECT DISTINCT o_custkey FROM orders
+),
+hashed AS (
+  SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM vals
+),
+regs AS (
+  SELECT h >> {HLL_REM_BITS} AS register,
+         h & {(1 << HLL_REM_BITS) - 1} AS rem
+  FROM hashed
+)
+SELECT register,
+       CAST(MAX(CASE WHEN rem = 0 THEN {HLL_REM_BITS + 1}
+                     ELSE {HLL_REM_BITS} - length(bin(rem)) + 1 END) AS BIGINT)
+         AS max_rho,
+       CAST(COUNT(*) AS BIGINT) AS n_values
+FROM regs GROUP BY register ORDER BY register
+"""
+
+
 SPECS = [
     QuerySpec(
         "lsh_fixed_planes_buckets",
@@ -576,5 +721,23 @@ SPECS = [
         MMR_LAMBDA1_SQL,
         ("similarity", "oracle-companion"),
         doc="MMR at lambda=1 == exact cosine top-k (degenerate oracle).",
+    ),
+    QuerySpec(
+        "simhash_md5_signatures",
+        simhash_md5_signatures,
+        SIMHASH_MD5_SQL,
+        ("dedup", "sketch", "oracle-companion"),
+        doc="SimHash vote/fold math over md5 bits (companion to "
+        "simhash_dedup_groups, whose xxhash bits are the only "
+        "non-SQL part).",
+    ),
+    QuerySpec(
+        "hll_registers_md5",
+        hll_registers_md5,
+        HLL_REGISTERS_SQL,
+        ("sketch", "oracle-companion"),
+        doc="HLL register computation over md5 hashes (companion to "
+        "hll_cardinality_sketch; the estimate is a driver-side "
+        "function of these registers).",
     ),
 ]
