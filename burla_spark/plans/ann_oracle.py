@@ -29,12 +29,21 @@ driver's scoreboard covers the math the fuzzy pipelines rest on:
   with FIXED planes (companion to ``embedding_lsh_topk``, whose seeded
   random planes are the only non-SQL part).
 
+Round-7 additions close the two sketch gray zones the same way:
+
+* ``simhash_md5_signatures`` — SimHash's vote/fold/pack math over
+  md5-derived 60-bit hashes (companion to ``simhash_dedup_groups``;
+  xxhash64 is the only part DuckDB can't replay).
+* ``hll_registers_md5`` — HLL's register index + rho + per-register
+  MAX merge over md5 hashes (companion to ``hll_cardinality_sketch``;
+  the bias-corrected estimate is a driver-side function of these
+  registers).
+
 Still irreducible (documented, pytest-verified against brute force):
-HLL (xxhash registers), SimHash (xxhash bits), compression-ratio
-(zlib), IVF cell assignment (trained centroids — but its assignment
-MATH is exactly ``kmeans_assign_fixed_centroids``), and transitive
-``dedup_components`` (whose algorithm is oracle-green via the exact
-variant ``dedup_components_exact``).
+compression-ratio (zlib), IVF cell assignment (trained centroids —
+but its assignment MATH is exactly ``kmeans_assign_fixed_centroids``),
+and transitive ``dedup_components`` (whose algorithm is oracle-green
+via the exact variant ``dedup_components_exact``).
 """
 
 from __future__ import annotations

@@ -115,6 +115,8 @@ _DRIVER_PRIORITY = frozenset(
         "semdedup_prune", "winnowing_fingerprints",
         "winnowing_contamination_pairs", "bpe_train_merges",
         "editdist_neardup_pairs",
+        # round-7 sketch-math oracle companions (plans/ann_oracle.py)
+        "simhash_md5_signatures", "hll_registers_md5",
     }
 )
 
