@@ -403,6 +403,72 @@ ORDER BY id_a, id_b
 # ---------------------------------------------------------------------------
 # BPE merge training
 # ---------------------------------------------------------------------------
+def _train_bpe(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """Shared BPE training loop: returns the learned merge list
+    [(step, 'a b', weighted_count)] and the FINAL vocab state
+    (word, ts, freq) with all merges applied — the input to encoding.
+
+    The caller must ``unpersist()`` the returned DataFrame's base via
+    the attached ``_bpe_base`` handle when done."""
+    d = load_table(spark, sf_dir, "documents")
+    word = F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    chars = let(
+        F.col("word"),
+        lambda w: F.transform(
+            F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+        ),
+    )
+    base = (
+        d.select(word)
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select("word", F.array_join(chars, "  ").alias("ts"), "freq")
+    )
+    # the only corpus-sized work; every iteration below re-reads this
+    # tiny table (vocab-sized, not corpus-sized).
+    base = base.persist()
+    vocab = base
+    merges: list[tuple[int, str, int]] = []
+    for step in range(1, BPE_MERGES + 1):
+        pair = let(
+            F.split(F.col("ts"), "  "),
+            lambda tk: F.when(
+                F.size(tk) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - 1),
+                    lambda i: F.concat(
+                        F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
+                    ),
+                ),
+            ),
+        )
+        counts = (
+            vocab.select(F.explode(pair).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+        )
+        top = counts.collect()  # 1-row argmax probe, bounded
+        if not top:
+            break
+        best_pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        merges.append((step, best_pair, cnt))
+        vocab = vocab.withColumn(
+            "ts",
+            F.replace(
+                F.col("ts"),
+                F.lit(best_pair.replace(" ", "  ")),
+                F.lit(best_pair.replace(" ", "")),
+            ),
+        )
+    vocab._bpe_base = base  # noqa: SLF001 — unpersist handle for callers
+    return merges, vocab
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the first BPE_MERGES byte-pair-encoding merges over the
     corpus: per iteration, count every adjacent token pair weighted by
@@ -425,72 +491,65 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern as pagerank's convergence check; the reference trains
     tokenizers by shipping exactly this loop through its parallel-map
     API)."""
+    schema = StructType(
+        [
+            StructField("step", LongType()),
+            StructField("pair", StringType()),
+            StructField("weighted_count", LongType()),
+        ]
+    )
+    merges, vocab = _train_bpe(spark, sf_dir)
+    vocab._bpe_base.unpersist()  # noqa: SLF001
+    return spark.createDataFrame(merges, schema)
+
+
+def bpe_encode_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus under the trained merges — the other half of
+    the tokenizer lifecycle: per source, exact word / BPE-token /
+    character totals (all BIGINT; tokens < chars once merges apply).
+    The final vocab state maps each distinct word to its merged token
+    count; corpus totals are frequency-weighted joins against it, so
+    the corpus is scanned once and everything else is vocab-sized.
+
+    100 TB shape: the per-(source, word) aggregate is the corpus scan;
+    the token-count join is against the tiny vocab table (broadcast);
+    no row-level re-tokenization of the corpus ever happens — the
+    production reason tokenizers precompute word->tokens maps."""
+    _, vocab = _train_bpe(spark, sf_dir)
+    tok = vocab.select(
+        "word", F.size(F.split("ts", "  ")).cast("long").alias("ntok")
+    )
     d = load_table(spark, sf_dir, "documents")
-    word = F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
-    chars = let(
-        F.col("word"),
-        lambda w: F.transform(
-            F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
-        ),
-    )
-    vocab = (
-        d.select(word)
-        .filter(F.length("word") >= 1)
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-        .select(F.array_join(chars, "  ").alias("ts"), "freq")
-    )
-    # the only corpus-sized work; every iteration below re-reads this
-    # tiny table (vocab-sized, not corpus-sized).
-    vocab = vocab.persist()
-    try:
-        schema = StructType(
-            [
-                StructField("step", LongType()),
-                StructField("pair", StringType()),
-                StructField("weighted_count", LongType()),
-            ]
+    src_words = (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
         )
-        merges: list[tuple[int, str, int]] = []
-        for step in range(1, BPE_MERGES + 1):
-            pair = let(
-                F.split(F.col("ts"), "  "),
-                lambda tk: F.when(
-                    F.size(tk) >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(tk) - 1),
-                        lambda i: F.concat(
-                            F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
-                        ),
-                    ),
-                ),
-            )
-            counts = (
-                vocab.select(F.explode(pair).alias("pair"), "freq")
-                .groupBy("pair")
-                .agg(F.sum("freq").alias("cnt"))
-                .orderBy(F.desc("cnt"), F.asc("pair"))
-                .limit(1)
-            )
-            top = counts.collect()  # 1-row argmax probe, bounded
-            if not top:
-                break
-            best_pair, cnt = top[0]["pair"], int(top[0]["cnt"])
-            merges.append((step, best_pair, cnt))
-            vocab = vocab.withColumn(
-                "ts",
-                F.replace(
-                    F.col("ts"),
-                    F.lit(best_pair.replace(" ", "  ")),
-                    F.lit(best_pair.replace(" ", "")),
-                ),
-            )
-        return spark.createDataFrame(merges, schema)
-    finally:
-        vocab.unpersist()
+        .filter(F.length("word") >= 1)
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("freq"))
+    )
+    out = (
+        src_words.join(F.broadcast(tok), "word")
+        .groupBy("source")
+        .agg(
+            F.sum("freq").alias("n_words"),
+            F.sum(F.col("freq") * F.col("ntok")).alias("n_tokens"),
+            F.sum(F.col("freq") * F.length("word")).alias("n_chars"),
+        )
+        .orderBy("source")
+    )
+    # releasing the pin only drops the cache — the returned lazy plan
+    # stays valid (the merge patterns are already bound as literals)
+    # and recomputes the vocab lineage once when the caller executes.
+    vocab._bpe_base.unpersist()  # noqa: SLF001
+    return out
 
 
-def _bpe_sql() -> str:
+def _bpe_chain_sql() -> str:
+    """The shared training chain: v0..v{BPE_MERGES} vocab states, each
+    m{n} the step-n winning merge. Carries ``word`` so encoders can
+    join the final state back to corpus word frequencies."""
     head = r"""
 WITH words AS (
   SELECT w AS word, COUNT(*) AS freq
@@ -499,7 +558,8 @@ WITH words AS (
   WHERE len(w) >= 1 GROUP BY 1
 ),
 v0 AS (
-  SELECT array_to_string([word[i:i] FOR i IN range(1, len(word)+1)], '  ') AS ts,
+  SELECT word,
+         array_to_string([word[i:i] FOR i IN range(1, len(word)+1)], '  ') AS ts,
          freq
   FROM words
 )"""
@@ -512,22 +572,48 @@ pc{n} AS (
 ),
 m{n} AS (SELECT pair, cnt FROM pc{n} ORDER BY cnt DESC, pair LIMIT 1),
 v{n} AS (
-  SELECT replace(ts, (SELECT replace(pair, ' ', '  ') FROM m{n}),
+  SELECT word,
+         replace(ts, (SELECT replace(pair, ' ', '  ') FROM m{n}),
                      (SELECT replace(pair, ' ', '') FROM m{n})) AS ts, freq
   FROM v{m}
 )"""
     parts = [head]
     for n in range(1, BPE_MERGES + 1):
         parts.append(step.format(n=n, m=n - 1))
+    return "".join(parts)
+
+
+def _bpe_train_sql() -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({n} AS BIGINT) AS step, pair, "
         f"CAST(cnt AS BIGINT) AS weighted_count FROM m{n}"
         for n in range(1, BPE_MERGES + 1)
     )
-    return "".join(parts) + "\n" + union + "\nORDER BY step"
+    return _bpe_chain_sql() + "\n" + union + "\nORDER BY step"
 
 
-BPE_MERGES_SQL = _bpe_sql()
+BPE_MERGES_SQL = _bpe_train_sql()
+
+BPE_ENCODE_SQL = (
+    _bpe_chain_sql()
+    + rf""",
+src_words AS (
+  SELECT source, w AS word, COUNT(*) AS freq
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS u(w)
+  WHERE len(w) >= 1 GROUP BY 1, 2
+),
+tok AS (
+  SELECT word, CAST(len(string_split(ts, '  ')) AS BIGINT) AS ntok
+  FROM v{BPE_MERGES}
+)
+SELECT source, CAST(SUM(freq) AS BIGINT) AS n_words,
+       CAST(SUM(freq * ntok) AS BIGINT) AS n_tokens,
+       CAST(SUM(freq * len(word)) AS BIGINT) AS n_chars
+FROM src_words JOIN tok USING (word)
+GROUP BY source ORDER BY source
+"""
+)
 
 
 SPECS: list[QuerySpec] = [
@@ -565,5 +651,12 @@ SPECS: list[QuerySpec] = [
         BPE_MERGES_SQL,
         tags=("semantic", "tokenizer", "documents"),
         doc="first 4 BPE merges trained over the word-frequency table",
+    ),
+    QuerySpec(
+        "bpe_encode_token_stats",
+        bpe_encode_token_stats,
+        BPE_ENCODE_SQL,
+        tags=("semantic", "tokenizer", "documents"),
+        doc="per-source word/token/char totals under the trained merges",
     ),
 ]

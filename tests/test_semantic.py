@@ -195,6 +195,15 @@ def test_bpe_merge_count_and_monotone(spark, sf_dir):
     assert all(c > 0 for c in counts)
 
 
+def test_bpe_encode_bounds(spark, sf_dir):
+    """Token totals sit strictly between word totals (every word is
+    >=1 token) and char totals (4 real merges shrink something)."""
+    rows = sem.bpe_encode_token_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] <= r["n_tokens"] < r["n_chars"]
+
+
 def test_bpe_empty_corpus_schema(spark, tmp_path):
     d = _write_docs(tmp_path, [])
     out = sem.bpe_train_merges(spark, d)
