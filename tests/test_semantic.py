@@ -18,7 +18,6 @@ from __future__ import annotations
 import duckdb
 import numpy as np
 import pandas as pd
-import pytest
 
 from burla_spark.plans import semantic as sem
 from tests.oracle import compare
