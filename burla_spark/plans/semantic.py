@@ -338,6 +338,95 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# Distinct-n lexical diversity
+# ---------------------------------------------------------------------------
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1 / distinct-2 lexical diversity per source — the
+    standard corpus-health metric (ratio of distinct n-grams to total
+    n-grams; collapse toward 0 flags templated/looped text before it
+    trains). Counts are exact BIGINTs; each ratio is ONE division of
+    two exact integers, so it is bit-identical across engines.
+
+    100 TB shape: the distinct counts are (source, gram)-keyed
+    aggregates — the same two-phase hash-agg path as count distinct
+    everywhere else; no sketch needed because the output is per-source
+    (for per-DOC diversity at scale you'd swap in HLL and accept the
+    rse; cf. hll_registers_md5)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = let(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: F.struct(
+            t.alias("uni"),
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.concat(
+                        F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")).alias("bi"),
+        ),
+    )
+    g = d.select("source", toks.alias("g"))
+    uni = g.select("source", F.explode("g.uni").alias("gram")).groupBy("source").agg(
+        F.count("*").alias("n_unigrams"),
+        F.countDistinct("gram").alias("n_distinct_unigrams"),
+    )
+    bi = g.select("source", F.explode("g.bi").alias("gram")).groupBy("source").agg(
+        F.count("*").alias("n_bigrams"),
+        F.countDistinct("gram").alias("n_distinct_bigrams"),
+    )
+    return (
+        uni.join(bi, "source")
+        .select(
+            "source",
+            "n_unigrams",
+            "n_distinct_unigrams",
+            (
+                F.col("n_distinct_unigrams").cast("double")
+                / F.col("n_unigrams").cast("double")
+            ).alias("distinct_1"),
+            "n_bigrams",
+            "n_distinct_bigrams",
+            (
+                F.col("n_distinct_bigrams").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("distinct_2"),
+        )
+        .orderBy("source")
+    )
+
+
+DISTINCT_NGRAM_SQL = r"""
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+uni AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_unigrams,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_unigrams
+  FROM toks, UNNEST(t) AS u(g) GROUP BY source
+),
+bi AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_bigrams
+  FROM toks,
+       UNNEST([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS u(g)
+  GROUP BY source
+)
+SELECT source, n_unigrams, n_distinct_unigrams,
+       CAST(n_distinct_unigrams AS DOUBLE) / CAST(n_unigrams AS DOUBLE)
+         AS distinct_1,
+       n_bigrams, n_distinct_bigrams,
+       CAST(n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         AS distinct_2
+FROM uni JOIN bi USING (source)
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Edit-distance near-dup verify tier
 # ---------------------------------------------------------------------------
 EDIT_REL_DEN = 5  # keep pairs with lev * 5 <= max(len_a, len_b), i.e. <= 20%
@@ -637,6 +726,13 @@ SPECS: list[QuerySpec] = [
         WINNOWING_PAIRS_SQL,
         tags=("semantic", "fingerprint", "dedup", "documents"),
         doc="doc pairs sharing >= 3 winnowed fingerprints",
+    ),
+    QuerySpec(
+        "distinct_ngram_diversity",
+        distinct_ngram_diversity,
+        DISTINCT_NGRAM_SQL,
+        tags=("semantic", "quality", "documents"),
+        doc="distinct-1/distinct-2 lexical diversity per source",
     ),
     QuerySpec(
         "editdist_neardup_pairs",
