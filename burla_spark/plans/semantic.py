@@ -201,72 +201,74 @@ def _winnowed_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_grams, fp): distinct winnowed fingerprints per doc.
 
     k-gram hashes are md5 hex strings (engine-portable, unlike
-    xxhash); the window selects MIN(hash) over each run of WIN_W
-    consecutive gram positions (full windows only, so the fingerprint
-    set is well-defined at the document tail). Per-doc windows
-    partition by doc_id — document-sized state, embarrassingly
-    parallel at any corpus size."""
+    xxhash); each full run of WIN_W consecutive gram positions keeps
+    its MIN hash. The selection runs ENTIRELY inside the document row
+    (array window-mins over the per-doc hash array) — no explode
+    before selection, no per-doc window sort, no shuffle until the
+    cross-doc join: winnowing is local to a document by definition,
+    so the plan should be too (the window-function form measured ~2x
+    slower at x10 scale for pure sort/exchange overhead).
+
+    The doc scan is repartitioned first: the CPU-heavy per-doc hash
+    stage must fan out across cores even when the source is a single
+    small fixture file (a TB-scale scan arrives pre-partitioned) —
+    the same rule as minhash_lsh_pairs' signature stage."""
     d = load_table(spark, sf_dir, "documents")
-    grams = let(
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    d = d.repartition(n_parts, F.col("doc_id"))
+    fps_arr = let(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
-        lambda toks: F.when(
-            F.size(toks) >= WIN_K,
-            F.transform(
-                # guard above keeps this sequence ascending: Spark's
+        lambda toks: let(
+            F.when(
+                # guard keeps the sequences ascending: Spark's
                 # sequence(1, stop) REVERSES when stop < 1.
-                F.sequence(F.lit(1), F.size(toks) - (WIN_K - 1)),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.md5(F.array_join(F.slice(toks, i, WIN_K), " ")).alias("h"),
+                F.size(toks) >= WIN_K,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (WIN_K - 1)),
+                    lambda i: F.md5(F.array_join(F.slice(toks, i, WIN_K), " ")),
+                ),
+            ),
+            lambda hs: F.when(
+                F.size(hs) >= WIN_W,
+                F.struct(
+                    F.size(hs).cast("long").alias("n_grams"),
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(hs) - (WIN_W - 1)),
+                            lambda j: F.array_min(F.slice(hs, j, WIN_W)),
+                        )
+                    ).alias("fps"),
                 ),
             ),
         ),
     )
-    g = (
-        d.select("doc_id", grams.alias("g"))
-        .filter(F.col("g").isNotNull())
-        .select("doc_id", F.explode("g").alias("g"))
-        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-    )
-    w_min = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WIN_W - 1)
-    )
-    w_doc = Window.partitionBy("doc_id")
     return (
-        g.select(
-            "doc_id",
-            "pos",
-            F.min("h").over(w_min).alias("fp"),
-            F.count("*").over(w_doc).alias("n_grams"),
-        )
-        .filter(F.col("pos") <= F.col("n_grams") - (WIN_W - 1))
-        .select("doc_id", "n_grams", "fp")
-        .distinct()
+        d.select("doc_id", fps_arr.alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", F.col("g.n_grams").alias("n_grams"),
+                F.explode("g.fps").alias("fp"))
     )
 
 
-# the same derivation as a SQL prefix both oracles share.
+# the same derivation as a SQL prefix both oracles share (list-local,
+# mirroring the map-side Spark form).
 _WINNOW_FPS_CTE = rf"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
   FROM documents
 ),
-grams AS (
-  SELECT doc_id, i AS pos,
-         md5(array_to_string(t[i:i+{WIN_K - 1}], ' ')) AS h
-  FROM toks, UNNEST(generate_series(1, len(t) - {WIN_K - 1})) AS u(i)
-  WHERE len(t) >= {WIN_K}
-),
-wins AS (
-  SELECT doc_id, pos,
-    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-                 ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS fp,
-    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
-  FROM grams
+hs AS (
+  SELECT doc_id,
+         [md5(array_to_string(t[i:i+{WIN_K - 1}], ' '))
+          FOR i IN range(1, len(t) - {WIN_K - 1} + 1)] AS hs
+  FROM toks WHERE len(t) >= {WIN_K}
 ),
 fps AS (
-  SELECT DISTINCT doc_id, n_grams, fp
-  FROM wins WHERE pos <= n_grams - {WIN_W - 1}
+  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+         UNNEST(list_distinct(
+           [list_min(hs[j:j+{WIN_W - 1}])
+            FOR j IN range(1, len(hs) - {WIN_W - 1} + 1)])) AS fp
+  FROM hs WHERE len(hs) >= {WIN_W}
 )
 """
 

@@ -759,7 +759,126 @@ FROM lagd WHERE rn = 1 ORDER BY user_id
 EWMA_SQL = _ewma_sql()
 
 
+# ---------------------------------------------------------------------------
+# Seasonal decomposition: hour-of-day profile against a centered MA trend
+# ---------------------------------------------------------------------------
+SEASONAL_HALF = 12  # ±12h -> 25-hour centered trend window
+
+
+def seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical-decomposition seasonal profile: the trend at each hour
+    is the observation-weighted mean of ALL raw values in the ±12-hour
+    TIME window (a RANGE frame on the hour index, so gaps in sparse
+    hours widen nothing); the seasonal component per (event_type,
+    hour-of-day) is the mean deviation of the hourly mean from that
+    trend, over hours whose trend window is fully interior. This is
+    the anomaly-detection baseline ("is tonight's error rate high FOR
+    3AM?") that raw thresholds can't express.
+
+    Determinism: trend = exact-DECIMAL window sum / BIGINT window
+    count (one double division); deviations are ROUNDED to 6 dp BEFORE
+    re-entering DECIMAL for the per-hod mean — casting a raw computed
+    double into DECIMAL quantizes at .5-of-last-digit boundaries where
+    the engines' double->decimal rounding can disagree (measured: a
+    DECIMAL(18,4) cast flipped the 4th decimal of one deviation),
+    while a 6-dp-rounded double sits ~1 ulp from its decimal lattice
+    point, so the cast is unambiguous in both engines. Output rounds
+    + normalizes signed zero (deviations cross 0 by construction).
+
+    100 TB shape: one shuffle to hourly grain (corpus-sized input,
+    types×hours output), then every window partitions by event_type
+    over the HOURLY table — bounded by the calendar, not the event
+    volume; the interior gate is a broadcast join of per-type min/max."""
+    from burla_spark.functions.numeric import dec
+
+    e = load_table(spark, sf_dir, "events")
+    hour_idx = F.expr(
+        "CAST(unix_timestamp(date_trunc('hour', ts)) / 3600 AS BIGINT)"
+    )
+    hourly = (
+        e.groupBy(F.col("event_type"), hour_idx.alias("h"))
+        .agg(F.sum(dec("value")).alias("vsum"), F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rangeBetween(-SEASONAL_HALF, SEASONAL_HALF)
+    )
+    trended = hourly.select(
+        "event_type",
+        "h",
+        (F.col("vsum").cast("double") / F.col("n")).alias("hmean"),
+        (F.sum("vsum").over(w).cast("double") / F.sum("n").over(w)).alias("trend"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h_min"), F.max("h").alias("h_max")
+    )
+    interior = (
+        trended.join(F.broadcast(bounds), "event_type")
+        .filter(
+            (F.col("h") >= F.col("h_min") + SEASONAL_HALF)
+            & (F.col("h") <= F.col("h_max") - SEASONAL_HALF)
+        )
+        .select(
+            "event_type",
+            (F.col("h") % 24).alias("hod"),
+            F.round(F.col("hmean") - F.col("trend"), 6)
+            .cast("decimal(28,6)")
+            .alias("dev"),
+        )
+    )
+    return (
+        interior.groupBy("event_type", "hod")
+        .agg(
+            F.count("*").alias("n_hours"),
+            (
+                F.round(F.sum("dev").cast("double") / F.count("*"), 6) + F.lit(0.0)
+            ).alias("seasonal"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+SEASONAL_PROFILE_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS h,
+         SUM(CAST(value AS DECIMAL(18,4))) AS vsum, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+trended AS (
+  SELECT event_type, h,
+         CAST(vsum AS DOUBLE) / n AS hmean,
+         CAST(SUM(vsum) OVER tw AS DOUBLE) / SUM(n) OVER tw AS trend
+  FROM hourly
+  WINDOW tw AS (PARTITION BY event_type ORDER BY h
+                RANGE BETWEEN {SEASONAL_HALF} PRECEDING
+                          AND {SEASONAL_HALF} FOLLOWING)
+),
+bounds AS (
+  SELECT event_type, MIN(h) AS h_min, MAX(h) AS h_max
+  FROM hourly GROUP BY 1
+),
+interior AS (
+  SELECT t.event_type, t.h % 24 AS hod,
+         CAST(ROUND(t.hmean - t.trend, 6) AS DECIMAL(28,6)) AS dev
+  FROM trended t JOIN bounds b ON t.event_type = b.event_type
+  WHERE t.h >= b.h_min + {SEASONAL_HALF} AND t.h <= b.h_max - {SEASONAL_HALF}
+)
+SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       ROUND(CAST(SUM(dev) AS DOUBLE) / COUNT(*), 6) + 0.0 AS seasonal
+FROM interior GROUP BY 1, 2 ORDER BY event_type, hod
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "seasonal_hourly_profile",
+        seasonal_hourly_profile,
+        SEASONAL_PROFILE_SQL,
+        ("timeseries", "window", "monitoring"),
+        doc="Hour-of-day seasonal profile vs ±12h range-frame trend.",
+    ),
     QuerySpec(
         "ewma_event_values",
         ewma_event_values,
