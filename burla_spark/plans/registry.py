@@ -118,6 +118,7 @@ _DRIVER_PRIORITY = frozenset(
         # round-7 sketch-math oracle companions (plans/ann_oracle.py)
         "simhash_md5_signatures", "hll_registers_md5",
         "bpe_encode_token_stats", "distinct_ngram_diversity",
+        "seasonal_hourly_profile",
     }
 )
 

@@ -66,6 +66,7 @@ QUERIES = [
     # v2 word-prefix transform, so pair structure scales linearly; BPE
     # counts over the word-frequency table, which grows ×SCALE).
     "winnowing_contamination_pairs", "bpe_train_merges",
+    "seasonal_hourly_profile",
 ]
 # Deliberately excluded: interval_overlap_join — replicating a FIXED
 # time window multiplies temporal density, and interval-overlap OUTPUT
