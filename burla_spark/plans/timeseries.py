@@ -788,7 +788,10 @@ def seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one shuffle to hourly grain (corpus-sized input,
     types×hours output), then every window partitions by event_type
     over the HOURLY table — bounded by the calendar, not the event
-    volume; the interior gate is a broadcast join of per-type min/max."""
+    volume. The interior gate is per-type window MIN/MAX sharing the
+    trend window's exchange — a join against a separately aggregated
+    bounds table re-scanned the corpus (Catalyst duplicates unshared
+    lineage), which at 100 TB is a second full scan for 2 numbers."""
     from burla_spark.functions.numeric import dec
 
     e = load_table(spark, sf_dir, "events")
@@ -804,28 +807,24 @@ def seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h")
         .rangeBetween(-SEASONAL_HALF, SEASONAL_HALF)
     )
+    w_type = Window.partitionBy("event_type")
     trended = hourly.select(
         "event_type",
         "h",
         (F.col("vsum").cast("double") / F.col("n")).alias("hmean"),
         (F.sum("vsum").over(w).cast("double") / F.sum("n").over(w)).alias("trend"),
+        F.min("h").over(w_type).alias("h_min"),
+        F.max("h").over(w_type).alias("h_max"),
     )
-    bounds = hourly.groupBy("event_type").agg(
-        F.min("h").alias("h_min"), F.max("h").alias("h_max")
-    )
-    interior = (
-        trended.join(F.broadcast(bounds), "event_type")
-        .filter(
-            (F.col("h") >= F.col("h_min") + SEASONAL_HALF)
-            & (F.col("h") <= F.col("h_max") - SEASONAL_HALF)
-        )
-        .select(
-            "event_type",
-            (F.col("h") % 24).alias("hod"),
-            F.round(F.col("hmean") - F.col("trend"), 6)
-            .cast("decimal(28,6)")
-            .alias("dev"),
-        )
+    interior = trended.filter(
+        (F.col("h") >= F.col("h_min") + SEASONAL_HALF)
+        & (F.col("h") <= F.col("h_max") - SEASONAL_HALF)
+    ).select(
+        "event_type",
+        (F.col("h") % 24).alias("hod"),
+        F.round(F.col("hmean") - F.col("trend"), 6)
+        .cast("decimal(28,6)")
+        .alias("dev"),
     )
     return (
         interior.groupBy("event_type", "hod")
@@ -849,21 +848,19 @@ WITH hourly AS (
 trended AS (
   SELECT event_type, h,
          CAST(vsum AS DOUBLE) / n AS hmean,
-         CAST(SUM(vsum) OVER tw AS DOUBLE) / SUM(n) OVER tw AS trend
+         CAST(SUM(vsum) OVER tw AS DOUBLE) / SUM(n) OVER tw AS trend,
+         MIN(h) OVER (PARTITION BY event_type) AS h_min,
+         MAX(h) OVER (PARTITION BY event_type) AS h_max
   FROM hourly
   WINDOW tw AS (PARTITION BY event_type ORDER BY h
                 RANGE BETWEEN {SEASONAL_HALF} PRECEDING
                           AND {SEASONAL_HALF} FOLLOWING)
 ),
-bounds AS (
-  SELECT event_type, MIN(h) AS h_min, MAX(h) AS h_max
-  FROM hourly GROUP BY 1
-),
 interior AS (
-  SELECT t.event_type, t.h % 24 AS hod,
-         CAST(ROUND(t.hmean - t.trend, 6) AS DECIMAL(28,6)) AS dev
-  FROM trended t JOIN bounds b ON t.event_type = b.event_type
-  WHERE t.h >= b.h_min + {SEASONAL_HALF} AND t.h <= b.h_max - {SEASONAL_HALF}
+  SELECT event_type, h % 24 AS hod,
+         CAST(ROUND(hmean - trend, 6) AS DECIMAL(28,6)) AS dev
+  FROM trended
+  WHERE h >= h_min + {SEASONAL_HALF} AND h <= h_max - {SEASONAL_HALF}
 )
 SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n_hours,
        ROUND(CAST(SUM(dev) AS DOUBLE) / COUNT(*), 6) + 0.0 AS seasonal
