@@ -501,8 +501,11 @@ def _train_bpe(
     [(step, 'a b', weighted_count)] and the FINAL vocab state
     (word, ts, freq) with all merges applied — the input to encoding.
 
-    The caller must ``unpersist()`` the returned DataFrame's base via
-    the attached ``_bpe_base`` handle when done."""
+    The word-frequency base is spilled to a temp parquet (the
+    materialize-reused-subplans rule): the loop's argmax probes AND
+    any downstream consumer of the returned vocab then read the tiny
+    spilled table — the corpus is scanned exactly once, with no cache
+    pin leaking past the call."""
     d = load_table(spark, sf_dir, "documents")
     word = F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
     chars = let(
@@ -511,6 +514,8 @@ def _train_bpe(
             F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
         ),
     )
+    from burla_spark.operators.dedup import _spill_to_temp_parquet
+
     base = (
         d.select(word)
         .filter(F.length("word") >= 1)
@@ -518,10 +523,9 @@ def _train_bpe(
         .agg(F.count("*").alias("freq"))
         .select("word", F.array_join(chars, "  ").alias("ts"), "freq")
     )
-    # the only corpus-sized work; every iteration below re-reads this
-    # tiny table (vocab-sized, not corpus-sized).
-    base = base.persist()
-    vocab = base
+    # the only corpus-sized work; every iteration below (and any
+    # downstream encoder) re-reads this tiny spilled table.
+    vocab = _spill_to_temp_parquet(base, "bpe_vocab")
     merges: list[tuple[int, str, int]] = []
     for step in range(1, BPE_MERGES + 1):
         pair = let(
@@ -556,7 +560,6 @@ def _train_bpe(
                 F.lit(best_pair.replace(" ", "")),
             ),
         )
-    vocab._bpe_base = base  # noqa: SLF001 — unpersist handle for callers
     return merges, vocab
 
 
@@ -589,8 +592,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("weighted_count", LongType()),
         ]
     )
-    merges, vocab = _train_bpe(spark, sf_dir)
-    vocab._bpe_base.unpersist()  # noqa: SLF001
+    merges, _ = _train_bpe(spark, sf_dir)
     return spark.createDataFrame(merges, schema)
 
 
@@ -630,10 +632,6 @@ def bpe_encode_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
-    # releasing the pin only drops the cache — the returned lazy plan
-    # stays valid (the merge patterns are already bound as literals)
-    # and recomputes the vocab lineage once when the caller executes.
-    vocab._bpe_base.unpersist()  # noqa: SLF001
     return out
 
 
