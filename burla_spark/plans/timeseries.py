@@ -741,9 +741,16 @@ WITH base AS (
          CAST(ROUND(value * {scale}) AS BIGINT) AS v_fp
   FROM events
 ), lagd AS (
+  -- latest row = ASCENDING rn == partition count, mirroring the Spark
+  -- plan EXACTLY. A DESC rn = 1 here picked a DIFFERENT member of a
+  -- tied pair when the last row arrives duplicated (replayed ingest):
+  -- the two copies are identical but their lag chains are NOT (the
+  -- ascending-last copy sees its twin at lag 1; the other does not),
+  -- so the selection rule is part of the semantics, not presentation
+  -- (caught by the round-7 dup sweep).
   SELECT user_id, v_fp AS l0,
     {lag_cols},
-    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+    ROW_NUMBER() OVER w AS rn,
     COUNT(*) OVER (PARTITION BY user_id) AS n_events
   FROM base
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -752,7 +759,7 @@ SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
   CASE WHEN ({den}) > 0 THEN
     ROUND(CAST(({num}) AS DOUBLE) / CAST(({den}) AS DOUBLE) / {scale}, 6) + 0.0
   END AS ewma_value
-FROM lagd WHERE rn = 1 ORDER BY user_id
+FROM lagd WHERE rn = n_events ORDER BY user_id
 """
 
 
