@@ -180,8 +180,8 @@ def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 PREFIX_FILTER_SQL = rf"""
-WITH g AS (
-  SELECT DISTINCT doc_id,
+WITH raw AS (
+  SELECT doc_id,
     list_distinct(list_transform(
       generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
       i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
@@ -190,6 +190,14 @@ WITH g AS (
   FROM documents
   WHERE text IS NOT NULL
     AND len(regexp_split_to_array(trim(text), '\s+')) >= 3
+),
+-- merge gram SETS per doc_id (UNNEST + distinct + re-collect): the
+-- Spark side unions (pid, gram) across replayed/duplicated rows, so
+-- a mere row-level DISTINCT diverges when a replayed id carries
+-- different text. sort for a deterministic list (set semantics only).
+g AS (
+  SELECT doc_id, list_sort(list_distinct(flatten(list(grams)))) AS grams
+  FROM raw GROUP BY doc_id
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)

@@ -183,8 +183,11 @@ p AS (
   GROUP BY 1, 2, 3
 ),
 sims AS (
+  -- NULLIF mirrors Spark's try_divide zero-vector guard: on DuckDB
+  -- >= 1.1 (ieee_floating_point_ops) a bare 0/0 is NaN, which sorts
+  -- ABOVE all numbers and would pass the >= tau filter.
   SELECT id_a, id_b, cluster_id,
-         ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) + 0.0 AS sim
+         ROUND(dot / NULLIF(SQRT(aa) * SQRT(bb), 0), 6) + 0.0 AS sim
   FROM p
 )
 SELECT id_b AS vec_id, cluster_id, id_a AS dup_of, sim
@@ -242,11 +245,16 @@ def _winnowed_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
+    # distinct at the fingerprint level: a replayed/duplicated doc row
+    # must not double its fingerprint rows (the census would double
+    # n_fps and the pair join would 4x n_shared) — the same replayed-
+    # ingest rule as prefix_filter_jaccard_join's (pid, gram) distinct.
     return (
         d.select("doc_id", fps_arr.alias("g"))
         .filter(F.col("g").isNotNull())
         .select("doc_id", F.col("g.n_grams").alias("n_grams"),
                 F.explode("g.fps").alias("fp"))
+        .distinct()
     )
 
 
@@ -264,11 +272,13 @@ hs AS (
   FROM toks WHERE len(t) >= {WIN_K}
 ),
 fps AS (
-  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
-         UNNEST(list_distinct(
-           [list_min(hs[j:j+{WIN_W - 1}])
-            FOR j IN range(1, len(hs) - {WIN_W - 1} + 1)])) AS fp
-  FROM hs WHERE len(hs) >= {WIN_W}
+  SELECT DISTINCT doc_id, n_grams, fp FROM (
+    SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+           UNNEST(list_distinct(
+             [list_min(hs[j:j+{WIN_W - 1}])
+              FOR j IN range(1, len(hs) - {WIN_W - 1} + 1)])) AS fp
+    FROM hs WHERE len(hs) >= {WIN_W}
+  )
 )
 """
 
@@ -379,8 +389,12 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.countDistinct("gram").alias("n_distinct_bigrams"),
     )
+    # LEFT join: a source whose docs are all single-token has no
+    # bigram rows — exactly the degenerate corpus this health metric
+    # exists to flag, so it must surface as zeros/NULL ratio, not
+    # vanish from the report (try_divide: 0-bigram ratio is NULL).
     return (
-        uni.join(bi, "source")
+        uni.join(bi, "source", "left")
         .select(
             "source",
             "n_unigrams",
@@ -389,11 +403,11 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_distinct_unigrams").cast("double")
                 / F.col("n_unigrams").cast("double")
             ).alias("distinct_1"),
-            "n_bigrams",
-            "n_distinct_bigrams",
-            (
-                F.col("n_distinct_bigrams").cast("double")
-                / F.col("n_bigrams").cast("double")
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_distinct_bigrams", F.lit(0)).alias("n_distinct_bigrams"),
+            F.try_divide(
+                F.col("n_distinct_bigrams").cast("double"),
+                F.col("n_bigrams").cast("double"),
             ).alias("distinct_2"),
         )
         .orderBy("source")
@@ -420,10 +434,11 @@ bi AS (
 SELECT source, n_unigrams, n_distinct_unigrams,
        CAST(n_distinct_unigrams AS DOUBLE) / CAST(n_unigrams AS DOUBLE)
          AS distinct_1,
-       n_bigrams, n_distinct_bigrams,
-       CAST(n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
-         AS distinct_2
-FROM uni JOIN bi USING (source)
+       COALESCE(n_bigrams, 0) AS n_bigrams,
+       COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       CAST(n_distinct_bigrams AS DOUBLE)
+         / CAST(NULLIF(n_bigrams, 0) AS DOUBLE) AS distinct_2
+FROM uni LEFT JOIN bi USING (source)
 ORDER BY source
 """
 
@@ -467,12 +482,16 @@ def editdist_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pfx", F.col("ln").alias("lb"),
     )
     lev = F.levenshtein("ta", "tb").cast("long")
+    # distinct: replayed/duplicated doc rows multiply each surviving
+    # pair 2x2 through the block join; the duplicate output rows are
+    # identical, so a distinct restores exactly-once pairs.
     return (
         a.join(b, "pfx")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", lev.alias("lev"), F.greatest("la", "lb").alias("mx"))
         .filter(F.col("lev") * EDIT_REL_DEN <= F.col("mx"))
         .select("id_a", "id_b", "lev")
+        .distinct()
         .orderBy("id_a", "id_b")
     )
 
@@ -483,7 +502,7 @@ WITH d AS (
          CAST(len(text) AS BIGINT) AS ln
   FROM documents
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
 FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) * {EDIT_REL_DEN} <= greatest(a.ln, b.ln)

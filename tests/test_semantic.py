@@ -25,8 +25,14 @@ from tests.oracle import compare
 DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
+_CRAFT_SEQ = iter(range(10**6))
+
+
 def _write_docs(tmp_path, texts: list[str]) -> str:
-    """Crafted documents.parquet with the fixture schema."""
+    """Crafted documents.parquet with the fixture schema. Each call
+    gets its OWN directory — reusing one path let a second corpus
+    silently overwrite the first while earlier DataFrames still
+    pointed at the shared path."""
     df = pd.DataFrame(
         {
             "doc_id": np.arange(len(texts), dtype=np.int64),
@@ -36,7 +42,7 @@ def _write_docs(tmp_path, texts: list[str]) -> str:
             "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
         }
     )[DOC_COLS]
-    d = tmp_path / "crafted"
+    d = tmp_path / f"crafted{next(_CRAFT_SEQ)}"
     d.mkdir(exist_ok=True)
     df.to_parquet(d / "documents.parquet", index=False)
     return str(d)
