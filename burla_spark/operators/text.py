@@ -31,6 +31,15 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def lower_tokens(text: Column) -> Column:
+    """Case-folded whitespace tokenization — THE tokenizer the semantic
+    family (winnowing, BPE, diversity, simhash companion) shares; the
+    DuckDB mirror is ``regexp_split_to_array(trim(lower(text)), '\\s+')``.
+    One definition so a normalization tweak can't silently misalign
+    grams between operators (or between an operator and its oracle)."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 

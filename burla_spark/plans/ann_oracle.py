@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from burla_spark.functions.vectors import cosine_similarity
+from burla_spark.operators.text import lower_tokens
 from burla_spark.plans.base import QuerySpec
 from burla_spark.sources.tables import load_table
 
@@ -82,7 +83,7 @@ def shingle_jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     # (ENGINEERING_NOTES Catalyst pitfalls — measured 6.2 s -> ~1 s
     # at sf0.1 for this query).
     shingles = let(
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lower_tokens(F.col("text")),
         lambda toks: F.when(
             F.size(toks) >= 5,
             F.array_distinct(
@@ -566,7 +567,7 @@ def simhash_md5_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("text").isNotNull())
         .select(
             "doc_id",
-            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+            F.explode(lower_tokens(F.col("text"))).alias("token"),
         )
         .select("doc_id", h.alias("h"))
     )

@@ -25,10 +25,13 @@ plans/ann_oracle.py recipe for pinning the non-SQL degrees of freedom:
   rule is pure BIGINT arithmetic, so no float contract is needed.
 * ``bpe_train_merges`` — byte-pair-encoding merge training: the top-k
   highest-weighted-count adjacent token pairs, merged iteratively over
-  the corpus word-frequency table. The token state is a DOUBLE-SPACE
-  joined string, which makes non-overlapping left-to-right ``replace``
-  EQUAL to greedy BPE merge application (single-space joints would let
-  a replacement consume the boundary space of the next occurrence:
+  the corpus word-frequency table. The token state FRAMES each token
+  in SOH/STX control chars (``\\x01tok\\x02``, concatenated), which
+  makes non-overlapping left-to-right ``replace`` EQUAL to greedy BPE
+  merge application: the frame anchors both token boundaries (a bare
+  separator-joined form false-matches token prefixes — 'e t' inside
+  'e th') and the pattern consumes no shared separator (a
+  single-space joint eats the next occurrence's boundary:
   'a a a a' -> 'aa a a' instead of 'aa aa').
 
 Reference parity: the reference pipes corpus curation through
@@ -43,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from burla_spark.functions.numeric import let
+from burla_spark.operators.text import lower_tokens
 from burla_spark.plans.base import QuerySpec
 from burla_spark.sources.tables import load_table
 
@@ -55,6 +59,16 @@ WIN_W = 5  # winnowing window (consecutive grams)
 WIN_MIN_SHARED = 3  # contamination-pair threshold on shared fingerprints
 
 BPE_MERGES = 4  # merge-training iterations
+SOH, STX = "\x01", "\x02"  # token frame chars (reserved; not in corpus text)
+
+
+def _bpe_tokens(ts_col):
+    """Token list from the framed state: split on STX, drop the empty
+    tail, strip each piece's leading SOH."""
+    return F.transform(
+        F.filter(F.split(ts_col, STX), lambda x: x != F.lit("")),
+        lambda x: x.substr(F.lit(2), F.length(x) - 1),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -220,7 +234,7 @@ def _winnowed_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     d = d.repartition(n_parts, F.col("doc_id"))
     fps_arr = let(
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lower_tokens(F.col("text")),
         lambda toks: let(
             F.when(
                 # guard keeps the sequences ascending: Spark's
@@ -366,7 +380,7 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rse; cf. hll_registers_md5)."""
     d = load_table(spark, sf_dir, "documents")
     toks = let(
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lower_tokens(F.col("text")),
         lambda t: F.struct(
             t.alias("uni"),
             F.when(
@@ -513,6 +527,13 @@ ORDER BY id_a, id_b
 # ---------------------------------------------------------------------------
 # BPE merge training
 # ---------------------------------------------------------------------------
+# train-once cache: bpe_train_merges and bpe_encode_token_stats share
+# one training run per (application, corpus) — the same build-once /
+# reuse shape as llm.py's _MINHASH_PAIRS_CACHE. Keyed by applicationId
+# so a dead session's DataFrames are never served to a new one.
+_BPE_CACHE: dict[tuple[str, str], tuple[list, DataFrame]] = {}
+
+
 def _train_bpe(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[tuple[int, str, int]], DataFrame]:
@@ -525,8 +546,11 @@ def _train_bpe(
     any downstream consumer of the returned vocab then read the tiny
     spilled table — the corpus is scanned exactly once, with no cache
     pin leaking past the call."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BPE_CACHE:
+        return _BPE_CACHE[key]
     d = load_table(spark, sf_dir, "documents")
-    word = F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    word = F.explode(lower_tokens(F.col("text"))).alias("word")
     chars = let(
         F.col("word"),
         lambda w: F.transform(
@@ -535,12 +559,15 @@ def _train_bpe(
     )
     from burla_spark.operators.dedup import _spill_to_temp_parquet
 
+    framed = F.transform(
+        chars, lambda c: F.concat(F.lit(SOH), c, F.lit(STX))
+    )
     base = (
         d.select(word)
         .filter(F.length("word") >= 1)
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
-        .select("word", F.array_join(chars, "  ").alias("ts"), "freq")
+        .select("word", F.array_join(framed, "").alias("ts"), "freq")
     )
     # the only corpus-sized work; every iteration below (and any
     # downstream encoder) re-reads this tiny spilled table.
@@ -548,7 +575,7 @@ def _train_bpe(
     merges: list[tuple[int, str, int]] = []
     for step in range(1, BPE_MERGES + 1):
         pair = let(
-            F.split(F.col("ts"), "  "),
+            _bpe_tokens(F.col("ts")),
             lambda tk: F.when(
                 F.size(tk) >= 2,
                 F.transform(
@@ -571,14 +598,16 @@ def _train_bpe(
             break
         best_pair, cnt = top[0]["pair"], int(top[0]["cnt"])
         merges.append((step, best_pair, cnt))
+        t1, t2 = best_pair.split(" ", 1)
         vocab = vocab.withColumn(
             "ts",
             F.replace(
                 F.col("ts"),
-                F.lit(best_pair.replace(" ", "  ")),
-                F.lit(best_pair.replace(" ", "")),
+                F.lit(f"{SOH}{t1}{STX}{SOH}{t2}{STX}"),
+                F.lit(f"{SOH}{t1}{t2}{STX}"),
             ),
         )
+    _BPE_CACHE[key] = (merges, vocab)
     return merges, vocab
 
 
@@ -589,13 +618,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     everywhere. Output: (step, pair, weighted_count) — the learned
     merge table a tokenizer trainer persists.
 
-    Token state is the word's characters joined by TWO spaces: with
-    doubled joints, non-overlapping left-to-right string replace of
-    't1  t2' -> 't1t2' consumes no neighboring separator, so it equals
-    greedy BPE merge application exactly ('a a a a' merges to 'aa aa',
-    not the single-space artifact 'aa a a') — and DuckDB's replace()
-    has the same left-to-right semantics, which is what makes the
-    oracle exact.
+    Token state frames every token in SOH/STX (``\\x01tok\\x02``,
+    concatenated): the frame makes each replace occurrence an EXACT
+    adjacent-token match — a separator-joined form false-matches
+    token prefixes/suffixes across the boundary ('e  t' matches inside
+    'e  th', merging a pair that was never learned) — and the pattern
+    consumes no shared separator, so non-overlapping left-to-right
+    replace equals greedy BPE merge application exactly ('a a a a'
+    merges to 'aa aa'). DuckDB's replace() has the same left-to-right
+    semantics, which is what makes the oracle exact.
 
     100 TB shape: pair counting and merging run over the DISTINCT-word
     frequency table, not the corpus — one corpus-sized aggregation up
@@ -629,13 +660,13 @@ def bpe_encode_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     production reason tokenizers precompute word->tokens maps."""
     _, vocab = _train_bpe(spark, sf_dir)
     tok = vocab.select(
-        "word", F.size(F.split("ts", "  ")).cast("long").alias("ntok")
+        "word", F.size(_bpe_tokens(F.col("ts"))).cast("long").alias("ntok")
     )
     d = load_table(spark, sf_dir, "documents")
     src_words = (
         d.select(
             "source",
-            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+            F.explode(lower_tokens(F.col("text"))).alias("word"),
         )
         .filter(F.length("word") >= 1)
         .groupBy("source", "word")
@@ -658,6 +689,10 @@ def _bpe_chain_sql() -> str:
     """The shared training chain: v0..v{BPE_MERGES} vocab states, each
     m{n} the step-n winning merge. Carries ``word`` so encoders can
     join the final state back to corpus word frequencies."""
+    # chr(1)/chr(2) = the SOH/STX token frame; the replace pattern is
+    # COALESCEd to chr(3) (never present) so an exhausted merge step
+    # (empty m{n}) leaves the vocab state UNCHANGED instead of
+    # NULL-cascading every ts through replace(ts, NULL, NULL).
     head = r"""
 WITH words AS (
   SELECT w AS word, COUNT(*) AS freq
@@ -667,7 +702,8 @@ WITH words AS (
 ),
 v0 AS (
   SELECT word,
-         array_to_string([word[i:i] FOR i IN range(1, len(word)+1)], '  ') AS ts,
+         array_to_string([chr(1) || word[i:i] || chr(2)
+                          FOR i IN range(1, len(word)+1)], '') AS ts,
          freq
   FROM words
 )"""
@@ -675,14 +711,19 @@ v0 AS (
 pc{n} AS (
   SELECT p AS pair, SUM(freq) AS cnt FROM (
     SELECT UNNEST([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS p, freq
-    FROM (SELECT string_split(ts, '  ') AS tk, freq FROM v{m})
+    FROM (SELECT [x[2:] FOR x IN string_split(ts, chr(2)) IF x != ''] AS tk,
+                 freq
+          FROM v{m})
   ) GROUP BY 1
 ),
 m{n} AS (SELECT pair, cnt FROM pc{n} ORDER BY cnt DESC, pair LIMIT 1),
 v{n} AS (
   SELECT word,
-         replace(ts, (SELECT replace(pair, ' ', '  ') FROM m{n}),
-                     (SELECT replace(pair, ' ', '') FROM m{n})) AS ts, freq
+         replace(ts,
+           COALESCE((SELECT chr(1) || replace(pair, ' ', chr(2) || chr(1))
+                            || chr(2) FROM m{n}), chr(3)),
+           COALESCE((SELECT chr(1) || replace(pair, ' ', '') || chr(2)
+                     FROM m{n}), '')) AS ts, freq
   FROM v{m}
 )"""
     parts = [head]
@@ -712,7 +753,9 @@ src_words AS (
   WHERE len(w) >= 1 GROUP BY 1, 2
 ),
 tok AS (
-  SELECT word, CAST(len(string_split(ts, '  ')) AS BIGINT) AS ntok
+  SELECT word,
+         CAST(len([x FOR x IN string_split(ts, chr(2)) IF x != ''])
+              AS BIGINT) AS ntok
   FROM v{BPE_MERGES}
 )
 SELECT source, CAST(SUM(freq) AS BIGINT) AS n_words,

@@ -200,6 +200,28 @@ def test_bpe_merge_count_and_monotone(spark, sf_dir):
     assert all(c > 0 for c in counts)
 
 
+def test_bpe_boundary_no_false_merge(spark, tmp_path):
+    """The SOH/STX token frame must refuse boundary false-matches: a
+    learned merge ('e','t') must NOT fire inside ['e','th'] — a bare
+    separator-joined state contains 'e<sep>t' as a substring of
+    'e<sep>th' and merges a pair that was never learned. Corpus built
+    so merge 2 is exactly that trap; exhausting merges at step 3 also
+    drives the empty-m{n} identity guard in the oracle chain."""
+    texts = ["th th th th th", "eth", "et et et"]
+    d = _write_docs(tmp_path, texts)
+    rows = sem.bpe_train_merges(spark, d).collect()
+    got = [(r["step"], r["pair"], r["weighted_count"]) for r in rows]
+    # freqs: th=5, eth=1, et=3 -> (t,h)=6 wins, then (e,t)=3, and IF
+    # 'eth' (now [e, th]) survived merge 2 untouched, (e,th)=1 remains
+    # as merge 3; merges exhaust before step 4.
+    assert got == [(1, "t h", 6), (2, "e t", 3), (3, "e th", 1)]
+
+    con = _docs_duck(d)
+    compare(sem.bpe_train_merges(spark, d), con, sem.BPE_MERGES_SQL)
+    compare(sem.bpe_encode_token_stats(spark, d), con, sem.BPE_ENCODE_SQL)
+    con.close()
+
+
 def test_bpe_encode_bounds(spark, sf_dir):
     """Token totals sit strictly between word totals (every word is
     >=1 token) and char totals (4 real merges shrink something)."""
