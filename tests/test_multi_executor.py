@@ -110,6 +110,13 @@ assert len(q["embedding_ivf_topk"](spark, %(sf)r).collect()) > 0, "ivf on cluste
 assert len(q["embedding_pq_topk"](spark, %(sf)r).collect()) > 0, "pq on cluster"
 print("IVF_PQ_OK")
 
+# --- BPE training spills its word-frequency base; off-local that MUST
+# go through spark.burla.spillDir (a driver tempdir would scatter part
+# files) and the 4 argmax probes run against real executors
+rows = q["bpe_train_merges"](spark, %(sf)r).collect()
+assert len(rows) == 4 and all(r["weighted_count"] > 0 for r in rows)
+print("BPE_CLUSTER_OK")
+
 # --- detached job journaled from the CLUSTER driver; the pytest
 # process (a second process with its own local[*] session) fetches the
 # results after this driver exits
@@ -190,6 +197,11 @@ def test_two_executor_cluster_end_to_end(sf_dir, tmp_path_factory):
 def test_cluster_ivf_pq_index_builds(sf_dir, tmp_path_factory):
     r = _cluster_run(sf_dir, tmp_path_factory)
     assert "IVF_PQ_OK" in r["out"], r["out"][-2000:] + r["err"][-2000:]
+
+
+def test_cluster_bpe_trains_through_shared_spill(sf_dir, tmp_path_factory):
+    r = _cluster_run(sf_dir, tmp_path_factory)
+    assert "BPE_CLUSTER_OK" in r["out"], r["out"][-2000:] + r["err"][-2000:]
 
 
 def test_cluster_detach_journal_fetched_from_second_process(
