@@ -119,6 +119,9 @@ _DRIVER_PRIORITY = frozenset(
         "simhash_md5_signatures", "hll_registers_md5",
         "bpe_encode_token_stats", "distinct_ngram_diversity",
         "seasonal_hourly_profile",
+        # round-7 session-2 oracle rewrites the driver must re-adjudicate
+        "similarity_join_prefix_filter",
+        "frequent_event_sequences",
     }
 )
 

@@ -767,6 +767,63 @@ EWMA_SQL = _ewma_sql()
 
 
 # ---------------------------------------------------------------------------
+# Sequential pattern MINING: frequent contiguous event 3-grams
+# ---------------------------------------------------------------------------
+SEQ_N = 3
+SEQ_TOP = 20
+
+
+def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discover the corpus's frequent behavior motifs: every contiguous
+    {SEQ_N}-event-type sequence in each user's time-ordered stream,
+    counted globally, top-{SEQ_TOP} by support — the mining complement
+    of sequence_pattern_match (which counts a GIVEN pattern). Support
+    is per occurrence; n_users is the distinct-user support the
+    classical algorithms threshold on.
+
+    100 TB shape: one shuffle on user_id, two map-side leads per row
+    (a k-gram is k-1 leads — no self-join), then a
+    sequence-cardinality aggregate; the top-k has the rule-5 unique
+    order (support DESC, sequence ASC)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    tail_ok = F.lead("event_type", SEQ_N - 1).over(w).isNotNull()
+    return (
+        e.select("user_id", seq.alias("seq"), tail_ok.alias("ok"))
+        .filter(F.col("ok"))
+        .groupBy("seq")
+        .agg(
+            F.count("*").alias("support"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("support"), F.asc("seq"))
+        .limit(SEQ_TOP)
+    )
+
+
+FREQUENT_SEQ_SQL = f"""
+WITH lagd AS (
+  SELECT user_id,
+         event_type || '>' || LEAD(event_type, 1) OVER w
+           || '>' || LEAD(event_type, 2) OVER w AS seq,
+         LEAD(event_type, {SEQ_N - 1}) OVER w IS NOT NULL AS ok
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT seq, CAST(COUNT(*) AS BIGINT) AS support,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM lagd WHERE ok
+GROUP BY seq ORDER BY support DESC, seq LIMIT {SEQ_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Seasonal decomposition: hour-of-day profile against a centered MA trend
 # ---------------------------------------------------------------------------
 SEASONAL_HALF = 12  # ±12h -> 25-hour centered trend window
@@ -876,6 +933,13 @@ FROM interior GROUP BY 1, 2 ORDER BY event_type, hod
 
 
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "frequent_event_sequences",
+        frequent_event_sequences,
+        FREQUENT_SEQ_SQL,
+        ("timeseries", "window", "mining"),
+        doc="Top-20 contiguous event 3-grams by support (pattern mining).",
+    ),
     QuerySpec(
         "seasonal_hourly_profile",
         seasonal_hourly_profile,
