@@ -687,7 +687,85 @@ FROM regs GROUP BY register ORDER BY register
 """
 
 
+# ---------------------------------------------------------------------------
+# Hard-negative mining: nearest cross-label neighbor per query
+# ---------------------------------------------------------------------------
+HN_QUERIES = 50
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each query vector, its single most similar vector carrying a
+    DIFFERENT label — the hard negative a contrastive/embedding trainer
+    pairs with each anchor. Exact cosine over the label-filtered
+    corpus; rank on the ROUNDED sim with the id tiebreak (rule 14).
+
+    100 TB shape: this is the exact-verify stage; production feeds it
+    ANN candidates (IVF/LSH buckets) instead of the full corpus — the
+    same contract as neardup_cosine_pairs_exact. The query set
+    broadcasts; one corpus scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < HN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("cv"),
+    )
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6) + F.lit(0.0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("sim"), F.asc("neighbor_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            sim.alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("query_id")
+    )
+
+
+HARD_NEGATIVE_SQL = f"""
+WITH i(i) AS (SELECT UNNEST(generate_series(1, {DIM}))),
+p AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+    SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+    SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS qq,
+    SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS cc
+  FROM embeddings q, embeddings c, i
+  WHERE q.vec_id < {HN_QUERIES} AND c.label != q.label
+  GROUP BY 1, 2, 3, 4
+),
+sims AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         ROUND(dot / NULLIF(SQRT(qq) * SQRT(cc), 0), 6) + 0.0 AS sim
+  FROM p
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, sim
+FROM sims
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC NULLS LAST, neighbor_id) = 1
+ORDER BY query_id
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "hard_negative_mining",
+        hard_negative_mining,
+        HARD_NEGATIVE_SQL,
+        ("similarity", "mlprep", "oracle-companion"),
+        doc="Nearest cross-label neighbor per query (contrastive hard "
+        "negatives); exact-verify stage of the ANN-fed production path.",
+    ),
     QuerySpec(
         "lsh_fixed_planes_buckets",
         lsh_fixed_planes_buckets,

@@ -121,7 +121,7 @@ _DRIVER_PRIORITY = frozenset(
         "seasonal_hourly_profile",
         # round-7 session-2 oracle rewrites the driver must re-adjudicate
         "similarity_join_prefix_filter",
-        "frequent_event_sequences",
+        "frequent_event_sequences", "hard_negative_mining",
     }
 )
 

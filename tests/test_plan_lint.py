@@ -66,6 +66,9 @@ BNLJ_OK = {
     # assignment pass (the kmeans_assign_fixed_centroids kernel); the
     # in-cluster pair stage below it is a keyed equi-join.
     "semdedup_prune",
+    # 50-query broadcast x corpus scan with a label!= theta filter —
+    # the exact-verify tier (production feeds ANN candidates instead).
+    "hard_negative_mining",
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]
