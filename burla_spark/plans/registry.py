@@ -86,11 +86,13 @@ def all_specs() -> list[QuerySpec]:
 
 # Round-7 rotation: all of round 6's 50 sampled rows came back green
 # (CORRECTNESS_r06 — zero red, zero errors), so the priority set is
-# exactly the rows round 7 CHANGED and the driver must re-adjudicate:
-# the two oracle companions whose ranking SQL moved to rounded values
-# (ULP-stability fix), and the three new mixing-family specs.
-# The driver's 50-slot sample fills the rest from the layer-interleaved
-# rotation remainder.
+# exactly the rows round 7 ADDED or CHANGED and the driver must
+# adjudicate: session 1's mixing/graph/sketch/layout specs and
+# rounded-rank rewrites, plus session 2's semantic-curation family,
+# sketch-math companions, seasonal/sequence-mining/hard-negative specs,
+# and the two oracle rewrites (prefix-filter per-doc gram merge, EWMA
+# ascending-last selection). The driver's 50-slot sample fills the
+# rest from the layer-interleaved rotation remainder.
 _DRIVER_PRIORITY = frozenset(
     {
         # round-7 ULP-stable rounded-rank rewrite (plans/ann_oracle.py)
