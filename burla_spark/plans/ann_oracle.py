@@ -704,17 +704,35 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     same contract as neardup_cosine_pairs_exact. The query set
     broadcasts; one corpus scan."""
     e = load_table(spark, sf_dir, "embeddings")
+    # per-vector norms computed once per side (identical F.aggregate
+    # expression the per-pair form would run, so bit-identical to the
+    # oracle's per-pair sums — but 2/3 less work in the pair stage).
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vd, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
     q = e.filter(F.col("vec_id") < HN_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
-        F.col("embedding").alias("qv"),
+        vd.alias("qv"),
+        norm.alias("qn"),
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
-        F.col("embedding").alias("cv"),
+        vd.alias("cv"),
+        norm.alias("cn"),
     )
-    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6) + F.lit(0.0)
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sim = (
+        F.round(F.try_divide(dot, F.col("qn") * F.col("cn")), 6) + F.lit(0.0)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc_nulls_last("sim"), F.asc("neighbor_id")
     )
