@@ -51,7 +51,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from burla_spark.functions.vectors import cosine_similarity
 from burla_spark.operators.text import lower_tokens
 from burla_spark.plans.base import QuerySpec
 from burla_spark.sources.tables import load_table
@@ -159,11 +158,24 @@ def neardup_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     to make the stage oracle-checkable on the fixture. + 0.0
     normalizes signed zero (contract rule 13)."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.filter(F.col("vec_id") < 250).select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    # per-vector norms once per side (identical aggregate expression,
+    # bit-identical result — 2/3 less work in the pair stage).
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(vd, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
     )
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    a = e.select(F.col("vec_id").alias("id_a"), vd.alias("va"), nrm.alias("na"))
+    b = e.filter(F.col("vec_id") < 250).select(
+        F.col("vec_id").alias("id_b"), vd.alias("vb"), nrm.alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sim = F.try_divide(dot, F.col("na") * F.col("nb"))
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
