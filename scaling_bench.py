@@ -67,6 +67,9 @@ QUERIES = [
     # counts over the word-frequency table, which grows ×SCALE).
     "winnowing_contamination_pairs", "bpe_train_merges",
     "seasonal_hourly_profile",
+    # session-2 additions: corpus-explode and block-join paths
+    "distinct_ngram_diversity", "simhash_md5_signatures",
+    "editdist_neardup_pairs", "frequent_event_sequences",
 ]
 # Deliberately excluded: interval_overlap_join — replicating a FIXED
 # time window multiplies temporal density, and interval-overlap OUTPUT
