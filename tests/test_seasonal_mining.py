@@ -1,0 +1,83 @@
+"""Independent (pandas) brute-force checks for the round-7 timeseries
+additions — the oracle shares derivation structure with the Spark
+plans, so these recompute the answers a third way."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from burla_spark.plans import timeseries as ts
+
+
+def test_frequent_event_sequences_matches_bruteforce(spark, sf_dir):
+    out = {
+        r["seq"]: (r["support"], r["n_users"])
+        for r in ts.frequent_event_sequences(spark, sf_dir).collect()
+    }
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e = e.sort_values(["user_id", "ts", "event_id"])
+    support: dict[str, int] = {}
+    users: dict[str, set] = {}
+    for uid, g in e.groupby("user_id"):
+        types = g["event_type"].tolist()
+        for i in range(len(types) - ts.SEQ_N + 1):
+            s = ">".join(types[i : i + ts.SEQ_N])
+            support[s] = support.get(s, 0) + 1
+            users.setdefault(s, set()).add(uid)
+    expect = sorted(
+        ((s, c, len(users[s])) for s, c in support.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[: ts.SEQ_TOP]
+    assert out == {s: (c, u) for s, c, u in expect}
+    assert len(out) == min(ts.SEQ_TOP, len(support)) > 0
+
+
+def test_seasonal_profile_matches_bruteforce(spark, sf_dir):
+    rows = ts.seasonal_hourly_profile(spark, sf_dir).collect()
+    assert rows
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    # mirror load_table's nanos->micros normalization implicitly via
+    # pandas (ns timestamps); the hour index only needs second grain.
+    # normalize to ns first: pyarrow hands pandas datetime64[us], whose
+    # raw int64 is MICROseconds — dividing that by 1e9 collapsed every
+    # event into two "hours"
+    e["h"] = e["ts"].astype("datetime64[ns]").astype("int64") // 10**9 // 3600
+    # dec(value): DECIMAL(18,4) quantization — fixture values are 2 dp,
+    # so plain float sums are exact here
+    hourly = (
+        e.groupby(["event_type", "h"])["value"]
+        .agg(["sum", "count"])
+        .reset_index()
+        .sort_values(["event_type", "h"])
+    )
+    expect = {}
+    for et, g in hourly.groupby("event_type"):
+        g = g.reset_index(drop=True)
+        hmin, hmax = g["h"].min(), g["h"].max()
+        devs: dict[int, list[float]] = {}
+        for _, r in g.iterrows():
+            lo, hi = r["h"] - ts.SEASONAL_HALF, r["h"] + ts.SEASONAL_HALF
+            win = g[(g["h"] >= lo) & (g["h"] <= hi)]
+            trend = win["sum"].sum() / win["count"].sum()
+            if hmin + ts.SEASONAL_HALF <= r["h"] <= hmax - ts.SEASONAL_HALF:
+                hmean = r["sum"] / r["count"]
+                devs.setdefault(int(r["h"] % 24), []).append(
+                    round(hmean - trend, 6)
+                )
+        for hod, ds in devs.items():
+            expect[(et, hod)] = (len(ds), sum(ds) / len(ds))
+
+    assert len(rows) == len(expect)
+    for r in rows:
+        n, seasonal = expect[(r["event_type"], r["hod"])]
+        assert r["n_hours"] == n
+        assert abs(r["seasonal"] - seasonal) < 1e-6, (
+            r["event_type"], r["hod"], r["seasonal"], seasonal,
+        )
+    # seasonal components must not all be identical (vacuity guard)
+    vals = {r["seasonal"] for r in rows}
+    assert len(vals) > 1
+    assert isinstance(np.mean([abs(v) for v in vals]), float)
