@@ -11,6 +11,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def double_vec(a: Column) -> Column:
+    """Element-wise cast to double — the shared first step of every
+    precomputed-norm cosine pipeline (cast once per vector, then
+    ``l2_norm(vd)`` once per side and ``dot(vd_a, vd_b)`` per pair:
+    bit-identical to the per-pair form, 2/3 less work)."""
+    return F.transform(a, lambda x: x.cast("double"))
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns (JVM-side)."""
     return F.aggregate(

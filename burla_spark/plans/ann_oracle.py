@@ -51,6 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from burla_spark.functions.vectors import dot, double_vec, l2_norm
 from burla_spark.operators.text import lower_tokens
 from burla_spark.plans.base import QuerySpec
 from burla_spark.sources.tables import load_table
@@ -160,22 +161,15 @@ def neardup_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # per-vector norms once per side (identical aggregate expression,
     # bit-identical result — 2/3 less work in the pair stage).
-    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(vd, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
-        )
-    )
+    vd = double_vec(F.col("embedding"))
+    nrm = l2_norm(vd)
     a = e.select(F.col("vec_id").alias("id_a"), vd.alias("va"), nrm.alias("na"))
     b = e.filter(F.col("vec_id") < 250).select(
         F.col("vec_id").alias("id_b"), vd.alias("vb"), nrm.alias("nb")
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    sim = F.try_divide(
+        dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
     )
-    sim = F.try_divide(dot, F.col("na") * F.col("nb"))
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
@@ -201,8 +195,9 @@ WITH p AS (
   WHERE a.vec_id < b.vec_id AND b.vec_id < 250
   GROUP BY 1, 2
 )
-SELECT id_a, id_b, ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) + 0.0 AS sim
-FROM p WHERE dot / (SQRT(aa) * SQRT(bb)) >= 0.4
+SELECT id_a, id_b,
+       ROUND(dot / NULLIF(SQRT(aa) * SQRT(bb), 0), 6) + 0.0 AS sim
+FROM p WHERE dot / NULLIF(SQRT(aa) * SQRT(bb), 0) >= 0.4
 ORDER BY id_a, id_b
 """
 
@@ -347,6 +342,39 @@ ORDER BY query_id, rank
 KM_K = 8  # centroids = embeddings vec_id 0..7
 
 
+def assign_fixed_centroids(e: DataFrame, k: int) -> DataFrame:
+    """THE fixed-centroid assignment kernel: nearest centroid
+    (embeddings vec_id < k) by squared L2 on the ROUNDED distance,
+    ties to the smaller centroid id. Shared by
+    ``kmeans_assign_fixed_centroids`` and ``semdedup_prune`` so the
+    'its assignment math is exactly the kmeans kernel' guarantee is
+    structural, not a copy that can drift. Returns
+    (vec_id, cluster_id, d2, embedding)."""
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc(F.round("d2", 6)), F.asc("cluster_id")
+    )
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cluster_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "d2", "embedding")
+    )
+
+
 def kmeans_assign_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One exact k-means ASSIGNMENT pass with fixed centroids
     (embeddings vec_id 0..7): every vector goes to its nearest
@@ -361,30 +389,7 @@ def kmeans_assign_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame
     argmin is a per-row reduction over k, no shuffle until the final
     tiny group-by."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < KM_K).select(
-        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cvec")
-    )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("cvec"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    # same engine-stability rule as the PQ argmin: rank on the rounded
-    # distance so an ULP accumulation difference can't flip a near-tie.
-    w = Window.partitionBy("vec_id").orderBy(
-        F.asc(F.round("d2", 6)), F.asc("cluster_id")
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cluster_id", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
+    assigned = assign_fixed_centroids(e, KM_K)
     return (
         assigned.groupBy("cluster_id")
         .agg(
@@ -719,12 +724,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-vector norms computed once per side (identical F.aggregate
     # expression the per-pair form would run, so bit-identical to the
     # oracle's per-pair sums — but 2/3 less work in the pair stage).
-    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(vd, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
-        )
-    )
+    vd = double_vec(F.col("embedding"))
+    norm = l2_norm(vd)
     q = e.filter(F.col("vec_id") < HN_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
@@ -737,13 +738,12 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         vd.alias("cv"),
         norm.alias("cn"),
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     sim = (
-        F.round(F.try_divide(dot, F.col("qn") * F.col("cn")), 6) + F.lit(0.0)
+        F.round(
+            F.try_divide(dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")),
+            6,
+        )
+        + F.lit(0.0)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc_nulls_last("sim"), F.asc("neighbor_id")

@@ -25,8 +25,16 @@ RS = "\x1e"  # pair separator (nested one level up)
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a per-user event_type→count map (map_from_entries over a
     sorted collect), then read it back via map_keys/map_values/
-    element_at — exercising construction AND access."""
-    e = load_table(spark, sf_dir, "events")
+    element_at — exercising construction AND access.
+
+    NULL event types are excluded up front: a map cannot hold a NULL
+    key — Spark ABORTS with NULL_MAP_KEY the moment one arrives
+    (ANSI), while the list-based oracle would happily emit a row — so
+    the exclusion is the only semantics both engines can share
+    (caught by the round-7 NULL-event_type sweep)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     per_type = e.groupBy("user_id", "event_type").agg(
         F.count("*").alias("n")
     )
@@ -49,7 +57,8 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAP_FUNCTIONS_SQL = """
 WITH per_type AS (
   SELECT user_id, event_type, COUNT(*) AS n
-  FROM events GROUP BY user_id, event_type
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY user_id, event_type
 )
 SELECT user_id,
   array_to_string(list_sort(list(event_type)), '|') AS types,

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from burla_spark.functions.numeric import let
+from burla_spark.functions.vectors import dot, double_vec, l2_norm
 from burla_spark.operators.text import lower_tokens
 from burla_spark.plans.base import QuerySpec
 from burla_spark.sources.tables import load_table
@@ -91,41 +92,20 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 here is the oracle pin, not the production setting). Centroids
     broadcast; the assignment is one scan; the only shuffles are keyed
     by cluster_id and by the dropped id."""
+    from burla_spark.plans.ann_oracle import assign_fixed_centroids
+
     e = load_table(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < SEM_K).select(
-        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cvec")
-    )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("cvec"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.asc(F.round("d2", 6)), F.asc("cluster_id")
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cluster_id", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster_id", "embedding")
+    # the SHARED fixed-centroid kernel (plans/ann_oracle.py) — the
+    # docstring's "exactly the kmeans assignment" claim is structural.
+    assigned = assign_fixed_centroids(e, SEM_K).select(
+        "vec_id", "cluster_id", "embedding"
     )
     # per-vector norm computed ONCE (same F.aggregate expression the
     # per-pair form would run, so bit-identical — but 2/3 less work in
     # the pair stage, which dominates: pairs >> vectors).
-    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(vd, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
-        )
-    )
+    vd = double_vec(F.col("embedding"))
     assigned = assigned.select(
-        "vec_id", "cluster_id", vd.alias("v"), norm.alias("nrm")
+        "vec_id", "cluster_id", vd.alias("v"), l2_norm(vd).alias("nrm")
     )
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
@@ -139,15 +119,16 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     # threshold on the ROUNDED similarity (contract rule 14): a raw
     # float compare could flip at an ULP between engines. try_divide:
     # a zero vector yields NULL (never >= tau), not an ANSI abort.
-    sim = F.round(F.try_divide(dot, F.col("na") * F.col("nb")), 6) + F.lit(0.0)
+    sim = (
+        F.round(
+            F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
+            6,
+        )
+        + F.lit(0.0)
+    )
     pairs = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -305,13 +286,15 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination checking at corpus scale: storage is O(docs x
     density), not O(docs x grams)."""
     fps = _winnowed_fps(spark, sf_dir)
+    # group on (doc_id, n_grams), mirroring the oracle exactly: under a
+    # replayed id carrying DIFFERENT text the two variants have
+    # different n_grams, and a doc_id-only group with first(n_grams)
+    # would pick one nondeterministically and pool the fp counts.
     return (
-        fps.groupBy("doc_id")
-        .agg(
-            F.first("n_grams").alias("n_grams"),
-            F.count("*").alias("n_fps"),
-        )
-        .orderBy("doc_id")
+        fps.groupBy("doc_id", "n_grams")
+        .agg(F.count("*").alias("n_fps"))
+        .select("doc_id", "n_grams", "n_fps")
+        .orderBy("doc_id", "n_grams")
     )
 
 
@@ -319,7 +302,7 @@ WINNOWING_FPS_SQL = (
     _WINNOW_FPS_CTE
     + """
 SELECT doc_id, n_grams, CAST(COUNT(*) AS BIGINT) AS n_fps
-FROM fps GROUP BY doc_id, n_grams ORDER BY doc_id
+FROM fps GROUP BY doc_id, n_grams ORDER BY doc_id, n_grams
 """
 )
 

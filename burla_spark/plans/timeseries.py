@@ -787,16 +787,22 @@ def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (support DESC, sequence ASC)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = F.concat_ws(
-        ">",
+    # F.concat (NULL-propagating, matching SQL ||), NOT concat_ws: a
+    # NULL event_type inside the stream must BREAK contiguity, not be
+    # skipped — concat_ws would fabricate an 'a>c' pseudo-sequence
+    # joining non-adjacent events (and diverge from the oracle). The
+    # IS NOT NULL filter covers both interior NULLs and the partition
+    # tail where the leads run out.
+    seq = F.concat(
         F.col("event_type"),
+        F.lit(">"),
         F.lead("event_type", 1).over(w),
+        F.lit(">"),
         F.lead("event_type", 2).over(w),
     )
-    tail_ok = F.lead("event_type", SEQ_N - 1).over(w).isNotNull()
     return (
-        e.select("user_id", seq.alias("seq"), tail_ok.alias("ok"))
-        .filter(F.col("ok"))
+        e.select("user_id", seq.alias("seq"))
+        .filter(F.col("seq").isNotNull())
         .groupBy("seq")
         .agg(
             F.count("*").alias("support"),
@@ -811,14 +817,13 @@ FREQUENT_SEQ_SQL = f"""
 WITH lagd AS (
   SELECT user_id,
          event_type || '>' || LEAD(event_type, 1) OVER w
-           || '>' || LEAD(event_type, 2) OVER w AS seq,
-         LEAD(event_type, {SEQ_N - 1}) OVER w IS NOT NULL AS ok
+           || '>' || LEAD(event_type, 2) OVER w AS seq
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT seq, CAST(COUNT(*) AS BIGINT) AS support,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-FROM lagd WHERE ok
+FROM lagd WHERE seq IS NOT NULL
 GROUP BY seq ORDER BY support DESC, seq LIMIT {SEQ_TOP}
 """
 

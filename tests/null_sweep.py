@@ -61,7 +61,11 @@ INJECT = {
         " AS o_orderdate, o_orderpriority FROM t"
     ),
     "events": (
-        "SELECT event_id, ts, user_id, event_type,"
+        "SELECT event_id, ts, user_id,"
+        # round-7 session 2: NULL event types too — concat_ws vs ||
+        # NULL semantics fabricated pseudo-sequences in the mining spec
+        " CASE WHEN hash(event_id)%37=0 THEN NULL ELSE event_type END"
+        " AS event_type,"
         " CASE WHEN hash(event_id)%31=0 THEN NULL ELSE value END AS value,"
         " props FROM t"
     ),
