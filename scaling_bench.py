@@ -69,13 +69,18 @@ QUERIES = [
     "seasonal_hourly_profile",
     # session-2 additions: corpus-explode and block-join paths
     "distinct_ngram_diversity", "simhash_md5_signatures",
-    "editdist_neardup_pairs", "frequent_event_sequences",
+    "frequent_event_sequences",
 ]
 # Deliberately excluded: interval_overlap_join — replicating a FIXED
 # time window multiplies temporal density, and interval-overlap OUTPUT
 # is quadratic in density by definition; its wall ratio would measure
 # result size, not plan quality. (Runtime ∝ output is already optimal
 # there; its per-band candidate bound is plan-lint-checked instead.)
+# Also excluded: editdist_neardup_pairs — the v2 word-prefix replica
+# transform lengthens every text ~60% ('z{i}q' on each word), and
+# levenshtein is O(len²) PER CANDIDATE, so its ×10 wall ratio (13.5
+# measured) prices the fixture transform, not the plan (candidate
+# COUNTS scale exactly ×10: blocks are within-replica by construction).
 # Also excluded: semdedup_prune — its centroid count is PINNED to 8 to
 # keep the oracle exact, so replicating the corpus grows cluster sizes
 # ×SCALE and in-cluster pair work ×SCALE²: a measurement of the pin,
