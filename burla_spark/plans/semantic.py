@@ -479,12 +479,20 @@ def editdist_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pfx", F.col("ln").alias("lb"),
     )
     lev = F.levenshtein("ta", "tb").cast("long")
+    # length-band prefilter: lev(a,b) >= |len_a - len_b| always, so a
+    # pair failing |Δlen|·5 <= max(len) can never pass the relative
+    # rule — prune it BEFORE the O(len²) levenshtein call (a pure
+    # refinement: the result set is unchanged by construction).
+    band = (
+        F.abs(F.col("la") - F.col("lb")) * EDIT_REL_DEN
+        <= F.greatest("la", "lb")
+    )
     # distinct: replayed/duplicated doc rows multiply each surviving
     # pair 2x2 through the block join; the duplicate output rows are
     # identical, so a distinct restores exactly-once pairs.
     return (
         a.join(b, "pfx")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & band)
         .select("id_a", "id_b", lev.alias("lev"), F.greatest("la", "lb").alias("mx"))
         .filter(F.col("lev") * EDIT_REL_DEN <= F.col("mx"))
         .select("id_a", "id_b", "lev")
@@ -502,6 +510,7 @@ WITH d AS (
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
 FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+  AND abs(a.ln - b.ln) * {EDIT_REL_DEN} <= greatest(a.ln, b.ln)
 WHERE levenshtein(a.text, b.text) * {EDIT_REL_DEN} <= greatest(a.ln, b.ln)
 ORDER BY id_a, id_b
 """
