@@ -231,6 +231,22 @@ def test_bpe_encode_bounds(spark, sf_dir):
         assert r["n_words"] <= r["n_tokens"] < r["n_chars"]
 
 
+def test_bpe_cache_isolated_per_corpus(spark, tmp_path):
+    """The train-once cache keys on (application, sf_dir): two corpora
+    in one session must train independently, and re-asking for the
+    first corpus must return ITS merges, not the latest."""
+    d1 = _write_docs(tmp_path, ["aa aa aa"])
+    d2 = _write_docs(tmp_path, ["bb bb"])
+    m1 = [(r["pair"], r["weighted_count"])
+          for r in sem.bpe_train_merges(spark, d1).collect()]
+    m2 = [(r["pair"], r["weighted_count"])
+          for r in sem.bpe_train_merges(spark, d2).collect()]
+    assert m1[0] == ("a a", 3) and m2[0] == ("b b", 2)
+    again = [(r["pair"], r["weighted_count"])
+             for r in sem.bpe_train_merges(spark, d1).collect()]
+    assert again == m1
+
+
 def test_bpe_empty_corpus_schema(spark, tmp_path):
     d = _write_docs(tmp_path, [])
     out = sem.bpe_train_merges(spark, d)
