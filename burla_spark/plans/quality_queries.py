@@ -133,7 +133,98 @@ ORDER BY "column"
 """
 
 
+# ---------------------------------------------------------------------------
+# Ingest drift: chi-square contribution report, base vs delta
+# ---------------------------------------------------------------------------
+DRIFT_BIN = 60  # n_chars bin width
+DRIFT_CUT = 0.8  # first 80% of doc_id space = base, rest = delta
+
+
+def chisq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor for an ingest boundary: bin the
+    document-length distribution, split the corpus into base (first
+    DRIFT_CUT of the id space) vs delta (the new batch), and report
+    each bin's chi-square contribution — the production gate that
+    flags a delta batch whose length profile shifted before it trains.
+    Deliberately chi-square and NOT PSI: every quantity here is a
+    ratio of exact BIGINTs (one double division per cell, rounded),
+    whereas PSI's ln() is libm-implementation-specific and can differ
+    between engines at the ULP.
+
+    100 TB shape: one corpus scan into a bounded bin aggregate; the
+    id cut and the two totals are 1-row broadcasts; all per-bin math
+    is map-side arithmetic on exact counts."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.agg(
+        (F.lit(DRIFT_CUT) * (F.max("doc_id") + 1)).cast("long").alias("cut")
+    )
+    bins = (
+        d.crossJoin(F.broadcast(cut))
+        .groupBy((F.col("n_chars") / DRIFT_BIN).cast("long").alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("doc_id") < F.col("cut"), 1).otherwise(0))
+            .alias("n_base"),
+            F.sum(F.when(F.col("doc_id") >= F.col("cut"), 1).otherwise(0))
+            .alias("n_delta"),
+        )
+    )
+    totals = bins.agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_delta").alias("t_delta")
+    )
+    row_total = F.col("n_base") + F.col("n_delta")
+    grand = F.col("t_base") + F.col("t_delta")
+    e_base = (row_total * F.col("t_base")).cast("double") / grand.cast("double")
+    e_delta = (row_total * F.col("t_delta")).cast("double") / grand.cast("double")
+    term = (
+        (F.col("n_base") - e_base) * (F.col("n_base") - e_base) / e_base
+        + (F.col("n_delta") - e_delta) * (F.col("n_delta") - e_delta) / e_delta
+    )
+    return (
+        bins.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_base",
+            "n_delta",
+            F.round(term, 6).alias("chisq_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+CHISQ_DRIFT_SQL = f"""
+WITH lim AS (
+  SELECT CAST({DRIFT_CUT} * (MAX(doc_id) + 1) AS BIGINT) AS cut FROM documents
+),
+b AS (
+  SELECT n_chars // {DRIFT_BIN} AS bin,
+         SUM(CASE WHEN doc_id < cut THEN 1 ELSE 0 END) AS n_base,
+         SUM(CASE WHEN doc_id >= cut THEN 1 ELSE 0 END) AS n_delta
+  FROM documents, lim GROUP BY 1
+),
+t AS (SELECT SUM(n_base) AS t_base, SUM(n_delta) AS t_delta FROM b)
+SELECT bin, CAST(n_base AS BIGINT) AS n_base,
+  CAST(n_delta AS BIGINT) AS n_delta,
+  ROUND(
+    (n_base - CAST((n_base + n_delta) * t_base AS DOUBLE) / (t_base + t_delta))
+      * (n_base - CAST((n_base + n_delta) * t_base AS DOUBLE) / (t_base + t_delta))
+      / (CAST((n_base + n_delta) * t_base AS DOUBLE) / (t_base + t_delta))
+    + (n_delta - CAST((n_base + n_delta) * t_delta AS DOUBLE) / (t_base + t_delta))
+      * (n_delta - CAST((n_base + n_delta) * t_delta AS DOUBLE) / (t_base + t_delta))
+      / (CAST((n_delta + n_base) * t_delta AS DOUBLE) / (t_base + t_delta)),
+  6) AS chisq_term
+FROM b, t
+ORDER BY bin
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "chisq_drift_report",
+        chisq_drift_report,
+        CHISQ_DRIFT_SQL,
+        ("quality", "drift", "documents"),
+        doc="Per-bin chi-square drift contributions, base vs delta ingest.",
+    ),
     QuerySpec(
         name="table_column_stats",
         spark=table_column_stats,

@@ -124,6 +124,7 @@ _DRIVER_PRIORITY = frozenset(
         # round-7 session-2 oracle rewrites the driver must re-adjudicate
         "similarity_join_prefix_filter",
         "frequent_event_sequences", "hard_negative_mining",
+        "chisq_drift_report",
     }
 )
 

@@ -69,6 +69,8 @@ BNLJ_OK = {
     # 50-query broadcast x corpus scan with a label!= theta filter —
     # the exact-verify tier (production feeds ANN candidates instead).
     "hard_negative_mining",
+    # two 1-row broadcasts: the id cut and the (t_base, t_delta) totals
+    "chisq_drift_report",
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]
