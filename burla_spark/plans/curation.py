@@ -555,7 +555,12 @@ def source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 — the oracle here keeps the multiplicative form because
     DuckDB must reproduce it."""
     cap = 15
-    d = load_table(spark, sf_dir, "documents")
+    # NULL doc_id: its hash rank key is NULL and the engines place
+    # NULLs on opposite ends of an ascending sort (contract rule 15) —
+    # and a capping rank needs an identity anyway (NULL-key sweep).
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     h = (F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
     w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
     ranked = (
@@ -586,7 +591,7 @@ WITH ranked AS (
     ROW_NUMBER() OVER (
       PARTITION BY source
       ORDER BY (doc_id * {_HASH_MULT}) % {_HASH_MOD}, doc_id) AS rk
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 )
 SELECT source,
   CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -766,7 +766,12 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from burla_spark.operators import text as tx
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    # NULL doc_id would sit at opposite ends of the packing order in
+    # the two engines (contract rule 15) — and packing order needs an
+    # identity anyway (NULL-key sweep find).
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     per_doc = d.select(
         "source", "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
     )
@@ -791,7 +796,7 @@ SEQUENCE_PACKING_SQL = r"""
 WITH per_doc AS (
   SELECT source, doc_id,
          len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ), c AS (
   SELECT source, doc_id, n_tokens,
          SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum

@@ -54,7 +54,12 @@ def epoch_batch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: md5 hex strings are identical on both engines; counts
     and token sums are exact BIGINTs (no doubles at all)."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = load_table(spark, sf_dir, "documents").filter(
+        # NULL doc_id: concat_ws would SKIP it and hash ':epoch' into a
+        # real bucket while the oracle's || nulls the key — and a shuffle
+        # key needs an identity anyway (NULL-key sweep find).
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
     epochs = spark.range(1, 4).select(F.col("id").cast("int").alias("epoch"))
     keyed = (
         d.select("doc_id", _n_tokens_col().alias("n_tokens"))
@@ -96,7 +101,7 @@ WITH keyed AS (
                     CAST(e.epoch AS VARCHAR)), 1, 1) AS batch_key
   FROM documents d,
        (SELECT UNNEST(generate_series(1, 3)) AS epoch) e
-  WHERE d.text IS NOT NULL
+  WHERE d.text IS NOT NULL AND d.doc_id IS NOT NULL
 )
 SELECT CAST(epoch AS INTEGER) AS epoch, batch_key,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -56,8 +56,16 @@ GROUP BY 1, 2
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each purchase, the most recent click (ts <= purchase ts) by
     the same user — implemented with the union+window as-of operator
-    (see operators/asof.py), verified against DuckDB's native ASOF JOIN."""
-    e = load_table(spark, sf_dir, "events")
+    (see operators/asof.py), verified against DuckDB's native ASOF JOIN.
+
+    NULL user ids are excluded on BOTH sides up front: SQL join
+    semantics never match NULL keys (ASOF included), but the
+    union+window formulation puts all NULL-key rows into ONE window
+    partition and happily matches them to each other — the NULL-key
+    sweep caught the divergence. An as-of match needs an identity."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
     purchases = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
@@ -85,11 +93,11 @@ SELECT
   c.click_id, c.click_ts
 FROM (
   SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value AS purchase_value
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
 ) p
 ASOF LEFT JOIN (
   SELECT event_id AS click_id, user_id, ts AS click_ts
-  FROM events WHERE event_type = 'click'
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
 ) c ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
 """
 
