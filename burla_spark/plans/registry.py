@@ -125,6 +125,8 @@ _DRIVER_PRIORITY = frozenset(
         "similarity_join_prefix_filter",
         "frequent_event_sequences", "hard_negative_mining",
         "chisq_drift_report",
+        # round-7 NULL-join-key fixes (both engine sides changed)
+        "events_asof_join", "sequence_packing", "source_frequency_cap",
     }
 )
 
