@@ -244,7 +244,15 @@ def minhash_lsh_pairs(
     unless its members are exact duplicates (those surface through
     exact dedup first). Default is therefore None (exact LSH
     semantics); when a cap is passed, the function reports what it
-    dropped via ``warnings.warn`` so the recall change is observable."""
+    dropped via ``warnings.warn`` so the recall change is observable.
+
+    .. versionchanged:: round 7
+       ``max_bucket`` default flipped from 128 to None: recall is now
+       exact by default, but callers that relied on the old implicit
+       cap inherit quadratically growing candidate pairs on
+       boilerplate-heavy corpora — re-pin ``max_bucket=128`` (as
+       minhash_dedup_pairs in plans/llm.py does) where the linear
+       candidate bound matters more than exhaustive recall."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands

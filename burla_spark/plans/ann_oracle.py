@@ -59,6 +59,22 @@ from burla_spark.sources.tables import load_table
 DIM = 64  # embeddings fixture dimension (TESTDATA.md)
 
 
+def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with the NULL-key policy applied: ``vec_id`` is the
+    vector's IDENTITY — every spec in this file groups, ranks
+    (row_number PARTITION BY), or joins on it, and under NULL ids the
+    two engines merge at different stages (DuckDB's GROUP BY collapses
+    all NULL-id vectors into one pseudo-vector before the argmin;
+    Spark's window partitions collapse after it — the round-8 nullkey
+    sweep caught kmeans_assign 75 vs 74 members, lsh_buckets 124 vs
+    123 rows). A key needs an identity: id-less vectors are excluded
+    on BOTH engine sides (each SQL carries the matching
+    ``vec_id IS NOT NULL``)."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash verify stage: exact shingle Jaccard over blocked candidates
 # ---------------------------------------------------------------------------
@@ -158,7 +174,7 @@ def neardup_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded by bucket size); the exhaustive pairing here exists only
     to make the stage oracle-checkable on the fixture. + 0.0
     normalizes signed zero (contract rule 13)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     # per-vector norms once per side (identical aggregate expression,
     # bit-identical result — 2/3 less work in the pair stage).
     vd = double_vec(F.col("embedding"))
@@ -224,7 +240,7 @@ def pq_fixed_codebook_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots) broadcasts; the ADC scan reads codes, not vectors. Ranks
     carry a unique total order (adc desc, neighbor asc); ties in the
     argmin break to the smaller codeword id on both engines."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
 
     def subvec(col: str):  # s-th 16-dim slice, elements cast to double
@@ -303,7 +319,7 @@ d2 AS (
         * (CAST(v.embedding[s.s * {PQ_SUB} + i.i] AS DOUBLE)
            - CAST(cb.embedding[s.s * {PQ_SUB} + i.i] AS DOUBLE))) AS d2
   FROM embeddings v, embeddings cb, s, i
-  WHERE cb.vec_id < {PQ_K}
+  WHERE cb.vec_id < {PQ_K} AND v.vec_id IS NOT NULL
   GROUP BY 1, 2, 3
 ),
 codes AS (
@@ -388,7 +404,7 @@ def kmeans_assign_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame
     100 TB shape: centroids broadcast (k rows); one corpus scan; the
     argmin is a per-row reduction over k, no shuffle until the final
     tiny group-by."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     assigned = assign_fixed_centroids(e, KM_K)
     return (
         assigned.groupBy("cluster_id")
@@ -408,7 +424,7 @@ d2 AS (
     SUM((CAST(v.embedding[i.i] AS DOUBLE) - CAST(c.embedding[i.i] AS DOUBLE))
         * (CAST(v.embedding[i.i] AS DOUBLE) - CAST(c.embedding[i.i] AS DOUBLE))) AS d2
   FROM embeddings v, embeddings c, i
-  WHERE c.vec_id < {KM_K}
+  WHERE c.vec_id < {KM_K} AND v.vec_id IS NOT NULL
   GROUP BY 1, 2
 ),
 assigned AS (
@@ -437,7 +453,7 @@ def mmr_lambda1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-asc tiebreak."""
     from burla_spark.operators import similarity as sim
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 5)
     out = sim.mmr_topk(
         q, e, "vec_id", "vec_id", "embedding", "embedding",
@@ -457,7 +473,7 @@ p AS (
     SUM(CAST(q.qe[s.i] AS DOUBLE) * CAST(q.qe[s.i] AS DOUBLE)) AS qq,
     SUM(CAST(c.embedding[s.i] AS DOUBLE) * CAST(c.embedding[s.i] AS DOUBLE)) AS cc
   FROM q, embeddings c, (SELECT UNNEST(generate_series(1, {DIM})) AS i) s
-  WHERE q.query_id <> c.vec_id
+  WHERE q.query_id <> c.vec_id AND c.vec_id IS NOT NULL
   GROUP BY 1, 2
 ),
 scored AS (
@@ -498,7 +514,7 @@ def lsh_fixed_planes_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; the only shuffle is the final bucket-cardinality-bounded
     group-by. Output is the bucket occupancy report — the quantity
     that determines LSH recall/candidate cost."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     planes = (
         e.filter(F.col("vec_id") < LSH_PLANES)
         .select(F.col("vec_id").alias("j"), F.col("embedding").alias("pvec"))
@@ -542,7 +558,7 @@ dots AS (
     ROUND(SUM(CAST(v.embedding[i.i] AS DOUBLE)
               * CAST(p.embedding[i.i] AS DOUBLE)), 6) AS rdot
   FROM embeddings v, embeddings p, i
-  WHERE p.vec_id < {LSH_PLANES}
+  WHERE p.vec_id < {LSH_PLANES} AND v.vec_id IS NOT NULL
   GROUP BY 1, 2
 ),
 bits AS (
@@ -720,7 +736,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN candidates (IVF/LSH buckets) instead of the full corpus — the
     same contract as neardup_cosine_pairs_exact. The query set
     broadcasts; one corpus scan."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     # per-vector norms computed once per side (identical F.aggregate
     # expression the per-pair form would run, so bit-identical to the
     # oracle's per-pair sums — but 2/3 less work in the pair stage).
@@ -771,7 +787,7 @@ p AS (
     SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS qq,
     SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS cc
   FROM embeddings q, embeddings c, i
-  WHERE q.vec_id < {HN_QUERIES} AND c.label != q.label
+  WHERE q.vec_id < {HN_QUERIES} AND c.label != q.label AND c.vec_id IS NOT NULL
   GROUP BY 1, 2, 3, 4
 ),
 sims AS (

@@ -770,8 +770,18 @@ def compaction_bins_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unit a compactor locks and rewrites — never globally; a
     partition's manifest is millions of rows at most, not the table's
     row count. Emitting contiguous [first_doc, last_doc] ranges is
-    what lets the rewrite stream each bin without a shuffle."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    what lets the rewrite stream each bin without a shuffle.
+
+    NULL-key policy (both sides): doc_id is the layout ORDER key of the
+    cumulative window, and the engines disagree on NULL placement in an
+    ascending sort (Spark NULLS FIRST, DuckDB NULLS LAST — contract
+    rule 15), which would shift every cum past the first NULL. An
+    order key needs an identity: id-less manifest rows are excluded
+    here and in COMPACTION_BINS_SQL."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+    )
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
@@ -806,7 +816,7 @@ WITH binned AS (
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND CURRENT ROW)
               // {COMPACT_TARGET_BYTES} AS BIGINT) AS bin
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
 )
 SELECT source, bin,
        CAST(COUNT(*) AS BIGINT) AS n_files,

@@ -173,11 +173,21 @@ def chisq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     row_total = F.col("n_base") + F.col("n_delta")
     grand = F.col("t_base") + F.col("t_delta")
-    e_base = (row_total * F.col("t_base")).cast("double") / grand.cast("double")
-    e_delta = (row_total * F.col("t_delta")).cast("double") / grand.cast("double")
-    term = (
-        (F.col("n_base") - e_base) * (F.col("n_base") - e_base) / e_base
-        + (F.col("n_delta") - e_delta) * (F.col("n_delta") - e_delta) / e_delta
+    # try_divide, not `/`: a bin whose rows are all NULL-doc_id counts
+    # into neither side (row_total = 0 → expected = 0), and on 0/0
+    # Spark's Divide yields NULL while DuckDB yields NaN — which the
+    # harness canonicalizes as a mismatch. Both engines emit NULL now
+    # (the SQL mirrors with NULLIF denominators).
+    e_base = F.try_divide(
+        (row_total * F.col("t_base")).cast("double"), grand.cast("double")
+    )
+    e_delta = F.try_divide(
+        (row_total * F.col("t_delta")).cast("double"), grand.cast("double")
+    )
+    term = F.try_divide(
+        (F.col("n_base") - e_base) * (F.col("n_base") - e_base), e_base
+    ) + F.try_divide(
+        (F.col("n_delta") - e_delta) * (F.col("n_delta") - e_delta), e_delta
     )
     return (
         bins.crossJoin(F.broadcast(totals))
@@ -201,18 +211,25 @@ b AS (
          SUM(CASE WHEN doc_id >= cut THEN 1 ELSE 0 END) AS n_delta
   FROM documents, lim GROUP BY 1
 ),
-t AS (SELECT SUM(n_base) AS t_base, SUM(n_delta) AS t_delta FROM b)
+t AS (SELECT SUM(n_base) AS t_base, SUM(n_delta) AS t_delta FROM b),
+e AS (
+  -- NULLIF denominators mirror Spark's try_divide: a bin counted into
+  -- neither side (all-NULL doc_id) has expected 0 — both engines emit
+  -- NULL instead of DuckDB's NaN vs Spark's NULL divergence.
+  SELECT bin, n_base, n_delta,
+    CAST((n_base + n_delta) * t_base AS DOUBLE) / NULLIF(t_base + t_delta, 0)
+      AS e_base,
+    CAST((n_base + n_delta) * t_delta AS DOUBLE) / NULLIF(t_base + t_delta, 0)
+      AS e_delta
+  FROM b, t
+)
 SELECT bin, CAST(n_base AS BIGINT) AS n_base,
   CAST(n_delta AS BIGINT) AS n_delta,
   ROUND(
-    (n_base - CAST((n_base + n_delta) * t_base AS DOUBLE) / (t_base + t_delta))
-      * (n_base - CAST((n_base + n_delta) * t_base AS DOUBLE) / (t_base + t_delta))
-      / (CAST((n_base + n_delta) * t_base AS DOUBLE) / (t_base + t_delta))
-    + (n_delta - CAST((n_base + n_delta) * t_delta AS DOUBLE) / (t_base + t_delta))
-      * (n_delta - CAST((n_base + n_delta) * t_delta AS DOUBLE) / (t_base + t_delta))
-      / (CAST((n_delta + n_base) * t_delta AS DOUBLE) / (t_base + t_delta)),
+    (n_base - e_base) * (n_base - e_base) / NULLIF(e_base, 0)
+    + (n_delta - e_delta) * (n_delta - e_delta) / NULLIF(e_delta, 0),
   6) AS chisq_term
-FROM b, t
+FROM e
 ORDER BY bin
 """
 

@@ -89,18 +89,23 @@ JOIN events p
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """
 
+# NULL-key policy (both sides; see run_upsert_totals): upsert merge
+# keys need an identity — NULL user_id is excluded in stream and oracle.
 STREAM_UPSERT_SQL = """
 SELECT user_id, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-FROM events GROUP BY user_id
+FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 """
 
+# NULL-key policy (both sides; see stream_timer_sessions): session keys
+# need an identity — NULL user_id is excluded in stream and oracle.
 STREAM_TIMER_SESSIONS_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,
     CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
            OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT user_id, ts, value,
     SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -129,14 +134,17 @@ LEFT JOIN events p
 WHERE c.event_type = 'click'
 """
 
+# NULL-key policy (both sides; see stream_full_outer_join): join keys
+# need an identity — NULL user_id is excluded in stream and oracle.
 STREAM_FULL_OUTER_SQL = """
 SELECT COALESCE(c.user_id, p.user_id) AS user_id,
        c.event_id AS click_id,
        p.event_id AS purchase_id,
        epoch_us(p.ts) - epoch_us(c.ts) AS micros_to_purchase,
        p.value AS purchase_value
-FROM (SELECT * FROM events WHERE event_type = 'click') c
-FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+FROM (SELECT * FROM events WHERE event_type = 'click' AND user_id IS NOT NULL) c
+FULL JOIN (SELECT * FROM events
+           WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
   ON c.user_id = p.user_id
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """

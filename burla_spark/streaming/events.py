@@ -466,7 +466,16 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     short of the tail, so two far-future sentinel batches flush it;
     sentinels carry negative event_ids and are dropped below. The
     batch FULL OUTER join over the same predicate is the exact
-    oracle."""
+    oracle.
+
+    NULL-key policy (both sides, matches STREAM_FULL_OUTER_SQL): a NULL
+    user_id never satisfies the equi-join predicate, but FULL OUTER
+    still emits it unmatched — and Spark's stream-stream state machine
+    and the batch oracle disagree on exactly which NULL-key rows
+    surface (round-7 probe: 3961 vs 3964 rows). Join keys need an
+    identity; both engines exclude NULL keys explicitly, same policy as
+    events_asof_join (commit d7c76ad). Sentinels carry user_id = -1, so
+    they survive this filter and still flush state."""
     from burla_spark.sources.tables import normalize_events_ts
 
     stream_dir = _events_dir_with_sentinels(spark, sf_dir)
@@ -476,7 +485,7 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(stream_dir)
     )
-    s = normalize_events_ts(raw)
+    s = normalize_events_ts(raw).filter(F.col("user_id").isNotNull())
     clicks = (
         s.filter(F.col("event_type") == "click")
         .select(
@@ -658,7 +667,13 @@ def run_upsert_totals(
         .option("maxFilesPerTrigger", "1")
         .parquet(stream_dir)
     )
-    s = normalize_events_ts(raw)
+    # NULL-key policy (both sides, matches STREAM_UPSERT_SQL): the keyed
+    # merge joins existing rows on user_id, and a NULL key never matches
+    # itself — so every micro-batch carrying the NULL group appended a
+    # FRESH row instead of updating the old one (round-7 probe: 154 vs
+    # 151 rows, one extra NULL row per later batch). Upsert keys need an
+    # identity; both engines exclude NULL keys explicitly.
+    s = normalize_events_ts(raw).filter(F.col("user_id").isNotNull())
     totals = s.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.sum(dec("value")).cast("double").alias("total_value"),
@@ -774,9 +789,19 @@ def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(stream_dir)
     )
-    s = normalize_events_ts(raw).select(
-        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
-    ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    # NULL-key policy (both sides, matches STREAM_TIMER_SESSIONS_SQL):
+    # applyInPandasWithState keys the NULL group like a value, but the
+    # output filter user_id >= 0 (which exists to drop the -1 sentinels)
+    # is NULL on a NULL key and silently dropped those sessions while
+    # the oracle kept its NULL partition (round-7 probe: 9309 vs 9519
+    # rows). Session keys need an identity; both engines exclude NULL
+    # keys explicitly. Sentinels are user_id = -1 and still flush timers.
+    s = (
+        normalize_events_ts(raw)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "value")
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
 
     out_cols = [
         "user_id",

@@ -248,6 +248,13 @@ def main() -> dict:
     }
 
 
+# Regression gate: the documented superlinear tails are data-shape-
+# bounded (ENGINEERING_NOTES "×10 superlinear tails") and top out at
+# 8.49; anything past 10 — a ×10 replication costing more than ×10 —
+# is a NEW quadratic candidate stage, the exact failure class this
+# harness exists to catch. Override via BURLA_SCALING_GATE.
+GATE = float(os.environ.get("BURLA_SCALING_GATE", "10"))
+
 if __name__ == "__main__":
     real_stdout = sys.stdout
     sys.stdout = sys.stderr
@@ -256,3 +263,11 @@ if __name__ == "__main__":
     finally:
         sys.stdout = real_stdout
     print(json.dumps(result))
+    if result["max_ratio"] > GATE:
+        print(
+            f"[scaling] GATE FAILED: max_ratio {result['max_ratio']} > "
+            f"{GATE} — a plan regressed superlinearly; see the 'queries' "
+            "map for the offender",
+            file=sys.stderr,
+        )
+        sys.exit(1)

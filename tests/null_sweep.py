@@ -13,8 +13,28 @@ Two modes:
   ingest). Exposes any window/dedup semantics that silently assumed
   unique keys — round 4 caught the stream_watermark_dedup oracle
   relying on fixture-unique event_ids.
+* ``nullkey`` — NULL the JOIN/GROUP keys themselves (events.user_id,
+  documents.doc_id, embeddings.doc_id on deterministic hash slices).
+  The round-7 round-end run of this recipe found 7 real divergences:
+  4 batch (fixed in d7c76ad) + 3 streaming (fixed round 8 —
+  stream_upsert_user_totals, stream_full_outer_join,
+  stream_timer_sessions). The policy it enforces: a join / group /
+  rank / upsert key needs an identity, so every keyed operator must
+  state its NULL-key treatment EXPLICITLY and identically on both
+  engine sides.
+* ``dupdim`` — duplicate every 13th row of the DIMENSION tables
+  (nation, region, customer, supplier, part), keys included: the
+  shape of a re-ingested dim snapshot. Exercises the join/broadcast
+  family the fact-side ``dup`` sweep can't — a duplicated dim key
+  fans out every matching fact row identically in both engines, so
+  any divergence is a real semantics bug (round-7 VERDICT item #3).
+* ``trunc`` — truncate document text mid-codepoint-run (byte-prefix
+  at 64 chars on a hash slice, plus empty-string on another): the
+  shape of a crawler that cut a record short. Exercises every text
+  operator's short/empty-input edge (round-7 VERDICT item #3).
 
-Run: python tests/null_sweep.py [null|dup]   (~4 min each)
+Run: python tests/null_sweep.py [null|dup|nullkey|dupdim|trunc]
+(~4 min each)
 """
 
 from __future__ import annotations
@@ -76,25 +96,63 @@ INJECT = {
 # tables — the shape of a replayed ingest batch.
 DUP_TABLES = {"lineitem", "orders", "documents", "events"}
 
+# dupdim mode: duplicate every 13th row of the DIMENSION tables — a
+# re-ingested dim snapshot; fans out joins identically in both engines.
+DUPDIM_TABLES = {"nation", "region", "customer", "supplier", "part"}
+
+# nullkey mode: NULL the join/group keys themselves on deterministic
+# hash slices — the round-7 round-end probe recipe, now permanent.
+NULLKEY_INJECT = {
+    "events": (
+        "SELECT event_id, ts,"
+        " CASE WHEN hash(event_id)%41=0 THEN NULL ELSE user_id END AS user_id,"
+        " event_type, value, props FROM t"
+    ),
+    "documents": (
+        "SELECT CASE WHEN hash(doc_id)%43=0 THEN NULL ELSE doc_id END AS doc_id,"
+        " text, lang, source, n_chars FROM t"
+    ),
+    "embeddings": (
+        "SELECT CASE WHEN hash(vec_id)%47=0 THEN NULL ELSE vec_id END AS vec_id,"
+        " embedding, label FROM t"
+    ),
+}
+
+# trunc mode: cut document text short — byte-prefix at 64 chars on one
+# hash slice, empty string on another (crawler-truncated records).
+TRUNC_INJECT = {
+    "documents": (
+        "SELECT doc_id,"
+        " CASE WHEN hash(doc_id)%21=0 THEN ''"
+        "      WHEN hash(doc_id)%22=0 THEN substr(text, 1, 64)"
+        "      ELSE text END AS text,"
+        " lang, source, n_chars FROM t"
+    ),
+}
+
 
 def build_degraded_dir(mode: str) -> str:
     import duckdb
 
-    dst = DST + ("" if mode == "null" else "_dup")
+    dst = DST + ("" if mode == "null" else f"_{mode}")
     os.makedirs(dst, exist_ok=True)
+    inject = {"null": INJECT, "nullkey": NULLKEY_INJECT, "trunc": TRUNC_INJECT}.get(mode, {})
+    dup_tables, dup_step = (
+        (DUP_TABLES, 17) if mode == "dup" else (DUPDIM_TABLES, 13) if mode == "dupdim" else (set(), 0)
+    )
     con = duckdb.connect()
     for f in glob.glob(SRC + "/*.parquet"):
         t = os.path.basename(f)[: -len(".parquet")]
-        if mode == "null" and t in INJECT:
+        if t in inject:
             con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM read_parquet('{f}')")
-            con.execute(f"COPY ({INJECT[t]}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
-        elif mode == "dup" and t in DUP_TABLES:
+            con.execute(f"COPY ({inject[t]}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+        elif t in dup_tables:
             con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM read_parquet('{f}')")
             cols = ", ".join(r[0] for r in con.execute("DESCRIBE t").fetchall())
             con.execute(
                 f"COPY (SELECT * FROM t UNION ALL SELECT {cols} FROM "
                 f"(SELECT *, row_number() OVER () AS __rn FROM t) x "
-                f"WHERE __rn % 17 = 0) TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+                f"WHERE __rn % {dup_step} = 0) TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
             )
         else:
             shutil.copy(f, f"{dst}/{t}.parquet")
@@ -108,7 +166,7 @@ def main() -> int:
     from tests.oracle import compare, duck_connection
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "null"
-    assert mode in ("null", "dup"), f"unknown mode {mode!r}"
+    assert mode in ("null", "dup", "nullkey", "dupdim", "trunc"), f"unknown mode {mode!r}"
     dst = build_degraded_dir(mode)
     spark = get_spark(app_name=f"{mode}_sweep")
     spark.sparkContext.setLogLevel("ERROR")

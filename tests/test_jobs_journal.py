@@ -518,3 +518,28 @@ def test_claim_redrive_falls_back_when_hardlinks_unsupported(tmp_path, monkeypat
         jobs._claim_redrive(base, "j1", stale_s=60.0)
     # no tmp litter from the fallback path
     assert [f for f in os.listdir(os.path.join(base, "j1")) if f.endswith(".tmp")] == []
+
+
+def test_claim_fallback_on_linkless_filesystem(spark, journal_dir, monkeypatch):
+    """The claim's primary path is link() (atomic name + full payload in
+    one step); GCS/S3-FUSE and some NFS/SMB mounts raise ENOTSUP/EPERM
+    from link(), where the claim falls back to O_CREAT|O_EXCL with an
+    unbuffered full write (jobs.py _publish). Until now only the happy
+    link() path was exercised — this drives the fallback: the claim
+    must still be won exactly once, carry an intact payload, leave no
+    tmp litter, and refuse a second fresh claimant."""
+    import errno
+
+    def no_link(src, dst, *a, **kw):
+        raise OSError(errno.ENOTSUP, "Operation not supported")
+
+    monkeypatch.setattr(os, "link", no_link)
+    jdir = os.path.join(journal_dir, "burla-job-linkless")
+    os.makedirs(jdir, exist_ok=True)
+    jobs._claim_redrive(journal_dir, "burla-job-linkless", stale_s=60.0)
+    with open(os.path.join(jdir, "redrive_claim")) as fh:
+        doc = json.load(fh)  # torn payload would fail to parse
+    assert doc["pid"] == os.getpid() and doc["host"] and doc["at"] > 0
+    assert not [f for f in os.listdir(jdir) if ".tmp" in f], "tmp litter"
+    with pytest.raises(RuntimeError, match="already being redriven"):
+        jobs._claim_redrive(journal_dir, "burla-job-linkless", stale_s=60.0)

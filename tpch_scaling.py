@@ -1,0 +1,164 @@
+"""sf0.1 → sf1 wall-curve for the relational/TPC-H family.
+
+The ×10 replica harness (scaling_bench.py) gates the text/embedding
+operators, but replicated key-shifted fixtures exercise the relational
+family only synthetically: every FK fans out inside its replica and
+cross-replica selectivity is zero. This harness instead generates REAL
+TPC-H data at two scale factors with DuckDB's `tpch` extension
+(dbgen, deterministic), projects it onto the fixture schema
+(TESTDATA.md columns/types — the queries are written against that
+subset), and times every `plans.relational*` spec at sf0.1 vs sf1.
+Apples to apples: both scale points come from the same generator, so
+the wall ratio isolates PLAN scaling — ~10 is linear, far above it is
+the hidden-quadratic alarm.
+
+The non-TPC-H tables (events/documents/embeddings) are copied from
+the tiny sf0.001 fixture into BOTH dirs, so the handful of relational
+specs that read them (date/scalar demos) see constant input and ratio
+≈ 1 — they dilute nothing and the gate is one-sided (≤).
+
+Run: ``python tpch_scaling.py`` — prints one JSON line
+{"metric": "tpch_sf_curve", "queries": {name: {"t01": s, "t1": s,
+"ratio": r}}, "max_ratio": r, ...}; exits 1 if max_ratio > GATE
+(default 15 = linear ×10 + shuffle/AQE slack; override via
+BURLA_TPCH_GATE). Fixtures land in ``.scaling/tpch_sf{0.1,1}``
+(gitignored, built once, ~2 min).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+SMALL_FIXTURE = "/root/testdata/sf0.001"  # constant non-TPC-H tables
+GEN_VERSION = "1"
+GATE = float(os.environ.get("BURLA_TPCH_GATE", "15"))
+
+# dbgen → fixture-schema projections (TESTDATA.md): the fixture is a
+# column/type SUBSET of real TPC-H (DECIMAL→DOUBLE, DATE→TIMESTAMP,
+# no comment/address/phone columns, no partsupp).
+PROJECTIONS = {
+    "region": "SELECT r_regionkey, r_name FROM region",
+    "nation": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "customer": (
+        "SELECT c_custkey, c_name, c_nationkey,"
+        " CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment FROM customer"
+    ),
+    "supplier": (
+        "SELECT s_suppkey, s_name, s_nationkey,"
+        " CAST(s_acctbal AS DOUBLE) AS s_acctbal FROM supplier"
+    ),
+    "part": (
+        "SELECT p_partkey, p_name, p_brand, p_type, p_size,"
+        " CAST(p_retailprice AS DOUBLE) AS p_retailprice FROM part"
+    ),
+    "orders": (
+        "SELECT o_orderkey, o_custkey, o_orderstatus,"
+        " CAST(o_totalprice AS DOUBLE) AS o_totalprice,"
+        " CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,"
+        " o_orderpriority FROM orders"
+    ),
+    "lineitem": (
+        "SELECT l_orderkey, l_partkey, l_suppkey,"
+        " CAST(l_linenumber AS INTEGER) AS l_linenumber,"
+        " CAST(l_quantity AS DOUBLE) AS l_quantity,"
+        " CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,"
+        " CAST(l_discount AS DOUBLE) AS l_discount,"
+        " CAST(l_tax AS DOUBLE) AS l_tax,"
+        " l_returnflag, l_linestatus,"
+        " CAST(l_shipdate AS TIMESTAMP) AS l_shipdate FROM lineitem"
+    ),
+}
+
+
+def _gen_dir(sf: float) -> str:
+    return os.path.join(REPO_DIR, ".scaling", f"tpch_sf{sf}")
+
+
+def generate_fixtures(sf: float) -> str:
+    import duckdb
+
+    out_dir = _gen_dir(sf)
+    done_marker = os.path.join(out_dir, f".done_v{GEN_VERSION}")
+    if os.path.exists(done_marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    print(f"[tpch] dbgen sf={sf} -> {out_dir} ...", file=sys.stderr, flush=True)
+    con = duckdb.connect()
+    con.execute("LOAD tpch")
+    con.execute(f"CALL dbgen(sf={sf})")
+    for table, sql in PROJECTIONS.items():
+        con.execute(
+            f"COPY ({sql}) TO '{out_dir}/{table}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    for t in ("events", "documents", "embeddings"):
+        shutil.copy(f"{SMALL_FIXTURE}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    with open(done_marker, "w") as fh:
+        fh.write(f"v{GEN_VERSION} {time.time()}")
+    return out_dir
+
+
+def main() -> dict:
+    from scaling_bench import _time_queries
+
+    from burla_spark.plans.registry import all_specs
+    from burla_spark.session import get_spark
+
+    d01 = generate_fixtures(0.1)
+    d1 = generate_fixtures(1)
+    spark = get_spark(app_name="burla_spark_tpch_scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    specs = [
+        s for s in all_specs()
+        if (getattr(s.spark, "__module__", "") or "").startswith(
+            "burla_spark.plans.relational"
+        )
+    ]
+    base = _time_queries(spark, specs, d01)
+    scaled = _time_queries(spark, specs, d1)
+    queries = {}
+    for name in sorted(base):
+        (b_cold, b_best), (s_cold, s_best) = base[name], scaled[name]
+        queries[name] = {
+            "t01": b_best,
+            "t1": s_best,
+            # 50 ms floor: sub-fixed-cost ratios are noise (same rule
+            # as scaling_bench).
+            "ratio": round(s_best / max(b_best, 0.05), 2),
+        }
+    worst_name = max(queries, key=lambda n: queries[n]["ratio"])
+    return {
+        "metric": "tpch_sf_curve",
+        "sf_points": [0.1, 1],
+        "queries": queries,
+        "max_ratio": queries[worst_name]["ratio"],
+        "worst_query": worst_name,
+        "n_queries": len(queries),
+    }
+
+
+if __name__ == "__main__":
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+    try:
+        result = main()
+    finally:
+        sys.stdout = real_stdout
+    print(json.dumps(result))
+    if result["max_ratio"] > GATE:
+        print(
+            f"[tpch] GATE FAILED: {result['worst_query']} ratio "
+            f"{result['max_ratio']} > {GATE} — superlinear relational plan",
+            file=sys.stderr,
+        )
+        sys.exit(1)
