@@ -160,6 +160,7 @@ def main() -> dict:
         "cold_total": round(sum(cold.values()), 3),
         "queries_cold": cold,
         "n_queries": len(warm),
+        "build_s": build_s,
         "errors": errors,
     }
 

@@ -740,7 +740,10 @@ def token_pieces_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(pieces).cast("long").alias("n_pieces"),
         F.size(F.array_distinct(pieces)).cast("long").alias("n_distinct_pieces"),
-        F.element_at(pieces, 1).alias("first_piece"),
+        # try_element_at, not element_at: an EMPTY piece array (blank /
+        # truncated-to-whitespace text — the trunc sweep's find) makes
+        # ANSI element_at throw where DuckDB's [1] yields NULL.
+        F.try_element_at(pieces, F.lit(1)).alias("first_piece"),
     )
 
 

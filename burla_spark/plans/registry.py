@@ -84,49 +84,30 @@ def all_specs() -> list[QuerySpec]:
     return specs
 
 
-# Round-7 rotation: all of round 6's 50 sampled rows came back green
-# (CORRECTNESS_r06 — zero red, zero errors), so the priority set is
-# exactly the rows round 7 ADDED or CHANGED and the driver must
-# adjudicate: session 1's mixing/graph/sketch/layout specs and
-# rounded-rank rewrites, plus session 2's semantic-curation family,
-# sketch-math companions, seasonal/sequence-mining/hard-negative specs,
-# and the two oracle rewrites (prefix-filter per-doc gram merge, EWMA
-# ascending-last selection). The driver's 50-slot sample fills the
-# rest from the layer-interleaved rotation remainder.
+# Round-8 rotation: the round-7 adjudication came back 50/50 green
+# (CORRECTNESS_r07), so the priority set is exactly the rows round 8
+# CHANGED and the driver must re-adjudicate: the three streaming
+# NULL-key fixes (both engine sides changed), the ann_oracle family
+# whose Spark plans and SQLs now both exclude NULL vec_ids, the two
+# ADVICE fixes (chisq zero-expected guard, compaction NULL order key),
+# and the near-dup pipeline whose verify stage dropped its broadcast
+# hint. The driver's 50-slot sample fills the rest from the
+# layer-interleaved rotation remainder.
 _DRIVER_PRIORITY = frozenset(
     {
-        # round-7 ULP-stable rounded-rank rewrite (plans/ann_oracle.py)
-        "pq_fixed_codebook_topk", "kmeans_assign_fixed_centroids",
-        # round-7 new mixing family (plans/mixing.py)
-        "epoch_batch_shuffle", "token_budget_epoch_plan",
-        "curriculum_length_phases",
-        # round-7 stream-join matrix completion
-        "stream_full_outer_join",
-        # round-7 oracle companion (LSH bucketing with fixed planes)
-        "lsh_fixed_planes_buckets",
-        # round-7 ingest/tokenizer ops
-        "incremental_dedup_new_docs", "oov_rate_by_source",
-        # green row whose SQL the rule-1 normalizer sweep changed
-        "temperature_mixture_weights",
-        # round-7 layout/catalog ops
-        "compaction_bins_by_source", "table_column_stats",
-        # round-7 graph/sketch/incremental/timeseries additions
-        "triangle_counts_part_graph", "heavy_hitter_bigrams",
-        "ewma_event_values", "incremental_agg_maintenance",
-        # round-7 semantic-curation family (plans/semantic.py)
-        "semdedup_prune", "winnowing_fingerprints",
-        "winnowing_contamination_pairs", "bpe_train_merges",
-        "editdist_neardup_pairs",
-        # round-7 sketch-math oracle companions (plans/ann_oracle.py)
-        "simhash_md5_signatures", "hll_registers_md5",
-        "bpe_encode_token_stats", "distinct_ngram_diversity",
-        "seasonal_hourly_profile",
-        # round-7 session-2 oracle rewrites the driver must re-adjudicate
-        "similarity_join_prefix_filter",
-        "frequent_event_sequences", "hard_negative_mining",
-        "chisq_drift_report",
-        # round-7 NULL-join-key fixes (both engine sides changed)
-        "events_asof_join", "sequence_packing", "source_frequency_cap",
+        # round-8 streaming NULL-key fixes (both engine sides changed)
+        "stream_upsert_user_totals", "stream_full_outer_join",
+        "stream_timer_sessions",
+        # round-8 NULL-vec_id policy across the ann_oracle companions
+        "kmeans_assign_fixed_centroids", "lsh_fixed_planes_buckets",
+        "pq_fixed_codebook_topk", "mmr_lambda1_topk",
+        "neardup_cosine_pairs_exact", "hard_negative_mining",
+        # round-8 ADVICE fixes (both engine sides changed)
+        "chisq_drift_report", "compaction_bins_by_source",
+        # verify-stage broadcast hint removed (plan change, same rows)
+        "embedding_neardup",
+        # round-8 truncated-text sweep fixes (both engine sides changed)
+        "token_pieces_stats", "python_udtf_tokens", "array_set_operations",
     }
 )
 

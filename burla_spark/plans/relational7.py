@@ -312,7 +312,11 @@ WITH d AS (
   FROM documents WHERE doc_id < 50 AND text IS NOT NULL
 )
 SELECT doc_id,
-       array_to_string(list_sort(list_intersect(vocab, ['data','spark','big','fast'])), chr(31)) AS common_words,
+       -- COALESCE to '': DuckDB's list_sort([]) AND array_to_string([])
+       -- both return NULL where Spark's array_sort([])/array_join([])
+       -- return []/'' — an EMPTY intersect (blank/truncated text,
+       -- trunc-sweep find) must render '' in both engines.
+       COALESCE(array_to_string(list_sort(list_intersect(vocab, ['data','spark','big','fast'])), chr(31)), '') AS common_words,
        len(list_distinct(list_concat(vocab, ['data','spark','big','fast']))) AS n_union,
        len(list_filter(vocab, x -> NOT list_contains(['data','spark','big','fast'], x))) AS n_rest
 FROM d

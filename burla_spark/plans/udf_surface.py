@@ -175,8 +175,12 @@ def python_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PYTHON_UDTF_SQL = r"""
 WITH d AS (
+  -- trim(text) <> '' mirrors Python str.split(): blank/whitespace-only
+  -- text yields NO tokens, where regexp_split_to_array('') yields ['']
+  -- and would emit a phantom ('', 1) row (trunc-sweep find). NULL text
+  -- is filtered by the same predicate (NULL <> '' is NULL).
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-  FROM documents WHERE doc_id < 50
+  FROM documents WHERE doc_id < 50 AND trim(text) <> ''
 ),
 p AS (SELECT UNNEST(generate_series(1, (SELECT MAX(len(toks)) FROM d))) AS pos)
 SELECT doc_id, toks[pos] AS token, pos
