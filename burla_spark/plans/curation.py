@@ -522,7 +522,18 @@ def zorder_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
         )
-        .orderBy("zkey", "l_orderkey", "l_linenumber")
+        # NULLS LAST pinned on every sort key (rule 15): a NULL
+        # part/supp key nulls the whole Morton key, and Spark's
+        # ascending default (NULLS FIRST) would put those id-less rows
+        # at the HEAD of the layout while DuckDB puts them last —
+        # flipping the LIMIT-50 head (nullfk-sweep find). Last is also
+        # the layout a real Z-order write wants: rows without cluster
+        # stats go in the trailing unclustered files.
+        .orderBy(
+            F.asc_nulls_last("zkey"),
+            F.asc_nulls_last("l_orderkey"),
+            F.asc_nulls_last("l_linenumber"),
+        )
         .limit(50)
     )
 
@@ -532,7 +543,7 @@ SELECT CAST({_morton_expr("(l_partkey & 65535)", "(l_suppkey & 65535)")} AS BIGI
          AS zkey,
        l_partkey, l_suppkey, l_orderkey, l_linenumber
 FROM lineitem
-ORDER BY zkey, l_orderkey, l_linenumber
+ORDER BY zkey NULLS LAST, l_orderkey NULLS LAST, l_linenumber NULLS LAST
 LIMIT 50
 """
 
@@ -851,7 +862,16 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     base-side state never rescans history. Sums ride DECIMAL so the
     merged total is bit-equal to a full recompute regardless of
     accumulation order."""
-    o = load_table(spark, sf_dir, "orders")
+    # NULL-key policy (both sides, nullfk-sweep find): the merge is a
+    # FULL OUTER join on the grouping key, and a NULL key never matches
+    # itself — base's NULL group and delta's NULL group would surface
+    # as TWO unmerged rows where the recompute oracle has one. A merge
+    # key needs an identity; key-less orders are excluded on both
+    # engine sides (a real MV maintenance job routes them to a
+    # dead-letter audit, not into the keyed view).
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
     cutoff = F.lit(_INCR_CUTOFF).cast("timestamp")
 
     def part_agg(df: DataFrame) -> DataFrame:
@@ -905,7 +925,7 @@ WITH merged AS (
            WHERE o_orderdate >= TIMESTAMP '{_INCR_CUTOFF} 00:00:00'
          ) AS BIGINT) AS n_new,
          SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS tot
-  FROM orders GROUP BY o_custkey
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
 )
 SELECT o_custkey, n_orders, n_new, CAST(tot AS DOUBLE) AS total_spent
 FROM merged ORDER BY tot DESC, o_custkey LIMIT 25

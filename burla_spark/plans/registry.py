@@ -108,6 +108,9 @@ _DRIVER_PRIORITY = frozenset(
         "embedding_neardup",
         # round-8 truncated-text sweep fixes (both engine sides changed)
         "token_pieces_stats", "python_udtf_tokens", "array_set_operations",
+        # round-8 NULL-FK sweep fixes (both engine sides changed)
+        "join_semi_anti", "to_json_serialize", "zorder_clustered_layout",
+        "incremental_agg_maintenance",
     }
 )
 

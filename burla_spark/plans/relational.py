@@ -311,12 +311,19 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_big.unionByName(without_big)
 
 
+# EXISTS / NOT EXISTS, not IN / NOT IN: NOT IN over a subquery that
+# contains a NULL key returns ZERO rows (three-valued logic), whereas
+# the operator is Spark's left_anti join, which keeps every
+# non-matching row — NULL keys included. NOT EXISTS with a correlated
+# equality is the exact anti-join mirror (nullfk-sweep find, round 8).
 JOIN_SEMI_ANTI_SQL = """
-SELECT c_custkey, 'has_big_order' AS tag FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+SELECT c_custkey, 'has_big_order' AS tag FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_totalprice > 300000 AND o_custkey = c.c_custkey)
 UNION ALL
-SELECT c_custkey, 'no_big_order' AS tag FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+SELECT c_custkey, 'no_big_order' AS tag FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_totalprice > 300000 AND o_custkey = c.c_custkey)
 """
 
 

@@ -213,11 +213,17 @@ ORDER BY c_custkey
 # ---------------------------------------------------------------------------
 def to_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    # ignoreNullFields=false: Spark's to_json DROPS null struct fields
+    # by default, while DuckDB's to_json renders "cust":null — a NULL
+    # o_custkey (nullfk-sweep find) must serialize identically. The
+    # explicit-null form is also what a downstream schema-on-read
+    # consumer wants: absent-vs-null is a real distinction.
     payload = F.to_json(
         F.struct(
             F.col("o_orderstatus").alias("status"),
             F.col("o_custkey").alias("cust"),
-        )
+        ),
+        {"ignoreNullFields": "false"},
     )
     return (
         o.select("o_orderkey", payload.alias("payload"))

@@ -4,7 +4,7 @@ runs the FULL oracle comparison on the degraded tables — both engines
 read the same files, so any failure is a real cross-engine divergence
 in a query.
 
-Two modes:
+Modes:
 * ``null`` — NULL a deterministic slice of the nullable string
   columns. Round 4 caught two divergences: Spark instr propagating
   NULL where the oracle coalesced, and format_string rendering NULL
@@ -32,8 +32,14 @@ Two modes:
   at 64 chars on a hash slice, plus empty-string on another): the
   shape of a crawler that cut a record short. Exercises every text
   operator's short/empty-input edge (round-7 VERDICT item #3).
+* ``nullfk`` — NULL the TPC-H star-schema join keys (lineitem's
+  orderkey/partkey/suppkey, orders' custkey on hash slices): the
+  relational twin of ``nullkey``. Equi-joins drop NULL keys
+  identically in both engines, but group-bys keep a NULL group and
+  sort keys hit rule-15 placement — this probes the whole q1–q22 +
+  window family for implicit key-identity assumptions.
 
-Run: python tests/null_sweep.py [null|dup|nullkey|dupdim|trunc]
+Run: python tests/null_sweep.py [null|dup|nullkey|dupdim|trunc|nullfk]
 (~4 min each)
 """
 
@@ -118,6 +124,25 @@ NULLKEY_INJECT = {
     ),
 }
 
+# nullfk mode: NULL the star-schema join keys on hash slices — the
+# relational twin of nullkey (disjoint moduli so slices overlap less).
+NULLFK_INJECT = {
+    "lineitem": (
+        "SELECT CASE WHEN hash(l_orderkey*7+l_linenumber)%53=0 THEN NULL"
+        "            ELSE l_orderkey END AS l_orderkey,"
+        " CASE WHEN hash(l_partkey)%59=0 THEN NULL ELSE l_partkey END AS l_partkey,"
+        " CASE WHEN hash(l_suppkey)%61=0 THEN NULL ELSE l_suppkey END AS l_suppkey,"
+        " l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
+        " l_returnflag, l_linestatus, l_shipdate FROM t"
+    ),
+    "orders": (
+        "SELECT o_orderkey,"
+        " CASE WHEN hash(o_orderkey*3)%67=0 THEN NULL ELSE o_custkey END"
+        " AS o_custkey,"
+        " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM t"
+    ),
+}
+
 # trunc mode: cut document text short — byte-prefix at 64 chars on one
 # hash slice, empty string on another (crawler-truncated records).
 TRUNC_INJECT = {
@@ -136,7 +161,8 @@ def build_degraded_dir(mode: str) -> str:
 
     dst = DST + ("" if mode == "null" else f"_{mode}")
     os.makedirs(dst, exist_ok=True)
-    inject = {"null": INJECT, "nullkey": NULLKEY_INJECT, "trunc": TRUNC_INJECT}.get(mode, {})
+    inject = {"null": INJECT, "nullkey": NULLKEY_INJECT, "trunc": TRUNC_INJECT,
+              "nullfk": NULLFK_INJECT}.get(mode, {})
     dup_tables, dup_step = (
         (DUP_TABLES, 17) if mode == "dup" else (DUPDIM_TABLES, 13) if mode == "dupdim" else (set(), 0)
     )
@@ -166,7 +192,9 @@ def main() -> int:
     from tests.oracle import compare, duck_connection
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "null"
-    assert mode in ("null", "dup", "nullkey", "dupdim", "trunc"), f"unknown mode {mode!r}"
+    assert mode in ("null", "dup", "nullkey", "dupdim", "trunc", "nullfk"), (
+        f"unknown mode {mode!r}"
+    )
     dst = build_degraded_dir(mode)
     spark = get_spark(app_name=f"{mode}_sweep")
     spark.sparkContext.setLogLevel("ERROR")
