@@ -254,8 +254,15 @@ def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative count reaches ceil(i*N/10)) — no interpolation, so both
     engines agree bit-for-bit; ties share a bucket by construction
     (same rule both sides), unlike ntile's arbitrary tie splitting."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents")
+    # NULL prices are excluded on both sides: a histogram has no bin
+    # for "price unknown", and the cumulative window ORDER BY cents
+    # would otherwise place the NULL group at opposite ends (Spark
+    # NULLS FIRST, DuckDB NULLS LAST — rule 15), shifting every decile
+    # boundary (extreme sweep; same class as compaction_bins).
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"))
     )
     hist = li.groupBy("cents").count()
     wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
@@ -295,7 +302,8 @@ def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EQUIDEPTH_SQL = """
 WITH pts AS (
-  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents FROM lineitem
+  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
 ), hist AS (
   SELECT cents, COUNT(*) AS c FROM pts GROUP BY cents
 ), cum AS (

@@ -429,7 +429,10 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: priorities are map-side arithmetic; the only shuffle
     is the per-group top-k window (or TakeOrderedAndProject when the
     group count is 1)."""
-    o = load_table(spark, sf_dir, "orders")
+    # A-ES requires strictly positive weights (u^(1/w) / ln(u)/w are
+    # undefined at w <= 0): zero/negative totals — credits, voided
+    # orders — are excluded on both engine sides (extreme sweep).
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     # full-range hash-uniform (not _split_bucket's %100 coarsening:
     # sampling needs a dense u, the split only needs percent buckets)
     u = (
@@ -471,7 +474,7 @@ WITH scored AS (
   SELECT o_orderpriority, o_orderkey,
     LN(CAST((o_orderkey * {_HASH_MULT}) % {_HASH_MOD} + 1 AS DOUBLE) / {_HASH_MOD + 1}.0)
       / CAST(o_totalprice AS DOUBLE) AS sample_priority
-  FROM orders
+  FROM orders WHERE o_totalprice > 0
 ), ranked AS (
   SELECT *, CAST(ROW_NUMBER() OVER (
     PARTITION BY o_orderpriority

@@ -111,6 +111,12 @@ _DRIVER_PRIORITY = frozenset(
         # round-8 NULL-FK sweep fixes (both engine sides changed)
         "join_semi_anti", "to_json_serialize", "zorder_clustered_layout",
         "incremental_agg_maintenance",
+        # round-8 extreme sweep: ingest-domain gate touched every
+        # lineitem/events/embeddings consumer; re-adjudicate the
+        # per-spec fixes plus one heavy representative per gated table
+        "equidepth_price_histogram", "pandas_udaf_grouped",
+        "scalar_math_conditional", "weighted_sample_orders",
+        "kmeans_cluster_sizes", "q1_pricing_summary",
     }
 )
 
@@ -120,4 +126,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {s.name: s.oracle for s in all_specs() if s.oracle is not None}
+    # Every oracle is wrapped with the ingest-domain CTEs so DuckDB
+    # reads exactly what load_table serves Spark (sources/tables.py:
+    # out-of-domain measures nulled, degenerate embeddings excluded).
+    # On clean fixtures the CTEs are identity projections.
+    from burla_spark.sources.tables import with_ingest_cte
+
+    return {
+        s.name: with_ingest_cte(s.oracle)
+        for s in all_specs()
+        if s.oracle is not None
+    }

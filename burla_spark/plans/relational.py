@@ -783,7 +783,10 @@ def scalar_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.ceil("l_quantity").cast("long").alias("qty_ceil"),
         F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_k"),
-        F.sqrt("l_quantity").alias("qty_sqrt"),
+        # domain-guarded like try_sqrt: a negative quantity (a return /
+        # correction line) has no real root — Spark would emit NaN where
+        # DuckDB raises, so both sides agree on NULL (extreme sweep).
+        F.when(F.col("l_quantity") >= 0, F.sqrt("l_quantity")).alias("qty_sqrt"),
         F.pow(F.col("l_quantity"), 2).alias("qty_sq"),
         F.greatest("l_discount", "l_tax").alias("max_rate"),
         F.least("l_discount", "l_tax").alias("min_rate"),
@@ -801,16 +804,19 @@ SELECT
   ABS(l_discount - 0.05) AS disc_dev,
   CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
   CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k,
-  SQRT(l_quantity) AS qty_sqrt,
+  CASE WHEN l_quantity >= 0 THEN SQRT(l_quantity) END AS qty_sqrt,
   POW(l_quantity, 2) AS qty_sq,
   GREATEST(l_discount, l_tax) AS max_rate,
   LEAST(l_discount, l_tax) AS min_rate,
   CASE WHEN l_quantity < 10 THEN 'small'
        WHEN l_quantity < 30 THEN 'medium'
        ELSE 'large' END AS qty_bucket,
+  -- the final WHEN (not ELSE) lets a NULL rate difference fall
+  -- through to NULL, mirroring Spark's signum(NULL) — an ELSE 0.0
+  -- silently claims "equal" for quarantined payloads (extreme sweep)
   CASE WHEN l_discount - l_tax > 0 THEN 1.0
        WHEN l_discount - l_tax < 0 THEN -1.0
-       ELSE 0.0 END AS rate_sign
+       WHEN l_discount - l_tax = 0 THEN 0.0 END AS rate_sign
 FROM lineitem
 """
 

@@ -56,8 +56,10 @@ def pandas_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("double")
     def exact_sum(qty: pd.Series) -> float:
         # fsum = correctly-rounded sum; on integer-valued quantities it
-        # equals any engine's sum in any order.
-        return math.fsum(qty)
+        # equals any engine's sum in any order. dropna mirrors SQL SUM
+        # (NULL-skipping): a quarantined quantity arrives as NaN and
+        # fsum would otherwise poison the whole group (extreme sweep).
+        return math.fsum(qty.dropna())
 
     # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg —
     # the row count is a second pandas UDAF.

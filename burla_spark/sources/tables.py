@@ -30,6 +30,102 @@ TABLE_NAMES = (
 # at high SF; region/nation are fixed-size in TPC-H-style schemas).
 BROADCAST_DIMS = ("region", "nation", "supplier")
 
+# ---------------------------------------------------------------------------
+# Declared ingest domains — validated at load, identically on both
+# engine sides (every oracle SQL is wrapped with INGEST_CTE, the
+# textual mirror of the Spark-side transforms below).
+#
+# Policy (round-8 `extreme` sweep): a MEASURE payload outside its
+# declared domain is NULLED — the row survives, so attribution and
+# counts are preserved and the corrupt reading is quarantined exactly
+# like a failed try_cast (the reference contract is one attributed
+# result per input regardless of payload). An EMBEDDING with a
+# non-finite component or zero norm is EXCLUDED — a direction-less
+# vector has no geometric meaning in any similarity/cluster operator.
+#
+# The bounds double as the accumulator-width contract: every decimal
+# routing in the plans (DECIMAL(12..18,4) casts, functions/numeric.py)
+# is overflow-free for any value inside its column's domain, so the
+# ArithmeticException class the sweep found (1e15 quantities, ±1e308
+# event values, NaN/Inf payloads blowing up ANSI decimal casts) cannot
+# recur. Clean fixtures sit far inside every bound — the gates are
+# no-ops on valid data and cost one map-side CASE per gated column.
+LINEITEM_QTY_BOUND = 1.0e8  # |l_quantity|  — DECIMAL(12,4) sites safe
+LINEITEM_PRICE_BOUND = 1.0e8  # |l_extendedprice|
+EVENTS_VALUE_BOUND = 1.0e12  # |value| — DECIMAL(18,4) sites safe
+
+# DuckDB mirror of the load_table gates. Prepended to every oracle SQL
+# (plans/registry.py wraps via with_ingest_cte) — CTE names shadow the
+# raw views, so the oracle reads exactly what Spark reads. Unused CTEs
+# cost nothing (DuckDB only executes referenced CTEs).
+INGEST_CTE = (
+    "lineitem AS (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+    f" CASE WHEN NOT isnan(l_quantity) AND abs(l_quantity) <= {LINEITEM_QTY_BOUND:.1f}"
+    "       THEN l_quantity END AS l_quantity,"
+    f" CASE WHEN NOT isnan(l_extendedprice) AND abs(l_extendedprice) <= {LINEITEM_PRICE_BOUND:.1f}"
+    "       THEN l_extendedprice END AS l_extendedprice,"
+    " CASE WHEN l_discount >= 0 AND l_discount <= 1 THEN l_discount END AS l_discount,"
+    " CASE WHEN l_tax >= 0 AND l_tax <= 1 THEN l_tax END AS l_tax,"
+    " l_returnflag, l_linestatus, l_shipdate FROM main.lineitem), "
+    "events AS (SELECT event_id, ts, user_id, event_type,"
+    f" CASE WHEN NOT isnan(value) AND abs(value) <= {EVENTS_VALUE_BOUND:.1f}"
+    "       THEN value END AS value,"
+    " props FROM main.events), "
+    "embeddings AS (SELECT vec_id, embedding, label FROM main.embeddings"
+    " WHERE embedding IS NULL OR ("
+    "   len(list_filter(embedding, x -> NOT isfinite(x))) = 0"
+    "   AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) > 0))"
+)
+
+
+def with_ingest_cte(sql: str) -> str:
+    """Prepend the ingest-domain CTEs to an oracle SQL string, merging
+    with an existing WITH / WITH RECURSIVE clause."""
+    s = sql.lstrip()
+    upper = s.upper()
+    if upper.startswith("WITH RECURSIVE"):
+        return f"WITH RECURSIVE {INGEST_CTE}, {s[len('WITH RECURSIVE'):].lstrip()}"
+    if upper.startswith("WITH"):
+        return f"WITH {INGEST_CTE}, {s[len('WITH'):].lstrip()}"
+    return f"WITH {INGEST_CTE} {s}"
+
+
+def _apply_ingest_domains(df: DataFrame, name: str) -> DataFrame:
+    """Spark half of the ingest-domain contract (see INGEST_CTE)."""
+    from pyspark.sql import functions as F
+
+    def bounded(col: str, bound: float):
+        c = F.col(col)
+        # NaN fails isnan-guard; ±Inf fails abs<=bound (NaN/Inf compare
+        # the same way in both engines here: the WHEN is false → NULL).
+        return F.when(~F.isnan(c) & (F.abs(c) <= F.lit(bound)), c)
+
+    def unit_interval(col: str):
+        c = F.col(col)
+        return F.when((c >= 0) & (c <= 1), c)
+
+    if name == "lineitem":
+        return (
+            df.withColumn("l_quantity", bounded("l_quantity", LINEITEM_QTY_BOUND))
+            .withColumn(
+                "l_extendedprice", bounded("l_extendedprice", LINEITEM_PRICE_BOUND)
+            )
+            .withColumn("l_discount", unit_interval("l_discount"))
+            .withColumn("l_tax", unit_interval("l_tax"))
+        )
+    if name == "events":
+        return df.withColumn("value", bounded("value", EVENTS_VALUE_BOUND))
+    if name == "embeddings":
+        e = F.col("embedding")
+        finite = F.forall(
+            e, lambda x: ~F.isnan(x) & (F.abs(x) != F.lit(float("inf")))
+        )
+        norm_sq = F.aggregate(
+            e, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+        return df.filter(e.isNull() | (finite & (norm_sq > 0)))
+    return df
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -67,7 +163,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = normalize_events_ts(df)
-    return df
+    return _apply_ingest_domains(df, name)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -33,7 +33,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore always agree on event time."""
     import os
 
-    from burla_spark.sources.tables import normalize_events_ts, table_path
+    from burla_spark.sources.tables import (
+        _apply_ingest_domains,
+        normalize_events_ts,
+        table_path,
+    )
 
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema
@@ -50,7 +54,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
-    return normalize_events_ts(raw)
+    # Same ingest-domain contract as the batch loader (value payloads
+    # outside the declared domain are nulled) — batch oracle and stream
+    # must see identical inputs or every stateful agg diverges the
+    # moment a NaN/Inf payload arrives (round-8 extreme sweep).
+    return _apply_ingest_domains(normalize_events_ts(raw), "events")
 
 
 # State-store width for the hermetic single-file replays: each stateful
@@ -399,7 +407,10 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN is an exact oracle."""
     import os
 
-    from burla_spark.sources.tables import normalize_events_ts
+    from burla_spark.sources.tables import (
+        _apply_ingest_domains,
+        normalize_events_ts,
+    )
 
     stream_dir = _events_dir_with_sentinels(spark, sf_dir)
     schema = spark.read.parquet(stream_dir).schema
@@ -408,7 +419,7 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(stream_dir)
     )
-    s = normalize_events_ts(raw)
+    s = _apply_ingest_domains(normalize_events_ts(raw), "events")
     clicks = (
         s.filter(F.col("event_type") == "click")
         .select(
@@ -476,7 +487,10 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity; both engines exclude NULL keys explicitly, same policy as
     events_asof_join (commit d7c76ad). Sentinels carry user_id = -1, so
     they survive this filter and still flush state."""
-    from burla_spark.sources.tables import normalize_events_ts
+    from burla_spark.sources.tables import (
+        _apply_ingest_domains,
+        normalize_events_ts,
+    )
 
     stream_dir = _events_dir_with_sentinels(spark, sf_dir)
     schema = spark.read.parquet(stream_dir).schema
@@ -485,7 +499,9 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(stream_dir)
     )
-    s = normalize_events_ts(raw).filter(F.col("user_id").isNotNull())
+    s = _apply_ingest_domains(normalize_events_ts(raw), "events").filter(
+        F.col("user_id").isNotNull()
+    )
     clicks = (
         s.filter(F.col("event_type") == "click")
         .select(
@@ -659,7 +675,10 @@ def run_upsert_totals(
     stop-grow-resume through this entry point)."""
     import os
 
-    from burla_spark.sources.tables import normalize_events_ts
+    from burla_spark.sources.tables import (
+        _apply_ingest_domains,
+        normalize_events_ts,
+    )
 
     schema = spark.read.parquet(stream_dir).schema
     raw = (
@@ -673,7 +692,9 @@ def run_upsert_totals(
     # FRESH row instead of updating the old one (round-7 probe: 154 vs
     # 151 rows, one extra NULL row per later batch). Upsert keys need an
     # identity; both engines exclude NULL keys explicitly.
-    s = normalize_events_ts(raw).filter(F.col("user_id").isNotNull())
+    s = _apply_ingest_domains(normalize_events_ts(raw), "events").filter(
+        F.col("user_id").isNotNull()
+    )
     totals = s.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.sum(dec("value")).cast("double").alias("total_value"),
@@ -779,7 +800,10 @@ def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from burla_spark.sources.tables import normalize_events_ts
+    from burla_spark.sources.tables import (
+        _apply_ingest_domains,
+        normalize_events_ts,
+    )
 
     gap_us = 30 * 60 * 1_000_000
     stream_dir = _events_dir_with_sentinels(spark, sf_dir)
@@ -797,7 +821,7 @@ def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows). Session keys need an identity; both engines exclude NULL
     # keys explicitly. Sentinels are user_id = -1 and still flush timers.
     s = (
-        normalize_events_ts(raw)
+        _apply_ingest_domains(normalize_events_ts(raw), "events")
         .filter(F.col("user_id").isNotNull())
         .select("user_id", F.unix_micros("ts").alias("ts_us"), "value")
         .withColumn("ts", F.timestamp_micros(F.col("ts_us")))

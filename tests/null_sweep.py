@@ -38,8 +38,17 @@ Modes:
   identically in both engines, but group-bys keep a NULL group and
   sort keys hit rule-15 placement — this probes the whole q1–q22 +
   window family for implicit key-identity assumptions.
+* ``extreme`` — value-domain extremes instead of missing values: huge
+  (1e15) and negated quantities, out-of-range discounts, zero /
+  negated order totals, epoch-start and far-future (2199) order
+  dates, NaN / ±Infinity / ±1e308 event values, and zero-norm or
+  NaN-component embedding vectors. Probes accumulator width (DECIMAL
+  overflow), IEEE-special ordering and grouping, divide-by-zero in
+  similarity math, and date-window generation against outlier
+  timestamps — the shape of sensor glitches, currency bugs, and
+  corrupt float payloads in a real 100 TB feed.
 
-Run: python tests/null_sweep.py [null|dup|nullkey|dupdim|trunc|nullfk]
+Run: python tests/null_sweep.py [null|dup|nullkey|dupdim|trunc|nullfk|extreme]
 (~4 min each)
 """
 
@@ -143,6 +152,50 @@ NULLFK_INJECT = {
     ),
 }
 
+# extreme mode: value-domain extremes on disjoint hash slices. Keys
+# stay intact (the null/nullkey/nullfk sweeps own missing-identity);
+# this one corrupts the PAYLOADS the way real feeds do — a currency
+# bug negates a price, a sensor emits NaN/Inf, an upstream default
+# writes epoch-zero, an embedding service returns all-zeros.
+EXTREME_INJECT = {
+    "lineitem": (
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+        " CASE WHEN hash(l_orderkey*13+l_linenumber)%71=0 THEN 1e15"
+        "      WHEN hash(l_orderkey*13+l_linenumber)%73=1 THEN -l_quantity"
+        "      ELSE l_quantity END AS l_quantity,"
+        " CASE WHEN hash(l_orderkey*17+l_linenumber)%79=2 THEN 9.9e12"
+        "      ELSE l_extendedprice END AS l_extendedprice,"
+        " CASE WHEN hash(l_orderkey*19+l_linenumber)%83=3 THEN 1.5"
+        "      ELSE l_discount END AS l_discount,"
+        " l_tax, l_returnflag, l_linestatus, l_shipdate FROM t"
+    ),
+    "orders": (
+        "SELECT o_orderkey, o_custkey, o_orderstatus,"
+        " CASE WHEN hash(o_orderkey*5)%89=0 THEN 0.0"
+        "      WHEN hash(o_orderkey*5)%97=1 THEN -o_totalprice"
+        "      ELSE o_totalprice END AS o_totalprice,"
+        " CASE WHEN hash(o_orderkey*23)%101=2 THEN TIMESTAMP '2199-12-31 23:59:59'"
+        "      WHEN hash(o_orderkey*23)%103=3 THEN TIMESTAMP '1970-01-01 00:00:00'"
+        "      ELSE o_orderdate END AS o_orderdate,"
+        " o_orderpriority FROM t"
+    ),
+    "events": (
+        "SELECT event_id, ts, user_id, event_type,"
+        " CASE WHEN hash(event_id*29)%107=0 THEN 'NaN'::DOUBLE"
+        "      WHEN hash(event_id*29)%109=1 THEN 'Infinity'::DOUBLE"
+        "      WHEN hash(event_id*29)%113=2 THEN -1e308"
+        "      ELSE value END AS value, props FROM t"
+    ),
+    "embeddings": (
+        "SELECT vec_id,"
+        " CASE WHEN hash(vec_id*31)%127=0 THEN"
+        "      CAST(list_transform(embedding, x -> 0.0) AS FLOAT[])"
+        "      WHEN hash(vec_id*31)%131=1 THEN"
+        "      CAST(list_transform(embedding, x -> 'NaN'::FLOAT) AS FLOAT[])"
+        "      ELSE embedding END AS embedding, label FROM t"
+    ),
+}
+
 # trunc mode: cut document text short — byte-prefix at 64 chars on one
 # hash slice, empty string on another (crawler-truncated records).
 TRUNC_INJECT = {
@@ -162,7 +215,7 @@ def build_degraded_dir(mode: str) -> str:
     dst = DST + ("" if mode == "null" else f"_{mode}")
     os.makedirs(dst, exist_ok=True)
     inject = {"null": INJECT, "nullkey": NULLKEY_INJECT, "trunc": TRUNC_INJECT,
-              "nullfk": NULLFK_INJECT}.get(mode, {})
+              "nullfk": NULLFK_INJECT, "extreme": EXTREME_INJECT}.get(mode, {})
     dup_tables, dup_step = (
         (DUP_TABLES, 17) if mode == "dup" else (DUPDIM_TABLES, 13) if mode == "dupdim" else (set(), 0)
     )
@@ -192,9 +245,9 @@ def main() -> int:
     from tests.oracle import compare, duck_connection
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "null"
-    assert mode in ("null", "dup", "nullkey", "dupdim", "trunc", "nullfk"), (
-        f"unknown mode {mode!r}"
-    )
+    assert mode in (
+        "null", "dup", "nullkey", "dupdim", "trunc", "nullfk", "extreme"
+    ), f"unknown mode {mode!r}"
     dst = build_degraded_dir(mode)
     spark = get_spark(app_name=f"{mode}_sweep")
     spark.sparkContext.setLogLevel("ERROR")
