@@ -15,11 +15,18 @@ from pyspark.sql import functions as F
 # Tiny per-language stopword profiles for the n-gram-free heuristic
 # language ID. Deliberately small + deterministic; real pipelines swap
 # in fastText et al. via mapInPandas (see operators/multimodal.py).
-LANG_PROFILES: dict[str, str] = {
-    "de": r"\b(der|die|und|ist|das|nicht)\b",
-    "en": r"\b(the|and|is|of|to|for)\b",
-    "es": r"\b(el|los|las|es|que|y)\b",
-    "fr": r"\b(le|la|les|et|est|des)\b",
+# EXACT token membership, not \b-regex: word-boundary semantics differ
+# across regex engines on combining marks — Java's \b treats U+0300-
+# class marks as word chars so "que" + COMBINING ACUTE never matches,
+# while RE2/Python put a boundary there and match (round-8 unicode
+# sweep, 12 docs flipped 'es'/'en' → 'und'). Whole-token equality has
+# ONE semantics everywhere — and is the linguistically right one: the
+# word "qué" is not the stopword "que".
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist", "das", "nicht"),
+    "en": ("the", "and", "is", "of", "to", "for"),
+    "es": ("el", "los", "las", "es", "que", "y"),
+    "fr": ("le", "la", "les", "et", "est", "des"),
 }
 CJK_PATTERN_SPARK = r"[一-鿿]"
 PUNCT_PATTERN = r"[.,;:!?'\"()\-]"
@@ -104,10 +111,10 @@ def quality_score(text: Column) -> Column:
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
-    low = F.lower(text)
+    toks = lower_tokens(text)
     scores: dict[str, Column] = {
-        lang: F.regexp_count(low, F.lit(pat)).cast("long")
-        for lang, pat in LANG_PROFILES.items()
+        lang: F.size(F.filter(toks, lambda t, w=words: t.isin(*w))).cast("long")
+        for lang, words in LANG_PROFILES.items()
     }
     scores["zh"] = F.regexp_count(text, F.lit(CJK_PATTERN_SPARK)).cast("long")
     return scores

@@ -48,7 +48,15 @@ Modes:
   timestamps — the shape of sensor glitches, currency bugs, and
   corrupt float payloads in a real 100 TB feed.
 
-Run: python tests/null_sweep.py [null|dup|nullkey|dupdim|trunc|nullfk|extreme]
+* ``unicode`` — non-ASCII text payloads on hash slices of documents:
+  emoji + ZWJ family sequences, CJK, combining diacritics (é as
+  e+U+0301), RTL Arabic, and exotic whitespace (tab, NBSP, U+2028
+  line separator). Probes codepoint-vs-byte length semantics, case
+  mapping, regex \\s/\\w class behavior, and hash/tokenize functions
+  across the two engines' unicode libraries (Java vs utf8proc/RE2).
+
+Run: python tests/null_sweep.py
+     [null|dup|nullkey|dupdim|trunc|nullfk|extreme|unicode]
 (~4 min each)
 """
 
@@ -196,6 +204,21 @@ EXTREME_INJECT = {
     ),
 }
 
+# unicode mode: non-ASCII payloads the way a multilingual crawl looks —
+# each slice gets one script/feature family so a failure names its class.
+UNICODE_INJECT = {
+    "documents": (
+        "SELECT doc_id,"
+        " CASE WHEN hash(doc_id*37)%41=0 THEN text || ' \U0001F469‍\U0001F469‍\U0001F467‍\U0001F466 \U0001F30D émoji'"
+        "      WHEN hash(doc_id*37)%43=1 THEN '漢字テスト中文 ' || text"
+        "      WHEN hash(doc_id*37)%47=2 THEN replace(text, 'e', 'é')"
+        "      WHEN hash(doc_id*37)%53=3 THEN 'مرحبا بالعالم ' || text"
+        "      WHEN hash(doc_id*37)%59=4 THEN text || chr(9) || chr(160) || chr(8232) || 'tail'"
+        "      ELSE text END AS text,"
+        " lang, source, n_chars FROM t"
+    ),
+}
+
 # trunc mode: cut document text short — byte-prefix at 64 chars on one
 # hash slice, empty string on another (crawler-truncated records).
 TRUNC_INJECT = {
@@ -215,7 +238,8 @@ def build_degraded_dir(mode: str) -> str:
     dst = DST + ("" if mode == "null" else f"_{mode}")
     os.makedirs(dst, exist_ok=True)
     inject = {"null": INJECT, "nullkey": NULLKEY_INJECT, "trunc": TRUNC_INJECT,
-              "nullfk": NULLFK_INJECT, "extreme": EXTREME_INJECT}.get(mode, {})
+              "nullfk": NULLFK_INJECT, "extreme": EXTREME_INJECT,
+              "unicode": UNICODE_INJECT}.get(mode, {})
     dup_tables, dup_step = (
         (DUP_TABLES, 17) if mode == "dup" else (DUPDIM_TABLES, 13) if mode == "dupdim" else (set(), 0)
     )
@@ -246,7 +270,8 @@ def main() -> int:
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "null"
     assert mode in (
-        "null", "dup", "nullkey", "dupdim", "trunc", "nullfk", "extreme"
+        "null", "dup", "nullkey", "dupdim", "trunc", "nullfk", "extreme",
+        "unicode",
     ), f"unknown mode {mode!r}"
     dst = build_degraded_dir(mode)
     spark = get_spark(app_name=f"{mode}_sweep")
