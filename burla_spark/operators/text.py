@@ -110,10 +110,18 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def _member_of(words: tuple[str, ...]):
+    """Closure factory for the F.filter lambda. MUST be one-arg: PySpark
+    inspects the lambda's arity and binds a lambda-variable Column to
+    EVERY parameter, so a `w=words` default would be shadowed by an
+    array-index Column and `t.isin(*w)` would raise NOT_ITERABLE."""
+    return lambda t: t.isin(*words)
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     toks = lower_tokens(text)
     scores: dict[str, Column] = {
-        lang: F.size(F.filter(toks, lambda t, w=words: t.isin(*w))).cast("long")
+        lang: F.size(F.filter(toks, _member_of(words))).cast("long")
         for lang, words in LANG_PROFILES.items()
     }
     scores["zh"] = F.regexp_count(text, F.lit(CJK_PATTERN_SPARK)).cast("long")

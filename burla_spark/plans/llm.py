@@ -658,10 +658,14 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 LANG_ID_SQL = r"""
 WITH s AS (
   SELECT doc_id, lang,
-    len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')) AS s_de,
-    len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|for)\b')) AS s_en,
-    len(regexp_extract_all(lower(text), '\b(el|los|las|es|que|y)\b')) AS s_es,
-    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des)\b')) AS s_fr,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      t -> t IN ('der','die','und','ist','das','nicht'))) AS s_de,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      t -> t IN ('the','and','is','of','to','for'))) AS s_en,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      t -> t IN ('el','los','las','es','que','y'))) AS s_es,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      t -> t IN ('le','la','les','et','est','des'))) AS s_fr,
     len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
   FROM documents
 )
@@ -1197,42 +1201,26 @@ f AS (
     CAST(len(regexp_extract_all(d.text, '[.,;:!?''"()\-]')) AS DOUBLE) AS n_punct,
     CAST(len(regexp_extract_all(d.text, '[0-9]')) AS DOUBLE) AS n_digits,
     CAST(len(list_filter(regexp_split_to_array(trim(d.text), '\s+'),
-      t -> lower(t) IN ('the','and','is','of','to','a','in','for'))) AS DOUBLE) AS n_stop
+      t -> lower(t) IN ('the','and','is','of','to','a','in','for'))) AS DOUBLE) AS n_stop,
+    len(list_filter(regexp_split_to_array(trim(lower(d.text)), '\s+'),
+      t -> t IN ('der','die','und','ist','das','nicht'))) AS s_de,
+    len(list_filter(regexp_split_to_array(trim(lower(d.text)), '\s+'),
+      t -> t IN ('the','and','is','of','to','for'))) AS s_en,
+    len(list_filter(regexp_split_to_array(trim(lower(d.text)), '\s+'),
+      t -> t IN ('el','los','las','es','que','y'))) AS s_es,
+    len(list_filter(regexp_split_to_array(trim(lower(d.text)), '\s+'),
+      t -> t IN ('le','la','les','et','est','des'))) AS s_fr,
+    len(regexp_extract_all(d.text, '[一-鿿]')) AS s_zh
   FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
 ),
 scored AS (
   SELECT doc_id,
     CASE
-      WHEN len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')) > 0
-       AND len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')) >= GREATEST(
-             len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|for)\b')),
-             len(regexp_extract_all(lower(text), '\b(el|los|las|es|que|y)\b')),
-             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des)\b')),
-             len(regexp_extract_all(text, '[一-鿿]'))) THEN 'de'
-      WHEN len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|for)\b')) > 0
-       AND len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|for)\b')) >= GREATEST(
-             len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')),
-             len(regexp_extract_all(lower(text), '\b(el|los|las|es|que|y)\b')),
-             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des)\b')),
-             len(regexp_extract_all(text, '[一-鿿]'))) THEN 'en'
-      WHEN len(regexp_extract_all(lower(text), '\b(el|los|las|es|que|y)\b')) > 0
-       AND len(regexp_extract_all(lower(text), '\b(el|los|las|es|que|y)\b')) >= GREATEST(
-             len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')),
-             len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|for)\b')),
-             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des)\b')),
-             len(regexp_extract_all(text, '[一-鿿]'))) THEN 'es'
-      WHEN len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des)\b')) > 0
-       AND len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des)\b')) >= GREATEST(
-             len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')),
-             len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|for)\b')),
-             len(regexp_extract_all(lower(text), '\b(el|los|las|es|que|y)\b')),
-             len(regexp_extract_all(text, '[一-鿿]'))) THEN 'fr'
-      WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0
-       AND len(regexp_extract_all(text, '[一-鿿]')) >= GREATEST(
-             len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')),
-             len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|for)\b')),
-             len(regexp_extract_all(lower(text), '\b(el|los|las|es|que|y)\b')),
-             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des)\b'))) THEN 'zh'
+      WHEN s_de > 0 AND s_de >= GREATEST(s_en, s_es, s_fr, s_zh) THEN 'de'
+      WHEN s_en > 0 AND s_en >= GREATEST(s_de, s_es, s_fr, s_zh) THEN 'en'
+      WHEN s_es > 0 AND s_es >= GREATEST(s_de, s_en, s_fr, s_zh) THEN 'es'
+      WHEN s_fr > 0 AND s_fr >= GREATEST(s_de, s_en, s_es, s_zh) THEN 'fr'
+      WHEN s_zh > 0 AND s_zh >= GREATEST(s_de, s_en, s_es, s_fr) THEN 'zh'
       ELSE 'und'
     END AS lang_guess,
     0.4 * LEAST(n_stop / n_tokens * 4.0, 1.0)

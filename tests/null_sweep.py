@@ -14,7 +14,7 @@ Modes:
   unique keys — round 4 caught the stream_watermark_dedup oracle
   relying on fixture-unique event_ids.
 * ``nullkey`` — NULL the JOIN/GROUP keys themselves (events.user_id,
-  documents.doc_id, embeddings.doc_id on deterministic hash slices).
+  documents.doc_id, embeddings.vec_id on deterministic hash slices).
   The round-7 round-end run of this recipe found 7 real divergences:
   4 batch (fixed in d7c76ad) + 3 streaming (fixed round 8 —
   stream_upsert_user_totals, stream_full_outer_join,
