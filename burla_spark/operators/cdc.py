@@ -8,7 +8,11 @@ scd2_apply(current, updates, key, compare_cols) →
     is appended with version = old version + 1.
 
 Scale: one shuffle on the key for the anti/semi joins + the version
-window; updates are usually tiny → broadcast.
+window; updates batches are usually tiny, but not BOUNDED by
+construction (a backfill can replay a whole table), so the semi join
+carries no explicit broadcast hint — AQE broadcasts at runtime when
+the batch is under threshold and falls back to a shuffled join when
+it isn't (round-10 lint rule, tests/test_plan_lint.py).
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ def scd2_apply(
     untouched = current.join(updates, key, "left_anti")
 
     closed = (
-        current.join(F.broadcast(updates.select(key)), key, "left_semi")
+        current.join(updates.select(key), key, "left_semi")
         .withColumn(current_col, F.lit(False))
     )
 

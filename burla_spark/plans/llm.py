@@ -1045,8 +1045,10 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas feature extraction are the real production plumbing
     (operators/multimodal.py). ORACLE-CHECKED: the metadata (n_bytes,
     sha256) and the deterministic fallback featureizer (header-byte
-    dims, byte-histogram bucket 0) are all byte-arithmetic DuckDB can
-    replay — fixture text is pure ASCII, so char ops equal byte ops."""
+    dims, byte-histogram bucket 0) are all byte-arithmetic DuckDB
+    replays byte-true via hex(encode(text)) — the contract is the
+    UTF-8 PAYLOAD BYTES, valid for any unicode text (round-10 fix;
+    the old char-op oracle was ASCII-only and failed the sweep)."""
     from burla_spark.operators import multimodal as mm
 
     d = (
@@ -1066,17 +1068,41 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BYTE-TRUE oracle (round-10): the Spark side operates on the UTF-8
+# payload BYTES (encode(text), llm.py above), so the oracle must too —
+# char ops like ascii(substr(..)) only coincide on pure-ASCII text and
+# broke under the unicode degradation sweep. DuckDB exposes the bytes
+# via hex(encode(text)): byte i is the hex pair at (2i-1, 2i), decoded
+# with strpos arithmetic; "byte % 16 = 0" is exactly "low nibble = '0'",
+# i.e. the hex digit at even position 2i.
 MULTIMODAL_FEATURES_SQL = """
+WITH h AS (
+  SELECT doc_id, text,
+         CAST(strlen(text) AS BIGINT) AS nb,
+         hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+), b AS (
+  SELECT doc_id, text, nb, hx,
+    CASE WHEN nb >= 1 THEN
+      (strpos('0123456789ABCDEF', substr(hx, 1, 1)) - 1) * 16
+       + strpos('0123456789ABCDEF', substr(hx, 2, 1)) - 1
+    ELSE 0 END AS byte1,
+    CASE WHEN nb >= 2 THEN
+      (strpos('0123456789ABCDEF', substr(hx, 3, 1)) - 1) * 16
+       + strpos('0123456789ABCDEF', substr(hx, 4, 1)) - 1
+    ELSE 0 END AS byte2
+  FROM h
+)
 SELECT doc_id,
-  CAST(length(text) AS BIGINT) AS n_bytes,
+  nb AS n_bytes,
   sha256(text) AS sha,
-  CAST(16 + (CASE WHEN length(text) >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END) % 64 AS BIGINT) AS width,
-  CAST(16 + (CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END) % 64 AS BIGINT) AS height,
-  ROUND(CAST(len(list_filter(generate_series(1, length(text)),
-                             i -> ascii(substr(text, i, 1)) % 16 = 0)) AS DOUBLE)
-        / greatest(length(text), 1), 6) AS f0
-FROM documents
-WHERE text IS NOT NULL
+  CAST(16 + byte1 % 64 AS BIGINT) AS width,
+  CAST(16 + byte2 % 64 AS BIGINT) AS height,
+  ROUND(CAST(len(list_filter(generate_series(1, nb),
+                             i -> substr(hx, 2 * i, 1) = '0')) AS DOUBLE)
+        / greatest(nb, 1), 6) AS f0
+FROM b
 """
 
 
@@ -1195,7 +1221,7 @@ WITH survivors AS (
   GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))
 ),
 f AS (
-  SELECT d.doc_id, d.text,
+  SELECT d.doc_id,
     CAST(LENGTH(d.text) AS DOUBLE) AS n_chars,
     CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS DOUBLE) AS n_tokens,
     CAST(len(regexp_extract_all(d.text, '[.,;:!?''"()\-]')) AS DOUBLE) AS n_punct,

@@ -84,39 +84,32 @@ def all_specs() -> list[QuerySpec]:
     return specs
 
 
-# Round-8 rotation: the round-7 adjudication came back 50/50 green
-# (CORRECTNESS_r07), so the priority set is exactly the rows round 8
-# CHANGED and the driver must re-adjudicate: the three streaming
-# NULL-key fixes (both engine sides changed), the ann_oracle family
-# whose Spark plans and SQLs now both exclude NULL vec_ids, the two
-# ADVICE fixes (chisq zero-expected guard, compaction NULL order key),
-# and the near-dup pipeline whose verify stage dropped its broadcast
-# hint. The driver's 50-slot sample fills the rest from the
-# layer-interleaved rotation remainder.
+# Round-10 rotation: everything the engine OR oracle changed in
+# rounds 9-10 that the driver has not yet adjudicated. The round-9
+# lang-ID fix (operators/text.py one-arg closure + whole-token oracle
+# rewrite) never made the round-9 sample; the round-10 unicode-sweep
+# fixes changed both sides of the edit-distance and multimodal
+# contracts; the broadcast-hint removals changed 13 TPC-H plans
+# (same rows expected — adjudication proves it); the pushdown-fixture
+# change rewires load_table for every lineitem consumer. The driver's
+# 50-slot sample fills the rest from the layer-interleaved rotation
+# remainder.
 _DRIVER_PRIORITY = frozenset(
     {
-        # round-8 streaming NULL-key fixes (both engine sides changed)
-        "stream_upsert_user_totals", "stream_full_outer_join",
-        "stream_timer_sessions",
-        # round-8 NULL-vec_id policy across the ann_oracle companions
-        "kmeans_assign_fixed_centroids", "lsh_fixed_planes_buckets",
-        "pq_fixed_codebook_topk", "mmr_lambda1_topk",
-        "neardup_cosine_pairs_exact", "hard_negative_mining",
-        # round-8 ADVICE fixes (both engine sides changed)
-        "chisq_drift_report", "compaction_bins_by_source",
-        # verify-stage broadcast hint removed (plan change, same rows)
-        "embedding_neardup",
-        # round-8 truncated-text sweep fixes (both engine sides changed)
-        "token_pieces_stats", "python_udtf_tokens", "array_set_operations",
-        # round-8 NULL-FK sweep fixes (both engine sides changed)
-        "join_semi_anti", "to_json_serialize", "zorder_clustered_layout",
-        "incremental_agg_maintenance",
-        # round-8 extreme sweep: ingest-domain gate touched every
-        # lineitem/events/embeddings consumer; re-adjudicate the
-        # per-spec fixes plus one heavy representative per gated table
-        "equidepth_price_histogram", "pandas_udaf_grouped",
-        "scalar_math_conditional", "weighted_sample_orders",
-        "kmeans_cluster_sizes", "q1_pricing_summary",
+        # round-9 lang fix — engine + both oracles changed, never sampled
+        "lang_id_heuristic", "corpus_curation_pipeline",
+        # round-10 unicode-contract fixes (both engine sides changed)
+        "editdist_neardup_pairs", "multimodal_feature_extract",
+        # round-10 fact-scaled broadcast-hint removals (plan change,
+        # same rows expected)
+        "q2_min_cost_supplier", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q7_volume_shipping", "q8_market_share",
+        "q9_profit_by_nation", "q14_promo_share", "q15_top_supplier",
+        "q16_supplier_part_counts", "q17_small_quantity", "q18_large_orders",
+        "q19_disjunctive_filter", "q20_heavy_shippers",
+        # round-10 pushdown-fixture rewire: one heavy representative
+        # per rewired fact table
+        "q1_pricing_summary", "q6_forecast_revenue",
     }
 )
 

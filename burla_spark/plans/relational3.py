@@ -97,7 +97,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
         F.lit(0).cast("decimal(25,8)")
     )
-    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+    return l.join(p, l.l_partkey == p.p_partkey).agg(
         F.round(F.sum(promo), 2).cast("double").alias("promo_revenue"),
         F.round(F.sum(disc_price), 2).cast("double").alias("total_revenue"),
         (
@@ -141,7 +141,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(20)
@@ -178,7 +178,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(20, 40)) & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 50))
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.round(F.sum(disc_price), 2).cast("double").alias("revenue"),

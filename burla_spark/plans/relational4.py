@@ -46,7 +46,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .filter(pair_ok)
         .groupBy(
             F.col("s_nationkey").cast("long").alias("supp_nation"),
@@ -93,9 +93,9 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     amount = F.sum(_disc_price() - cost)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -176,7 +176,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("__max_rev"))
-        .join(F.broadcast(s), revenue.l_suppkey == s.s_suppkey)
+        .join(s, revenue.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -208,7 +208,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias("avg_qty"))
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(avg_qty, l.l_partkey == avg_qty.pk)
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
@@ -256,7 +256,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
             F.round(F.sum(target_vol), 2).cast("double").alias("target_revenue"),

@@ -45,7 +45,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Filter lineitem by the (tiny, broadcast) part dim BEFORE any
     # aggregation — the correlated min is only needed for filtered
     # parts, so at 100 TB this prunes the scan to the relevant slice.
-    unit = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+    unit = l.join(p, l.l_partkey == p.p_partkey).select(
         "l_partkey",
         "l_suppkey",
         "p_partkey",
@@ -166,9 +166,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("s_suppkey").alias("bad_suppkey"))
 
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(
-            F.broadcast(bad),
+            bad,
             l.l_suppkey == bad.bad_suppkey,
             "left_anti",
         )
@@ -203,7 +203,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
 
     heavy = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(dec("l_quantity")).cast("double").alias("shipped_qty"))
         .filter(F.col("shipped_qty") > 50.0)

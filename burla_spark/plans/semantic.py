@@ -462,20 +462,33 @@ def editdist_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     production lengths, pass Spark's threshold arg
     (``levenshtein(l, r, k)`` early-exits at k) with k = the largest
     absolute distance the relative rule could accept for the block's
-    length band."""
+    length band.
+
+    UNICODE CONTRACT (round-10): the distance is CHARACTER-based —
+    one codepoint is one edit symbol — but DuckDB's ``levenshtein``
+    counts UTF-8 BYTES while Spark's counts codepoints (verified:
+    'café'→'cafe' is 2 in DuckDB, 1 in Spark). Both engines therefore
+    run levenshtein over the same deterministic ASCII projection of
+    the text: every non-ASCII codepoint becomes one ``'#'`` (Java
+    regex and RE2 both match ``[^\\x00-\\x7F]`` per codepoint,
+    including astral-plane emoji). On the projection chars == bytes,
+    so the engines agree exactly; distinct non-ASCII codepoints
+    conflate under '#', which only ever LOWERS a distance — a
+    documented recall-biased degradation for multilingual corpora."""
     d = load_table(spark, sf_dir, "documents")
+    proj = lambda c: F.regexp_replace(c, "[^\\x00-\\x7F]", "#")  # noqa: E731
     s = d.select(
         "doc_id",
-        F.col("text"),
+        proj(F.col("text")).alias("ptext"),
         F.substring("text", 1, 40).alias("pfx"),
         F.length("text").alias("ln"),
     )
     a = s.select(
-        F.col("doc_id").alias("id_a"), F.col("text").alias("ta"),
+        F.col("doc_id").alias("id_a"), F.col("ptext").alias("ta"),
         "pfx", F.col("ln").alias("la"),
     )
     b = s.select(
-        F.col("doc_id").alias("id_b"), F.col("text").alias("tb"),
+        F.col("doc_id").alias("id_b"), F.col("ptext").alias("tb"),
         "pfx", F.col("ln").alias("lb"),
     )
     lev = F.levenshtein("ta", "tb").cast("long")
@@ -501,17 +514,22 @@ def editdist_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# levenshtein runs on the same ASCII projection as the Spark side
+# (DuckDB's levenshtein counts UTF-8 bytes; on the projection
+# chars == bytes, so the character contract holds in both engines).
 EDITDIST_PAIRS_SQL = f"""
 WITH d AS (
-  SELECT doc_id, text, substr(text, 1, 40) AS pfx,
+  SELECT doc_id,
+         regexp_replace(text, '[^\\x00-\\x7F]', '#', 'g') AS ptext,
+         substr(text, 1, 40) AS pfx,
          CAST(len(text) AS BIGINT) AS ln
   FROM documents
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+       CAST(levenshtein(a.ptext, b.ptext) AS BIGINT) AS lev
 FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
   AND abs(a.ln - b.ln) * {EDIT_REL_DEN} <= greatest(a.ln, b.ln)
-WHERE levenshtein(a.text, b.text) * {EDIT_REL_DEN} <= greatest(a.ln, b.ln)
+WHERE levenshtein(a.ptext, b.ptext) * {EDIT_REL_DEN} <= greatest(a.ln, b.ln)
 ORDER BY id_a, id_b
 """
 

@@ -373,6 +373,33 @@ def test_quality_and_cosine_survive_degenerate_rows(spark):
     assert any(r.s is not None for r in sims)
 
 
+def test_lang_id_argmax_tie_und(spark):
+    """Direct unit test for the heuristic language ID (the spec-level
+    oracle exercises it only through the pipeline): clear-winner
+    argmax, tie → alphabetically-earliest language, no-match → 'und',
+    CJK → 'zh', and the round-8/9 contract that membership is
+    WHOLE-TOKEN — 'qué' is not the stopword 'que', and a multi-arg
+    lambda must never shadow the profile tuple (the round-8 arity bug)."""
+    from burla_spark.operators.text import lang_id
+
+    docs = spark.createDataFrame(
+        [
+            (1, "der hund und die katze ist nicht da"),  # clear de
+            (2, "und the"),            # de=1, en=1 tie → 'de' (alphabetical)
+            (3, "zzz qqq xyzzy"),      # nothing matches → 'und'
+            (4, "漢字テスト中文"),        # CJK chars → 'zh'
+            (5, "qué tal amigo"), # 'qué' ≠ 'que' → 'und' (whole-token)
+            (6, "el que llega es que gana y"),  # clear es
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.lang
+        for r in docs.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()
+    }
+    assert got == {1: "de", 2: "de", 3: "und", 4: "zh", 5: "und", 6: "es"}
+
+
 def test_operators_ignore_null_inputs(spark):
     """NULL text/payload/embedding rows are routine in real corpora:
     every operator must exclude them (SQL semantics), not crash its

@@ -128,6 +128,80 @@ def test_output_schema_atomic(spec, spark, sf_dir):
     )
 
 
+# Reviewed explicit-broadcast uses whose hinted side READS A FACT-SCALED
+# TABLE (customer/part/supplier/orders/lineitem — all grow with scale
+# factor; at ~100 TB part alone is ~20 B rows, so a verbatim broadcast
+# hint on one of them overrides Spark's size threshold and forces an
+# executor OOM). An entry here must be bounded BY CONSTRUCTION despite
+# scanning a fact table — in practice a global (groupBy-less) aggregate
+# or a LIMIT, never the raw relation:
+BROADCAST_FACT_OK: dict[str, str] = {
+    "q11_important_stock": "1-row global threshold aggregate",
+    "q15_top_supplier": "1-row max(total_revenue) aggregate",
+    "q22_idle_customers": "1-row global avg(acctbal) aggregate",
+}
+
+_HINT_RE = re.compile(r"ResolvedHint \(strategy=broadcast\)")
+_FACT_COL_RE = re.compile(
+    r"\b(c_custkey|p_partkey|s_suppkey|o_orderkey|l_orderkey)#\d+"
+)
+_ROW1_AGG_RE = re.compile(r"^Aggregate \[[a-z]")  # groupBy-less aggregate
+
+
+def _content_start(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def _broadcast_fact_hints(plan: str) -> list[str]:
+    """Return the subtree text of every broadcast hint whose hinted side
+    scans a fact-scaled TPC-H table WITHOUT a bounding global aggregate
+    between the hint and the scan."""
+    lines = plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if not _HINT_RE.search(line):
+            continue
+        depth = _content_start(line)
+        sub = []
+        for nxt in lines[i + 1:]:
+            if _content_start(nxt) <= depth:
+                break
+            sub.append(nxt)
+        subtree = "\n".join(sub)
+        if _FACT_COL_RE.search(subtree):
+            # a groupBy-less Aggregate anywhere under the hint bounds
+            # the broadcast side to one row regardless of fact size
+            bounded = any(
+                _ROW1_AGG_RE.match(s[_content_start(s):]) for s in sub
+            )
+            if not bounded:
+                bad.append(subtree[:400])
+    return bad
+
+
+@pytest.mark.parametrize("spec", BATCH_SPECS, ids=[s.name for s in BATCH_SPECS])
+def test_no_fact_scaled_broadcast_hints(spec, spark, sf_dir):
+    """Round-10 rule (VERDICT r09 'What's wrong #3'): an explicit
+    F.broadcast on a relation derived from customer/part/supplier/
+    orders/lineitem pins the plan to a broadcast join at EVERY scale —
+    at 100 TB that's an OOM, not an optimization. Drop the hint and let
+    AQE broadcast below threshold at runtime. Bounded exceptions
+    (1-row global aggregates) are auto-detected; anything else needs a
+    reviewed BROADCAST_FACT_OK entry."""
+    plan = _built(spec, spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+    offenders = _broadcast_fact_hints(plan)
+    if offenders:
+        assert spec.name in BROADCAST_FACT_OK, (
+            f"{spec.name}: explicit broadcast hint over a fact-scaled "
+            f"table (first offender subtree):\n{offenders[0]}\n"
+            "Drop the hint (AQE auto-broadcasts small sides) or add a "
+            "bounded-by-construction BROADCAST_FACT_OK entry."
+        )
+
+
 # Reviewed GLOBAL (empty-partition) windows: each runs over a BOUNDED
 # intermediate, never the raw fact table, so the single reducer sees a
 # capped row count by construction:
