@@ -176,3 +176,13 @@ if __name__ == "__main__":
     finally:
         sys.stdout = real_stdout
     print(json.dumps(result))
+    # A bench with per-query errors must FAIL LOUDLY (rc != 0): rc=0
+    # with a populated errors map let a red round slip through twice
+    # (rounds 8-9). The JSON line above still carries the details.
+    if result.get("errors"):
+        print(
+            f"bench: {len(result['errors'])} queries errored: "
+            f"{sorted(result['errors'])}",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)

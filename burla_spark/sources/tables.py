@@ -156,10 +156,80 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# ---------------------------------------------------------------------------
+# Write-side fixture validation (round-10): the read-side ingest gate
+# above is correct but puts a CASE projection between every measure
+# predicate and the parquet scan, killing PushedFilters on
+# l_quantity / l_extendedprice / value (ENGINEERING_NOTES "Known
+# cost"). The production shape is a one-time VALIDATION JOB at ingest:
+# apply the domain once, write a validated copy, and let every query
+# scan the validated files with full predicate pushdown. That job is
+# below; load_table serves the validated copy for the gated tables.
+# The read-side path is kept behind SPARK_GRAFT_READSIDE_GATE=1 — the
+# degradation sweeps set it so the per-row gate semantics stay
+# exercised against the DuckDB INGEST_CTE mirror.
+# ---------------------------------------------------------------------------
+_GATED_TABLES = ("lineitem", "events", "embeddings")
+
+
+def _validated_root() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_VALIDATED_DIR", "/tmp/burla_spark_validated"
+    )
+
+
+def _readside_gate() -> bool:
+    return os.environ.get("SPARK_GRAFT_READSIDE_GATE", "") == "1"
+
+
+def _fixture_key(sf_dir: str, name: str) -> str:
+    """Cache key for one table's validated copy: source path + file
+    stats, so a regenerated (sweep-degraded) fixture re-validates."""
+    import hashlib
+
+    path = table_path(sf_dir, name)
+    st = os.stat(path)
+    return hashlib.sha256(
+        f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:20]
+
+
+def validated_table_path(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Run the one-time validation job for ``name`` if its validated
+    copy isn't cached yet; return the validated parquet path. The copy
+    is the ingest-domain projection materialized — at 100 TB this is
+    the ingest pipeline's validation stage writing the curated layer,
+    so analytical scans get parquet min/max pruning and PushedFilters
+    on measure columns instead of re-deriving the gate per query."""
+    import shutil
+
+    dest = os.path.join(
+        _validated_root(), _fixture_key(sf_dir, name), f"{name}.parquet"
+    )
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return dest
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = normalize_events_ts(df)
+    df = _apply_ingest_domains(df, name)
+    tmp = f"{dest}.tmp-{os.getpid()}"
+    df.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, dest)  # atomic: readers see absent or complete
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+    return dest
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame."""
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name in _GATED_TABLES and not _readside_gate():
+        df = spark.read.parquet(validated_table_path(spark, sf_dir, name))
+        if name == "events":
+            df = normalize_events_ts(df)  # µs passthrough branch
+        return df
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = normalize_events_ts(df)

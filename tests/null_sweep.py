@@ -268,6 +268,11 @@ def main() -> int:
     from burla_spark.session import get_spark
     from tests.oracle import compare, duck_connection
 
+    # sweeps exercise the READ-SIDE ingest gate (per-row CASE/filter
+    # vs the DuckDB INGEST_CTE mirror); normal operation serves
+    # validated-fixture copies instead so measure predicates push down
+    # to the parquet scan (sources/tables.py, round-10).
+    os.environ["SPARK_GRAFT_READSIDE_GATE"] = "1"
     mode = sys.argv[1] if len(sys.argv) > 1 else "null"
     assert mode in (
         "null", "dup", "nullkey", "dupdim", "trunc", "nullfk", "extreme",

@@ -78,6 +78,18 @@ PROJECTIONS = {
 }
 
 
+# The 10 worst steady-state ratios from TPCH_CURVE_r08 (sf0.1→sf1):
+# round-10 extends these one more decade (sf1→sf10, ×100 total) to
+# confirm sublinearity past the page-cache comfort zone. Run with
+# --sf10 (adds ~5 min dbgen + the timed runs).
+SF10_WORST = (
+    "window_rank_customers", "scalar_string_functions",
+    "window_running_revenue", "applyinarrow_grouped", "topk_per_group",
+    "subquery_aggregation", "window_lag_lead", "topk_global",
+    "scalar_date_functions", "agg_collect",
+)
+
+
 def _gen_dir(sf: float) -> str:
     return os.path.join(REPO_DIR, ".scaling", f"tpch_sf{sf}")
 
@@ -106,7 +118,7 @@ def generate_fixtures(sf: float) -> str:
     return out_dir
 
 
-def main() -> dict:
+def main(include_sf10: bool = False) -> dict:
     from scaling_bench import _time_queries
 
     from burla_spark.plans.registry import all_specs
@@ -114,6 +126,7 @@ def main() -> dict:
 
     d01 = generate_fixtures(0.1)
     d1 = generate_fixtures(1)
+    d10 = generate_fixtures(10) if include_sf10 else None
     spark = get_spark(app_name="burla_spark_tpch_scaling")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
@@ -136,29 +149,49 @@ def main() -> dict:
             # as scaling_bench).
             "ratio": round(s_best / max(b_best, 0.05), 2),
         }
+    if d10 is not None:
+        specs10 = [s for s in specs if s.name in SF10_WORST]
+        decade = _time_queries(spark, specs10, d10)
+        for name, (c10, t10) in decade.items():
+            queries[name]["t10"] = t10
+            # decade ratio sf1→sf10: ≈10 is linear; the gate is the
+            # same one-sided GATE as the first decade.
+            queries[name]["ratio10"] = round(
+                t10 / max(queries[name]["t1"], 0.05), 2
+            )
     worst_name = max(queries, key=lambda n: queries[n]["ratio"])
-    return {
+    out = {
         "metric": "tpch_sf_curve",
-        "sf_points": [0.1, 1],
+        "sf_points": [0.1, 1, 10] if d10 is not None else [0.1, 1],
         "queries": queries,
         "max_ratio": queries[worst_name]["ratio"],
         "worst_query": worst_name,
         "n_queries": len(queries),
     }
+    if d10 is not None:
+        w10 = max(
+            (n for n in queries if "ratio10" in queries[n]),
+            key=lambda n: queries[n]["ratio10"],
+        )
+        out["max_ratio10"] = queries[w10]["ratio10"]
+        out["worst_query10"] = w10
+    return out
 
 
 if __name__ == "__main__":
     real_stdout = sys.stdout
     sys.stdout = sys.stderr
     try:
-        result = main()
+        result = main(include_sf10="--sf10" in sys.argv)
     finally:
         sys.stdout = real_stdout
     print(json.dumps(result))
-    if result["max_ratio"] > GATE:
+    if result["max_ratio"] > GATE or result.get("max_ratio10", 0) > GATE:
         print(
             f"[tpch] GATE FAILED: {result['worst_query']} ratio "
-            f"{result['max_ratio']} > {GATE} — superlinear relational plan",
+            f"{result['max_ratio']} (sf10: "
+            f"{result.get('worst_query10')} {result.get('max_ratio10')}) "
+            f"> {GATE} — superlinear relational plan",
             file=sys.stderr,
         )
         sys.exit(1)
