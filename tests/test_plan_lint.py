@@ -202,6 +202,17 @@ def test_no_fact_scaled_broadcast_hints(spec, spark, sf_dir):
         )
 
 
+def test_driver_priority_names_resolve():
+    """Every _DRIVER_PRIORITY entry must name a registry spec — a typo
+    or a renamed spec would silently drop the re-adjudication the
+    rotation exists to force (the round-9 ledger hole)."""
+    from burla_spark.plans.registry import _DRIVER_PRIORITY
+
+    names = {s.name for s in all_specs()}
+    missing = _DRIVER_PRIORITY - names
+    assert not missing, f"stale _DRIVER_PRIORITY entries: {sorted(missing)}"
+
+
 def test_measure_predicate_pushes_to_parquet_scan(spark, sf_dir):
     """Round-10 (VERDICT r09 item 5): measure-column predicates must
     reach the parquet scan as PushedFilters. The read-side ingest gate
