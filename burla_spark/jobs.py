@@ -608,6 +608,105 @@ def fetch_results(
     return materialize_results(rows, stdout_sink)
 
 
+class ProcessDetachedJob:
+    """Handle for a PROCESS-detached job: the computation runs under
+    its OWN driver (``burla_spark.jobs_runner``), so it keeps executing
+    after this process exits — the reference's true detach semantics
+    (A22, job_watcher.py:259,294-301), not just journaled recovery.
+    The handle is a thin cross-process view over the journal: any
+    process sharing the journal dir can reconstruct it from the job_id
+    (``ProcessDetachedJob(spark, job_id)``) and status/result/cancel
+    behave identically there."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        job_id: str,
+        pid: int | None = None,
+        journal_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.job_id = job_id
+        self.pid = pid  # runner process, informational only
+        self._jdir = journal_dir
+
+    def status(self) -> str:
+        base = _journal_dir(self.spark, self._jdir)
+        with open(_manifest_path(base, self.job_id)) as fh:
+            return json.load(fh).get("status", "unknown")
+
+    def done(self) -> bool:
+        return self.status() != "running"
+
+    def cancel(self) -> None:
+        """Cross-process cancel: flag the journal; the runner's
+        heartbeat loop interrupts the job within one interval."""
+        request_cancel(self.spark, self.job_id, self._jdir)
+
+    def result(
+        self,
+        timeout: float | None = None,
+        stdout_sink: Callable[[int, str], None] | None = None,
+        poll_s: float = 0.5,
+    ) -> list:
+        """Wait for the runner to finish, then load the journaled
+        results (raises the job's error with original-type fidelity,
+        or JobCanceled, exactly like an in-process detach would)."""
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while self.status() == "running":
+            if deadline is not None and time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"job {self.job_id} still running after {timeout}s"
+                )
+            time.sleep(poll_s)
+        return fetch_results(
+            self.spark, self.job_id, self._jdir, stdout_sink=stdout_sink
+        )
+
+
+def submit_process_detached(
+    spark: SparkSession,
+    function_pkl: bytes,
+    input_rows: list[tuple[int, bytes]],
+    journal_dir: str | None = None,
+) -> ProcessDetachedJob:
+    """Spawn a process-detached job: journal the payload + a 'running'
+    manifest, then hand the work to an own-driver runner in a NEW
+    session (``setsid``) whose stdout/stderr land in the job's
+    ``runner.log``. Returns immediately; the submitting process may
+    exit and the job keeps executing. The payload MUST fit the journal
+    cap — it is the only channel to the runner."""
+    import subprocess
+
+    base = _journal_dir(spark, journal_dir)
+    job_id = f"burla-job-{uuid.uuid4().hex[:12]}"
+    if not journal_payload(spark, job_id, function_pkl, input_rows, journal_dir):
+        raise ValueError(
+            "process-detached jobs ship function+inputs through the journal "
+            f"and this payload exceeds {PAYLOAD_MAX_BYTES_CONF} — raise the "
+            "cap, or use detach=True (in-process) for oversized payloads"
+        )
+    journal_start(spark, job_id, len(input_rows), journal_dir, redrivable=True)
+    # the runner must import burla_spark even when running from a repo
+    # checkout rather than an installed package
+    env = dict(os.environ)
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = pkg_parent + os.pathsep + env.get("PYTHONPATH", "")
+    log_path = os.path.join(base, job_id, "runner.log")
+    import sys as _sys
+
+    with open(log_path, "ab") as logf:
+        proc = subprocess.Popen(
+            [_sys.executable, "-m", "burla_spark.jobs_runner", base, job_id],
+            stdout=logf,
+            stderr=subprocess.STDOUT,
+            stdin=subprocess.DEVNULL,
+            start_new_session=True,  # survives the submitter's exit/HUP
+            env=env,
+        )
+    return ProcessDetachedJob(spark, job_id, proc.pid, journal_dir)
+
+
 def submit(spark: SparkSession, action: Callable[[], Any], tag: str | None = None) -> BackgroundJob:
     """Run a Spark action in the background under a cancelable tag.
 

@@ -849,7 +849,7 @@ def remote_parallel_map(
     image: str | None = None,
     grow: bool = True,
     max_parallelism: int | None = None,
-    detach: bool = False,
+    detach: bool | str = False,
     generator: bool = False,
     spinner: bool = False,
     repack: bool = False,
@@ -887,9 +887,16 @@ def remote_parallel_map(
     * image / grow — container image and autoscaling are cluster-level
       in Spark (spark.kubernetes.container.image, dynamic allocation);
       accepted and ignored.
-    * detach — runs on a background thread under a cancelable job tag
-      (burla_spark.jobs); survives until the driver exits — SURVEY.md
-      §7.3.5 documents the divergence from cross-process detach.
+    * detach — True runs on a background thread under a cancelable job
+      tag (burla_spark.jobs); survives until the driver exits, with
+      journal/partial-ack recovery after it. detach="process" goes
+      further: the job runs under its OWN driver (jobs_runner spawned
+      in a new session), so it keeps EXECUTING after this process
+      exits — the reference's A22 semantics (job_watcher.py:259,
+      294-301) — at the cost of a second JVM and the journal-payload
+      size cap (function+inputs must fit spark.burla.
+      journalPayloadMaxBytes, since the journal is the only channel
+      to the runner).
     * spinner — live ``X/N done`` progress lines (burla_spark.progress).
     """
     spark = spark or SparkSession.getActiveSession()
@@ -985,6 +992,17 @@ def remote_parallel_map(
                         f"(max {MAX_INPUT_SIZE_BYTES})"
                     )
                 rows.append((i, blob))
+
+    if detach == "process":
+        # True cross-process detach (reference A22): the job runs under
+        # its OWN driver (burla_spark.jobs_runner) and survives this
+        # process exiting. This driver journals the payload and spawns
+        # the runner — it does no Spark work for the job at all.
+        from burla_spark import jobs
+
+        return jobs.submit_process_detached(
+            spark, function_pkl, rows, journal_dir=journal_dir
+        )
 
     cpu_cap = spark.sparkContext.defaultParallelism // max(func_cpu, 1)
     ram_cap = _ram_parallelism_cap(spark, func_ram)

@@ -26,9 +26,12 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Small dimension tables: always broadcast-join these (a few KB..MB even
-# at high SF; region/nation are fixed-size in TPC-H-style schemas).
-BROADCAST_DIMS = ("region", "nation", "supplier")
+# Fixed-size dimension tables: safe to broadcast-join at ANY scale
+# factor (region/nation have constant cardinality in TPC-H-style
+# schemas). customer/part/supplier GROW with SF and must never carry a
+# verbatim broadcast hint — AQE decides at runtime (round-10 lint rule,
+# tests/test_plan_lint.py::test_no_fact_scaled_broadcast_hints).
+BROADCAST_DIMS = ("region", "nation")
 
 # ---------------------------------------------------------------------------
 # Declared ingest domains — validated at load, identically on both

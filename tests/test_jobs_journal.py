@@ -99,6 +99,51 @@ def test_cross_process_detach_fetch(spark, journal_dir):
         assert json.load(fh)["n_results"] == 8
 
 
+def test_process_detach_survives_submitter_exit(spark, journal_dir):
+    """The TRUE detach contract (reference A22: the computation itself
+    outlives the client, job_watcher.py:259,294-301): a SUBMITTER
+    process journals the payload, spawns the own-driver runner, and
+    EXITS WITHOUT WAITING. The job must still run to completion — this
+    session only watches the journal and fetches the results."""
+    import time as _time
+
+    child = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        from burla_spark.session import get_spark
+        from burla_spark.rpm import remote_parallel_map
+        spark = get_spark(app_name="pd_submitter", shuffle_partitions=4)
+        spark.conf.set("spark.burla.jobJournalDir", {journal_dir!r})
+        h = remote_parallel_map(lambda x: x * 7, range(6), spark=spark, detach="process")
+        print("JOB_ID=" + h.job_id)
+        spark.stop()          # submitter exits IMMEDIATELY — no wait
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", child], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    job_id = [
+        line.split("=", 1)[1]
+        for line in proc.stdout.splitlines()
+        if line.startswith("JOB_ID=")
+    ][0]
+    # the submitter is dead; the runner's own driver must finish the job
+    handle = jobs.ProcessDetachedJob(spark, job_id, journal_dir=journal_dir)
+    deadline = _time.monotonic() + 240
+    while not handle.done():
+        assert _time.monotonic() < deadline, (
+            "process-detached job never finished; runner.log:\n"
+            + open(os.path.join(journal_dir, job_id, "runner.log")).read()[-2000:]
+        )
+        _time.sleep(1.0)
+    assert handle.status() == "done"
+    assert sorted(handle.result(timeout=10)) == [x * 7 for x in range(6)]
+    # heartbeats ran from process start: the manifest never looked dead
+    assert sorted(jobs.fetch_results(spark, job_id)) == [x * 7 for x in range(6)]
+
+
 def test_cross_process_observes_running_then_fetches(spark, journal_dir):
     """Round-5 narrowing of the in-flight divergence (reference
     job_watcher.py:259,294-301): the manifest is journaled at SUBMIT
