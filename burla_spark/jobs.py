@@ -339,7 +339,13 @@ def _claim_redrive(base: str, job_id: str, stale_s: float) -> None:
     raise RuntimeError(f"could not claim redrive of job {job_id}")
 
 
-def redrive(spark: SparkSession, job_id: str, journal_dir: str | None = None, force: bool = False):
+def redrive(
+    spark: SparkSession,
+    job_id: str,
+    journal_dir: str | None = None,
+    force: bool = False,
+    clear_stale_cancel: bool = True,
+):
     """Re-drive an ORPHANED detached job from a second process — the
     closest Spark-idiomatic analogue of the reference keeping detached
     jobs alive server-side (job_watcher.py:259,294-301): when the
@@ -383,11 +389,14 @@ def redrive(spark: SparkSession, job_id: str, journal_dir: str | None = None, fo
     try:
         # a cancel flag aimed at the DEAD driver must not auto-cancel
         # the fresh run within one heartbeat: an explicit redrive
-        # supersedes it.
-        try:
-            os.remove(os.path.join(base, job_id, "cancel_requested"))
-        except OSError:
-            pass
+        # supersedes it. The process-detach RUNNER passes False: there
+        # the flag cannot be stale (the job was just submitted) and a
+        # cancel that raced the runner's JVM boot must still win.
+        if clear_stale_cancel:
+            try:
+                os.remove(os.path.join(base, job_id, "cancel_requested"))
+            except OSError:
+                pass
         import pickle as _pickle
 
         with open(payload_path, "rb") as fh:

@@ -48,7 +48,14 @@ def main(argv: list[str] | None = None) -> int:
         from burla_spark.session import get_spark
 
         spark = get_spark(app_name=f"burla-detached-{job_id}")
-        handle = jobs.redrive(spark, job_id, journal_dir=journal_dir, force=True)
+        if jobs.cancel_requested(spark, job_id, journal_dir):
+            # canceled while the runner was booting: never submit
+            jobs.journal_cancel(spark, job_id, journal_dir)
+            return 0
+        handle = jobs.redrive(
+            spark, job_id, journal_dir=journal_dir, force=True,
+            clear_stale_cancel=False,
+        )
         stop.set()  # the detached machinery heartbeats from here on
         handle.result()  # block until journal_finish/fail/cancel ran
         return 0

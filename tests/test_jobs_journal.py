@@ -144,6 +144,43 @@ def test_process_detach_survives_submitter_exit(spark, journal_dir):
     assert sorted(jobs.fetch_results(spark, job_id)) == [x * 7 for x in range(6)]
 
 
+def test_process_detach_cancel_from_observer(spark, journal_dir):
+    """Cancel contract for process-detached jobs: any process sharing
+    the journal dir flags the job; the runner's heartbeat loop
+    interrupts it within one interval and journals status=canceled;
+    the handle's result() then raises JobCanceled."""
+    import time as _time
+
+    def slow(x):
+        import time
+
+        time.sleep(30)
+        return x
+
+    from burla_spark.rpm import _cloudpickle
+
+    cp = _cloudpickle()
+    h = jobs.submit_process_detached(
+        spark, cp.dumps(slow), [(i, cp.dumps(i)) for i in range(4)],
+        journal_dir=journal_dir,
+    )
+    # cancel IMMEDIATELY — deliberately racing the runner's JVM boot:
+    # a boot-time cancel short-circuits before submit, an in-flight one
+    # is picked up by the heartbeat loop; both must end 'canceled'
+    # (redrive keeps the flag for the runner path, clear_stale_cancel
+    # =False, so the race has no lost-cancel window).
+    deadline = _time.monotonic() + 180
+    h.cancel()
+    while h.status() == "running" and _time.monotonic() < deadline:
+        _time.sleep(0.5)
+    assert h.status() == "canceled", (
+        f"status={h.status()}; runner.log:\n"
+        + open(os.path.join(journal_dir, h.job_id, "runner.log")).read()[-2000:]
+    )
+    with pytest.raises(jobs.JobCanceled):
+        h.result(timeout=10)
+
+
 def test_cross_process_observes_running_then_fetches(spark, journal_dir):
     """Round-5 narrowing of the in-flight divergence (reference
     job_watcher.py:259,294-301): the manifest is journaled at SUBMIT
