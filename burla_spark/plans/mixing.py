@@ -373,7 +373,139 @@ GROUP BY t.source ORDER BY t.source
 """
 
 
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much more likely its hashed-bigram features are
+    under a TARGET distribution than under the RAW corpus —
+    log p_target(doc) − log p_raw(doc) in a bag-of-hashed-ngrams
+    model with add-1 smoothing. Documents are then resampled
+    proportionally to exp(weight); this query emits the weights (the
+    expensive distributed part — the resample itself is
+    weighted_sample_orders' A-ES kernel). Target = the corpus's
+    lang='en' slice (DSIR's target would be Wikipedia/books; the
+    fixture's labeled slice is the deterministic stand-in).
+
+    Features are md5-hashed bigrams truncated to 8 hex chars — the
+    hashed-feature space DSIR uses to bound the model, replayable
+    bit-for-bit in DuckDB (same md5 hex on both engines).
+
+    100 TB shape: the feature table is vocabulary-bounded (zipf — far
+    smaller than the corpus); per-doc feature counts partial-aggregate
+    map-side; corpus stats derive from those counts (no extra corpus
+    scan for the raw side); the two totals ride 1-row broadcasts; the
+    score join shuffles on the 8-hex-char key with stop-pair skew left
+    to AQE. Smoothing keeps target-absent features finite, so a
+    multilingual crawl scores without NULL/−inf rows."""
+    from burla_spark.functions.numeric import let
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    grams = let(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", F.element_at(t, i), F.element_at(t, i + 1)
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    feats = d.select("doc_id", "lang", F.explode(grams).alias("b"))
+    dc = feats.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    raw = dc.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = feats.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").alias("ct")
+    )
+    totals = raw.agg(
+        F.sum("cr").alias("nr"), F.count("*").alias("fall")
+    )
+    tt = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    dlt = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+        / (F.col("nt") + F.col("fall")).cast("double")
+    ) - F.log(
+        (F.col("cr") + 1).cast("double")
+        / (F.col("nr") + F.col("fall")).cast("double")
+    )
+    stats = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(tt))
+        .select("b", dlt.alias("dlt"))
+    )
+    return (
+        dc.join(stats, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("c").cast("long").alias("n_grams"),
+            # 6dp round + signed-zero normalization (contract rule 13):
+            # the per-bucket delta is bit-identical on both engines up
+            # to ln()'s last ULP; the doc sum carries association-order
+            # noise ~1e-13, far inside the rounding tolerance.
+            (F.round(F.sum(F.col("c") * F.col("dlt")), 6) + F.lit(0.0)).alias(
+                "dsir_logweight"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_IMPORTANCE_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id, lang,
+         UNNEST(list_transform(generate_series(1, len(t) - 1),
+                i -> substr(md5(t[i] || ' ' || t[i + 1]), 1, 8))) AS b
+  FROM d WHERE len(t) >= 2
+), dc AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM g GROUP BY doc_id, b
+), rs AS (
+  SELECT b, SUM(c) AS cr FROM dc GROUP BY b
+), tot AS (
+  SELECT SUM(cr) AS nr, COUNT(*) AS fall FROM rs
+), ts AS (
+  SELECT b, COUNT(*) AS ct FROM g WHERE lang = 'en' GROUP BY b
+), tt AS (
+  SELECT COALESCE(SUM(ct), 0) AS nt FROM ts
+), dl AS (
+  SELECT rs.b,
+         ln(CAST(COALESCE(ts.ct, 0) + 1 AS DOUBLE)
+            / CAST(tt.nt + tot.fall AS DOUBLE))
+       - ln(CAST(rs.cr + 1 AS DOUBLE)
+            / CAST(tot.nr + tot.fall AS DOUBLE)) AS dlt
+  FROM rs LEFT JOIN ts ON rs.b = ts.b, tot, tt
+)
+SELECT dc.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(dc.c) AS BIGINT) AS n_grams,
+       ROUND(SUM(dc.c * dl.dlt), 6) + 0.0 AS dsir_logweight
+FROM dc JOIN dl ON dc.b = dl.b
+GROUP BY dc.doc_id ORDER BY dc.doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "dsir_importance_weights",
+        dsir_importance_weights,
+        DSIR_IMPORTANCE_SQL,
+        ("llm", "mixing", "selection"),
+        doc="DSIR hashed-bigram importance weights: per-doc "
+        "log p_target/p_raw under add-1-smoothed bag-of-hashed-ngrams "
+        "models (md5-bucketed features, 1-row total broadcasts).",
+    ),
     QuerySpec(
         "oov_rate_by_source",
         oov_rate_by_source,

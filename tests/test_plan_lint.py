@@ -71,6 +71,9 @@ BNLJ_OK = {
     "hard_negative_mining",
     # two 1-row broadcasts: the id cut and the (t_base, t_delta) totals
     "chisq_drift_report",
+    # two 1-row broadcasts: raw-corpus totals (nr, fall) and target
+    # total (nt) joined onto the vocab-bounded feature-stats table
+    "dsir_importance_weights",
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]
