@@ -460,6 +460,78 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def char_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the CHARACTER distribution — the
+    compressibility signal quality pipelines use to catch what word
+    filters miss: repeated-character spam and boilerplate runs score
+    LOW (few symbols dominate), encrypted/binary-garbage paste scores
+    HIGH (near-uniform symbols), fluent prose sits in a narrow band.
+    Uses the identity H = ln(n) − (Σ c·ln c)/n so one aggregation over
+    (doc, char, count) rows yields the entropy — no per-doc second
+    pass, no join. The band classification applies to the ROUNDED
+    entropy so both engines classify identical values.
+
+    Unicode contract: both engines split by CODEPOINT (Java regex
+    split('') and RE2 regexp_split_to_array(text,'') agree, emoji and
+    combining marks included — probe-verified), so the distribution is
+    over codepoints, not bytes or graphemes.
+
+    100 TB shape: the explode's (doc_id, ch, count) groupBy
+    partial-aggregates map-side, so the shuffle carries each doc's
+    DISTINCT characters (bounded by charset size, ~10²-10³), not its
+    length; the second groupBy reuses the same doc_id partitioning.
+    Filters on the output bands push around the projection."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    cc = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    s = F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+    ent = F.round(F.log(n) - s / n, 6) + F.lit(0.0)
+    return (
+        cc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_chars"),
+            F.count("*").cast("long").alias("distinct_chars"),
+            ent.alias("char_entropy"),
+        )
+        .withColumn(
+            "entropy_band",
+            F.when(F.col("char_entropy") < 2.0, "low")
+            .when(F.col("char_entropy") > 4.7, "high")
+            .otherwise("ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(text, '')) AS ch
+  FROM documents WHERE text IS NOT NULL AND len(text) > 0
+), cc AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch
+), agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_chars,
+         CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+         ROUND(ln(CAST(SUM(c) AS DOUBLE))
+               - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                 / CAST(SUM(c) AS DOUBLE), 6) + 0.0 AS char_entropy
+  FROM cc GROUP BY doc_id
+)
+SELECT doc_id, n_chars, distinct_chars, char_entropy,
+       CASE WHEN char_entropy < 2.0 THEN 'low'
+            WHEN char_entropy > 4.7 THEN 'high'
+            ELSE 'ok' END AS entropy_band
+FROM agg ORDER BY doc_id
+"""
+
+
 DSIR_IMPORTANCE_SQL = r"""
 WITH d AS (
   SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS t
@@ -497,6 +569,15 @@ GROUP BY dc.doc_id ORDER BY dc.doc_id
 
 
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "char_entropy_report",
+        char_entropy_report,
+        CHAR_ENTROPY_SQL,
+        ("llm", "quality", "entropy"),
+        doc="Per-doc Shannon character entropy (codepoint distribution, "
+        "H = ln n - (sum c ln c)/n in one aggregation) with low/ok/high "
+        "bands on the rounded value.",
+    ),
     QuerySpec(
         "dsir_importance_weights",
         dsir_importance_weights,
