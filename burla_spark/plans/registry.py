@@ -110,6 +110,8 @@ _DRIVER_PRIORITY = frozenset(
         # round-10 pushdown-fixture rewire: one heavy representative
         # per rewired fact table
         "q1_pricing_summary", "q6_forecast_revenue",
+        # round-10 NEW operators — first driver adjudication
+        "dsir_importance_weights", "char_entropy_report",
     }
 )
 
