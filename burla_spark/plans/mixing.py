@@ -509,6 +509,76 @@ def char_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZIPF_TOP_RANKS = 100  # fit the head of the rank-frequency curve
+
+
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit per source — the corpus-health
+    diagnostic behind "does this source look like natural language":
+    fluent text follows ln(freq) ≈ a + s·ln(rank) with slope s ≈ −1;
+    template/boilerplate farms flatten the head (s → 0 over-represented
+    top tokens), ID/hash dumps steepen past −2. The fit is OLS over the
+    top-100 ranks (ZIPF_TOP_RANKS; ranks are deterministic: count desc,
+    token asc) via the engines' own regr_slope/intercept/r2 — identical
+    closed form on both sides, 6dp-rounded at the edge.
+
+    100 TB shape: the token-count table is vocabulary-bounded (zipf —
+    the very property being measured), the rank window partitions by
+    source over that bounded table (never the corpus), and the
+    regression aggregates 100 rows per source."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    counts = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("tok"))
+    ranked = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= ZIPF_TOP_RANKS
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_ranks"),
+            (F.round(F.expr("regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 6) + F.lit(0.0)).alias("zipf_slope"),
+            (F.round(F.expr("regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 6) + F.lit(0.0)).alias("zipf_intercept"),
+            (F.round(F.expr("regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 6) + F.lit(0.0)).alias("zipf_r2"),
+        )
+        .orderBy("source")
+    )
+
+
+ZIPF_SLOPE_SQL = rf"""
+WITH toks AS (
+  SELECT source,
+         UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), counts AS (
+  SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok
+), ranked AS (
+  SELECT source, c,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY c DESC, tok ASC) AS rank
+  FROM counts
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_ranks,
+       ROUND(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+         + 0.0 AS zipf_slope,
+       ROUND(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+         + 0.0 AS zipf_intercept,
+       ROUND(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+         + 0.0 AS zipf_r2
+FROM ranked WHERE rank <= {ZIPF_TOP_RANKS}
+GROUP BY source ORDER BY source
+"""
+
+
 CHAR_ENTROPY_SQL = """
 WITH ch AS (
   SELECT doc_id, UNNEST(regexp_split_to_array(text, '')) AS ch
@@ -569,6 +639,15 @@ GROUP BY dc.doc_id ORDER BY dc.doc_id
 
 
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "zipf_slope_by_source",
+        zipf_slope_by_source,
+        ZIPF_SLOPE_SQL,
+        ("llm", "quality", "diagnostics"),
+        doc="Per-source Zipf rank-frequency OLS fit (slope/intercept/r2 "
+        "over the deterministic top-100 ranks) — natural-language "
+        "health check for a corpus mix.",
+    ),
     QuerySpec(
         "char_entropy_report",
         char_entropy_report,

@@ -112,6 +112,7 @@ _DRIVER_PRIORITY = frozenset(
         "q1_pricing_summary", "q6_forecast_revenue",
         # round-10 NEW operators — first driver adjudication
         "dsir_importance_weights", "char_entropy_report",
+        "zipf_slope_by_source",
     }
 )
 
