@@ -597,7 +597,9 @@ def fetch_results(
             raise RuntimeError(
                 f"job {job_id} is marked running but its heartbeat is "
                 f"{age:.0f}s stale — the submitting driver likely died "
-                "mid-job; results were never journaled"
+                "mid-job; results were never journaled. Resume from the "
+                f"journaled per-input acks with jobs.redrive(spark, "
+                f"{job_id!r})"
             )
         raise RuntimeError(
             f"job {job_id} is still running (live heartbeat "
@@ -640,9 +642,26 @@ class ProcessDetachedJob:
         self._jdir = journal_dir
 
     def status(self) -> str:
+        """Manifest status, with orphan detection (ADVICE r10): a
+        SIGKILLed runner leaves 'running' in the manifest forever, so a
+        'running' whose heartbeat has gone stale is surfaced as
+        ``"orphaned"`` — the runner heartbeats from process start
+        (jobs_runner.py boot-beat), so staleness implies runner death,
+        never a slow JVM boot. Orphaned jobs resume via ``redrive()``."""
         base = _journal_dir(self.spark, self._jdir)
         with open(_manifest_path(base, self.job_id)) as fh:
-            return json.load(fh).get("status", "unknown")
+            manifest = json.load(fh)
+        status = manifest.get("status", "unknown")
+        if status == "running":
+            age = time.time() - _last_heartbeat_at(base, self.job_id, manifest)
+            stale_s = float(
+                self.spark.conf.get(
+                    "spark.burla.heartbeatStaleS", str(HEARTBEAT_STALE_S)
+                )
+            )
+            if age > stale_s:
+                return "orphaned"
+        return status
 
     def done(self) -> bool:
         return self.status() != "running"

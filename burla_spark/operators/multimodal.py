@@ -62,6 +62,13 @@ def _pil():
         return None
 
 
+def _fake_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic byte-derived dimensions for non-image payloads —
+    the contract the driver oracle replays (16 + byte % 64)."""
+    h = payload[:8].ljust(8, b"\0")
+    return 16 + h[0] % 64, 16 + h[1] % 64
+
+
 def _decode_image(payload: bytes) -> tuple[int, int]:
     """Decode → (width, height): PIL when installed, else real header
     parsing for PNG/BMP/GIF/JPEG (imagecodec), else a deterministic
@@ -80,9 +87,7 @@ def _decode_image(payload: bytes) -> tuple[int, int]:
     dims = image_dims(payload)
     if dims is not None:
         return dims
-    # deterministic fake: dimensions derived from payload bytes.
-    h = payload[:8].ljust(8, b"\0")
-    return 16 + h[0] % 64, 16 + h[1] % 64
+    return _fake_dims(payload)
 
 
 def _byte_histogram(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -97,15 +102,35 @@ def _byte_histogram(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """mapInPandas feature extraction: iterator pattern so any model
-    load happens once per partition; Arrow batches bound memory."""
+    load happens once per partition; Arrow batches bound memory.
+
+    Content-type routing (ADVICE r10): when the frame carries the
+    ``blob_meta`` struct, ``text/*`` payloads take the deterministic
+    byte-derived dims DIRECTLY — a text document that happens to start
+    with an image magic prefix ('BM', 'GIF87a'; both are plain ASCII
+    and legal text) must not be header-parsed as an image, which would
+    diverge from the byte-true oracle. Image decoding runs only for
+    payloads declared (or undeclared) as non-text."""
     out_schema = f"{', '.join(f'{c} {t}' for c, t in df.dtypes)}, width long, height long, features array<double>"
+    has_meta = "blob_meta" in df.columns
+
+    def _dims(payload: bytes, ctype: str | None) -> tuple[int, int]:
+        if ctype is not None and ctype.startswith("text/"):
+            return _fake_dims(payload)
+        return _decode_image(payload)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # init-once-per-partition hook (model load would go here).
         for batch in batches:
             # NULL payloads decode as empty blobs — never crash a batch
             payloads = [b"" if p is None else bytes(p) for p in batch[payload_col]]
-            dims = [_decode_image(p) for p in payloads]
+            if has_meta:
+                ctypes = [
+                    (m or {}).get("content_type") for m in batch["blob_meta"]
+                ]
+            else:
+                ctypes = [None] * len(payloads)
+            dims = [_dims(p, c) for p, c in zip(payloads, ctypes)]
             batch = batch.copy()
             batch["width"] = [d[0] for d in dims]
             batch["height"] = [d[1] for d in dims]

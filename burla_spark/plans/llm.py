@@ -1048,7 +1048,11 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims, byte-histogram bucket 0) are all byte-arithmetic DuckDB
     replays byte-true via hex(encode(text)) — the contract is the
     UTF-8 PAYLOAD BYTES, valid for any unicode text (round-10 fix;
-    the old char-op oracle was ASCII-only and failed the sweep)."""
+    the old char-op oracle was ASCII-only and failed the sweep).
+    Round-11: valid for ANY text, including text starting with an
+    ASCII image magic ('BM', 'GIF87a') — extract_features routes
+    content_type text/* straight to the byte-derived dims, never
+    through the image header parser (ADVICE r10)."""
     from burla_spark.operators import multimodal as mm
 
     d = (

@@ -175,9 +175,46 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 _GATED_TABLES = ("lineitem", "events", "embeddings")
 
 
-def _validated_root() -> str:
-    return os.environ.get(
-        "SPARK_GRAFT_VALIDATED_DIR", "/tmp/burla_spark_validated"
+def _resolve_validated_root(
+    master: str, spill_dir: str | None, checkpoint_dir: str | None
+) -> str:
+    """Resolve the validated-copy cache root via the SAME shared-storage
+    ladder as ``operators/dedup._spill_to_temp_parquet`` — executors do
+    the writing, so on a multi-node cluster the root MUST be storage
+    every executor AND the driver can reach:
+
+    1. ``SPARK_GRAFT_VALIDATED_DIR`` (explicit override — sweeps/tests),
+    2. ``spark.burla.spillDir`` (session conf; a bucket / shared-FS
+       path on a real cluster),
+    3. the session's checkpoint dir (already required to be shared),
+    4. local*-mode only (incl. local-cluster — several JVMs, one
+       machine): a per-user home-dir cache (``~/.burla_spark/validated``
+       — NOT a predictable world-writable /tmp path another local user
+       could pre-seed with a forged ``_VALIDATED`` marker; same
+       placement as jobs.DEFAULT_JOURNAL_DIR),
+    5. non-local master with no shared dir: refuse rather than serve a
+       driver-local path executors can't see."""
+    env = os.environ.get("SPARK_GRAFT_VALIDATED_DIR")
+    if env:
+        return env
+    if spill_dir:
+        return f"{spill_dir.rstrip('/')}/burla_spark_validated"
+    if checkpoint_dir:
+        return f"{checkpoint_dir.rstrip('/')}/burla_spark_validated"
+    if master.startswith("local"):
+        return os.path.expanduser("~/.burla_spark/validated")
+    raise RuntimeError(
+        "validated-fixture cache requires shared storage on a cluster: "
+        "set spark.burla.spillDir (or a checkpoint dir, or "
+        "SPARK_GRAFT_VALIDATED_DIR) to a path all executors can reach"
+    )
+
+
+def _validated_root(spark: SparkSession) -> str:
+    return _resolve_validated_root(
+        spark.conf.get("spark.master", ""),
+        spark.conf.get("spark.burla.spillDir", None),
+        spark.sparkContext.getCheckpointDir(),
     )
 
 
@@ -187,14 +224,38 @@ def _readside_gate() -> bool:
 
 def _fixture_key(sf_dir: str, name: str) -> str:
     """Cache key for one table's validated copy: source path + file
-    stats, so a regenerated (sweep-degraded) fixture re-validates."""
+    stats, so a regenerated (sweep-degraded) fixture re-validates.
+    Directory-shaped fixtures fold every contained file's (relpath,
+    size, mtime) into the key — a part-file rewritten in place changes
+    the key even when the directory's own stat doesn't (ADVICE r10)."""
     import hashlib
 
     path = table_path(sf_dir, name)
-    st = os.stat(path)
-    return hashlib.sha256(
-        f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:20]
+    h = hashlib.sha256(os.path.abspath(path).encode())
+    if os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                rel = os.path.relpath(fp, path)
+                h.update(f"|{rel}|{st.st_mtime_ns}|{st.st_size}".encode())
+    else:
+        st = os.stat(path)
+        h.update(f"|{st.st_mtime_ns}|{st.st_size}".encode())
+    return h.hexdigest()[:20]
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for ``path_str`` under the session's Hadoop
+    conf — the view the EXECUTORS write through, which on a real
+    cluster is not the driver's local POSIX filesystem."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+_VALIDATED_MARKER = "_VALIDATED"
 
 
 def validated_table_path(spark: SparkSession, sf_dir: str, name: str) -> str:
@@ -203,24 +264,45 @@ def validated_table_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     is the ingest-domain projection materialized — at 100 TB this is
     the ingest pipeline's validation stage writing the curated layer,
     so analytical scans get parquet min/max pruning and PushedFilters
-    on measure columns instead of re-deriving the gate per query."""
-    import shutil
+    on measure columns instead of re-deriving the gate per query.
 
-    dest = os.path.join(
-        _validated_root(), _fixture_key(sf_dir, name), f"{name}.parquet"
+    Existence checks and the publish go through the Hadoop FileSystem
+    (the filesystem Spark actually wrote to), not ``os.path`` — on a
+    cluster the two views diverge. Publish protocol: write to a unique
+    tmp dir, move it into place, then create an explicit
+    ``_VALIDATED`` marker LAST; readers key on the marker, so they see
+    absent-or-complete even where the move is a non-atomic object-store
+    copy (rename would also be impossible there via os.rename)."""
+    import time
+    import uuid
+
+    dest = "/".join(
+        (_validated_root(spark), _fixture_key(sf_dir, name), f"{name}.parquet")
     )
-    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+    fs, dest_path = _hadoop_fs(spark, dest)
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(f"{dest}/{_VALIDATED_MARKER}")
+    if fs.exists(marker):
         return dest
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = normalize_events_ts(df)
     df = _apply_ingest_domains(df, name)
-    tmp = f"{dest}.tmp-{os.getpid()}"
+    tmp = f"{dest}.tmp-{uuid.uuid4().hex[:12]}"
     df.write.mode("overwrite").parquet(tmp)
-    try:
-        os.rename(tmp, dest)  # atomic: readers see absent or complete
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.mkdirs(dest_path.getParent())
+    if fs.rename(tmp_path, dest_path):
+        fs.create(marker, True).close()  # marker last: publish complete
+    else:
+        # a concurrent validator won the move — drop our copy and wait
+        # briefly for the winner's marker (its write is already done;
+        # only the marker create can still be in flight).
+        fs.delete(tmp_path, True)
+        for _ in range(100):
+            if fs.exists(marker):
+                break
+            time.sleep(0.1)
     return dest
 
 

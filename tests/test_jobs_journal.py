@@ -253,6 +253,31 @@ def test_stale_heartbeat_reports_dead_driver(spark, journal_dir):
         jobs.fetch_results(spark, "burla-job-orphan")
 
 
+def test_process_detached_handle_surfaces_orphan(spark, journal_dir):
+    """ADVICE r10: a SIGKILLed runner leaves status='running' forever —
+    the handle must detect the stale heartbeat and surface 'orphaned'
+    (done() true, result() raises pointing at redrive) instead of
+    polling a dead job indefinitely."""
+    jobs.journal_start(spark, "burla-job-killed", n_inputs=4)
+    path = os.path.join(journal_dir, "burla-job-killed", "manifest.json")
+    with open(path) as fh:
+        doc = json.load(fh)
+    doc["heartbeat_at"] = doc["started_at"] = doc["heartbeat_at"] - 3600
+    with open(path, "w") as fh:
+        json.dump(doc, fh)
+    h = jobs.ProcessDetachedJob(spark, "burla-job-killed", journal_dir=journal_dir)
+    assert h.status() == "orphaned"
+    assert h.done(), "orphaned job must not read as still-running"
+    # result() must terminate (no infinite poll) and point at redrive
+    with pytest.raises(RuntimeError, match="redrive"):
+        h.result(timeout=None)
+    # a LIVE running job (fresh heartbeat) still reads 'running'
+    jobs.journal_start(spark, "burla-job-live", n_inputs=4)
+    live = jobs.ProcessDetachedJob(spark, "burla-job-live", journal_dir=journal_dir)
+    assert live.status() == "running"
+    assert not live.done()
+
+
 def test_cross_process_cancel_inflight_job(spark, journal_dir):
     """Reference A23 dashboard cancel, cross-process: another process
     flags a running detached job via the journal; the submitting

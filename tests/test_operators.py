@@ -250,6 +250,39 @@ def test_multimodal_pipeline(spark):
     assert all(r.out_w == 32 and len(r.resized) <= 32 * 32 // 8 for r in resized)
 
 
+def test_text_payload_with_image_magic_skips_header_parse(spark):
+    """ADVICE r10: a text/plain payload that happens to START with an
+    ASCII image magic ('BM', 'GIF87a' — both legal text) must get the
+    deterministic byte-derived dims (16 + byte % 64), never the image
+    header parser's width/height — the oracle replays byte arithmetic
+    for text and would diverge on header-parsed values."""
+    texts = [
+        "BM" + "x" * 40,  # BMP magic + >=26 bytes
+        "GIF87a loves text",  # GIF magic
+        "GIF89a also text",
+        "plain text control",
+    ]
+    df = spark.createDataFrame(
+        [(i, t.encode()) for i, t in enumerate(texts)],
+        "blob_id long, payload binary",
+    )
+    feats = mm.extract_features(
+        mm.attach_blob_metadata(df, "payload", "text/plain")
+    ).collect()
+    for r, t in zip(sorted(feats, key=lambda r: r.blob_id), texts):
+        b = t.encode()
+        assert (r.width, r.height) == (16 + b[0] % 64, 16 + b[1] % 64), (
+            f"text payload {t[:10]!r} was header-parsed as an image"
+        )
+    # and an undeclared (no blob_meta) BMP payload still header-parses
+    from burla_spark.operators.imagecodec import image_dims
+
+    bmp_like = texts[0].encode()
+    if image_dims(bmp_like) is not None:
+        raw = mm.extract_features(df.filter("blob_id = 0")).collect()[0]
+        assert (raw.width, raw.height) == image_dims(bmp_like)
+
+
 def test_connected_components_vs_union_find(spark, sf_dir):
     """Label propagation must equal a driver-side union-find on the
     same edges (transitive closure: A~B, B~C ⇒ A,C share a component

@@ -142,13 +142,41 @@ BROADCAST_FACT_OK: dict[str, str] = {
     "q11_important_stock": "1-row global threshold aggregate",
     "q15_top_supplier": "1-row max(total_revenue) aggregate",
     "q22_idle_customers": "1-row global avg(acctbal) aggregate",
+    # bounded by the grouping key, not the fact table: TPC-H has a
+    # FIXED set of 5 order priorities at every scale factor, so the
+    # broadcast side is <=5 rows at 100 TB. (Surfaced when the round-11
+    # detector fix stopped auto-accepting grouped aggregates.)
+    "feature_zscore": "per-o_orderpriority moments — 5 groups at any SF",
+    "target_encoding_loo": "per-o_orderpriority sums — 5 groups at any SF",
+    "winsorize_quantity_stats": (
+        "per-l_linestatus percentile bands — l_linestatus has a fixed "
+        "2-value domain (O/F) at any SF"
+    ),
 }
 
 _HINT_RE = re.compile(r"ResolvedHint \(strategy=broadcast\)")
 _FACT_COL_RE = re.compile(
     r"\b(c_custkey|p_partkey|s_suppkey|o_orderkey|l_orderkey)#\d+"
 )
-_ROW1_AGG_RE = re.compile(r"^Aggregate \[[a-z]")  # groupBy-less aggregate
+def _is_global_aggregate(content: str) -> bool:
+    """True only for a groupBy-LESS Aggregate node. Grouped aggregates
+    print as ``Aggregate [keys...], [outputs...]`` — two top-level
+    bracket lists — while a 1-row global aggregate prints a single
+    list. A prefix regex can't tell them apart (both start
+    ``Aggregate [<lowercase>``), so bracket-match the first list and
+    check whether a second follows."""
+    if not content.startswith("Aggregate ["):
+        return False
+    depth = 0
+    for i in range(len("Aggregate "), len(content)):
+        c = content[i]
+        if c == "[":
+            depth += 1
+        elif c == "]":
+            depth -= 1
+            if depth == 0:
+                return not content[i + 1:].lstrip().startswith(", [")
+    return False  # unbalanced line — treat as not bounding
 
 
 def _content_start(line: str) -> int:
@@ -178,7 +206,7 @@ def _broadcast_fact_hints(plan: str) -> list[str]:
             # a groupBy-less Aggregate anywhere under the hint bounds
             # the broadcast side to one row regardless of fact size
             bounded = any(
-                _ROW1_AGG_RE.match(s[_content_start(s):]) for s in sub
+                _is_global_aggregate(s[_content_start(s):]) for s in sub
             )
             if not bounded:
                 bad.append(subtree[:400])
@@ -203,6 +231,29 @@ def test_no_fact_scaled_broadcast_hints(spec, spark, sf_dir):
             "Drop the hint (AQE auto-broadcasts small sides) or add a "
             "bounded-by-construction BROADCAST_FACT_OK entry."
         )
+
+
+def test_global_aggregate_detector_rejects_grouped():
+    """ADVICE r10: the old prefix regex (^Aggregate \\[[a-z]) matched
+    GROUPED aggregates too, so a broadcast hint over a fact-keyed
+    groupBy — fact-cardinality at 100 TB, the exact OOM the rule
+    targets — was silently auto-accepted as '1-row bounded'."""
+    assert _is_global_aggregate("Aggregate [sum(l_quantity#3) AS s#9]")
+    assert _is_global_aggregate(
+        "Aggregate [max(total_revenue#12) AS max(total_revenue)#30]"
+    )
+    # the exploit: grouped aggregate, fact-cardinality output
+    assert not _is_global_aggregate(
+        "Aggregate [l_partkey#1L], [l_partkey#1L, sum(l_quantity#3) AS s#9]"
+    )
+    assert not _is_global_aggregate(
+        "Aggregate [c_custkey#0, c_name#1], [c_custkey#0, count(1) AS n#8L]"
+    )
+    # nested brackets inside the grouping list must not fool the matcher
+    assert not _is_global_aggregate(
+        "Aggregate [coalesce(a#1, b[0]#2)], [coalesce(a#1, b[0]#2), count(1) AS n#9L]"
+    )
+    assert not _is_global_aggregate("Project [a#1]")
 
 
 def test_driver_priority_names_resolve():
