@@ -212,6 +212,29 @@ def minhash_signature_udf(num_hashes: int = 32):
     return fold
 
 
+MINHASH_AFFINE_P = 4294967311  # smallest prime > 2^32
+
+
+def _affine_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Seeded (a, b) pairs for the universal-hash permutations
+    h_j(x) = (a_j·x + b_j) mod P over 32-bit md5 shingle hashes.
+    a < 2^30 keeps a·x < 2^62 — exact BIGINT in both engines."""
+    import random
+
+    rng = random.Random(7)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, MINHASH_AFFINE_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def md5_32bit_hash(col):
+    """32-bit integer hash from the first 8 hex chars of md5 — the
+    shingle-hash half of the replayable ``md5_affine`` MinHash family
+    (DuckDB: ('0x' || substr(md5(s), 1, 8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -221,6 +244,7 @@ def minhash_lsh_pairs(
     shingle_size: int = 5,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, exact-Jaccard verified.
 
@@ -257,10 +281,6 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
 
-    # shingle → hash-to-long once; signatures, banding and the exact-
-    # Jaccard verification all work on the long arrays (collision odds
-    # ~2^-64 per pair — immaterial for dedup).
-    fold = minhash_signature_udf(num_hashes)
     # NULL text carries no content to dedup and would crash the numpy
     # signature fold (len(None)); exclude it up front.
     df = df.filter(F.col(text_col).isNotNull())
@@ -268,18 +288,62 @@ def minhash_lsh_pairs(
     # when the source is a single small file (a TB-scale scan arrives
     # pre-partitioned; a fixture file does not).
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    sigs = (
-        df.repartition(n_parts, F.col(id_col))
-        .select(
-            F.col(id_col).alias("doc_id"),
-            char_shingles(F.col(text_col), shingle_size).alias("shingles"),
+    shingled = df.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        char_shingles(F.col(text_col), shingle_size).alias("shingles"),
+    )
+    if hash_family == "md5_affine":
+        # Driver-adjudication family (round 11): 32-bit md5 shingle
+        # hashes × seeded affine permutations — exact BIGINT arithmetic
+        # DuckDB replays bit-for-bit (oracle generated by
+        # plans/llm.minhash_pairs_sql from the SAME coefficients). The
+        # distinct runs AFTER hashing so 32-bit collision semantics are
+        # identical in engine and oracle. Signatures come from one
+        # explode + 32 map-side-partial MIN aggregates — no Python.
+        coeffs = _affine_coeffs(num_hashes)
+        hashed = shingled.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform("shingles", md5_32bit_hash)
+            ).alias("shingles"),
         )
-        .select(
+        sig_mins = (
+            hashed.select("doc_id", F.explode("shingles").alias("__x"))
+            .groupBy("doc_id")
+            .agg(
+                *[
+                    F.min(
+                        (F.lit(a) * F.col("__x") + F.lit(b))
+                        % F.lit(MINHASH_AFFINE_P)
+                    ).alias(f"__s{j}")
+                    for j, (a, b) in enumerate(coeffs)
+                ]
+            )
+        )
+        sigs = hashed.join(sig_mins, "doc_id").select(
+            "doc_id",
+            "shingles",
+            F.array(*[F.col(f"__s{j}") for j in range(num_hashes)]).alias("sig"),
+        )
+
+        def band_key(cols):  # replayable: plain string concat
+            return F.concat_ws("_", *[c.cast("string") for c in cols])
+
+    elif hash_family == "xxhash64":
+        # shingle → hash-to-long once; signatures, banding and the
+        # exact-Jaccard verification all work on the long arrays
+        # (collision odds ~2^-64 per pair — immaterial for dedup).
+        fold = minhash_signature_udf(num_hashes)
+        sigs = shingled.select(
             "doc_id",
             F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
-        )
-        .withColumn("sig", fold(F.col("shingles")))
-    )
+        ).withColumn("sig", fold(F.col("shingles")))
+
+        def band_key(cols):
+            return F.xxhash64(*cols)
+
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     # sigs feeds three plan branches (banding + both verify join-backs);
     # persist so shingling/signatures compute once. At petabyte scale
     # the same role is played by checkpointing sigs to a table.
@@ -289,8 +353,8 @@ def minhash_lsh_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    *[F.col("sig")[b * r + i] for i in range(r)]
+                band_key(
+                    [F.col("sig")[b * r + i] for i in range(r)]
                 ).alias("band_key"),
             )
             for b in range(bands)
@@ -452,19 +516,45 @@ def _simhash_fold_udf():
     return fold
 
 
-def simhash_collision_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def md5_60bit_hash(col):
+    """60-bit integer hash from the first 15 hex chars of md5 —
+    bit-identical in Spark (conv) and DuckDB (('0x'||substr)::BIGINT),
+    the replayable hash family every deterministic-mode sketch uses
+    (proven by the plans/ann_oracle.py companions since round 7)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash_collision_groups(
+    df: DataFrame, id_col: str, text_col: str, token_hash: str = "xxhash64"
+) -> DataFrame:
     """Docs sharing an identical 64-bit SimHash (hamming distance 0).
-    Output: one row per signature with >1 member."""
+    Output: one row per signature with >1 member.
+
+    ``token_hash`` selects the hash family feeding the vote/fold:
+    * ``"xxhash64"`` (default) — Spark's JVM xxhash64: fastest, but not
+      replayable by an external SQL oracle;
+    * ``"md5_60"`` — 60-bit md5-derived hashes (driver-adjudication
+      mode): bit-identical in DuckDB, so the WHOLE operator is
+      oracle-exact. Bits 60..63 never vote (always 0) — signatures use
+      60 effective bits; collision semantics are unchanged. The fold,
+      grouping, and output contract are byte-for-byte the same code
+      path for both families."""
     from burla_spark.operators.text import tokens
 
     fold = _simhash_fold_udf()
+    if token_hash == "md5_60":
+        hash_one = md5_60bit_hash
+    elif token_hash == "xxhash64":
+        hash_one = F.xxhash64
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     # NULL text → no signature (and len(None) crashes the numpy fold)
     df = df.filter(F.col(text_col).isNotNull())
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     df = df.repartition(n_parts, F.col(id_col))
     sigs = df.select(
         F.col(id_col),
-        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__h"),
+        F.transform(tokens(F.col(text_col)), lambda t: hash_one(t)).alias("__h"),
     ).select(
         F.col(id_col),
         fold(F.col("__h")).alias("simhash"),

@@ -372,6 +372,15 @@ def _sized_output(assigned: DataFrame, known_n: int | None) -> DataFrame:
     return assigned
 
 
+def _stable_argmin(scores: np.ndarray) -> np.ndarray:
+    """Row-wise argmin on 6-dp-ROUNDED scores — np.argmin's first-wins
+    breaks rounded ties to the smaller index, exactly the
+    (ROUND(score, 6), id ASC) rule the SQL oracles use, so assignments
+    are stable across engines and float accumulation orders (the same
+    ULP discipline as plans/ann_oracle.py's Catalyst argmins)."""
+    return np.argmin(np.round(scores, 6), axis=1)
+
+
 def build_ivf_index(
     corpus: DataFrame,
     corpus_id: str,
@@ -380,6 +389,7 @@ def build_ivf_index(
     seed: int = 42,
     max_iter: int = 8,
     fit_sample_rows: int = 100_000,
+    centroids: "list[list[float]] | None" = None,
 ) -> IvfIndex:
     """Fit the IVF routing structure and materialize the inverted file.
 
@@ -394,34 +404,45 @@ def build_ivf_index(
     numpy matmul per Arrow batch) and the inverted file is spilled to
     a session-temp parquet (the local twin of writing the index to a
     table), so nothing stays pinned and later queries read the
-    assignment instead of recomputing it."""
+    assignment instead of recomputing it.
+
+    ``centroids`` (driver-adjudication mode, round 11) skips the fit
+    and pins the routing structure to caller-supplied vectors (in
+    NORMALIZED space, like the fit's output) — with pinned centroids
+    every downstream stage is deterministic and SQL-replayable."""
     from burla_spark.operators.dedup import _spill_to_temp_parquet
 
     c = corpus.filter(F.col(corpus_vec).isNotNull()).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cvec"),
     )
-    sample, known_n = _fit_sample(c, fit_sample_rows, n_clusters * 10, seed)
-    if sample is None:
-        # empty corpus → empty index (queries then return zero rows)
-        empty = c.withColumn("__cell", F.lit(0).cast("int"))
-        return IvfIndex([], empty)
-    n_clusters = max(1, min(n_clusters, sample.shape[0]))
-    centers = _lloyds(sample, n_clusters, seed, max_iter)
+    if centroids is not None:
+        centers = np.array(centroids, dtype=np.float64)
+        known_n = None
+    else:
+        sample, known_n = _fit_sample(c, fit_sample_rows, n_clusters * 10, seed)
+        if sample is None:
+            # empty corpus → empty index (queries then return zero rows)
+            empty = c.withColumn("__cell", F.lit(0).cast("int"))
+            return IvfIndex([], empty)
+        n_clusters = max(1, min(n_clusters, sample.shape[0]))
+        centers = _lloyds(sample, n_clusters, seed, max_iter)
     c2 = np.sum(centers * centers, axis=1)
 
     # Assignment kernel: argmin(|c|² - 2 x·c) as one numpy matmul per
     # Arrow batch against the closure-shipped k × dim centroid block.
     # Measured against a JVM expression-tree variant (unrolled literal
     # folds): the matmul wins ~1.5× even at k=16, dim=64 — this is the
-    # canonical vectorized-Python-beats-expressions kernel.
+    # canonical vectorized-Python-beats-expressions kernel. The argmin
+    # runs on rounded scores (_stable_argmin) so cell membership is
+    # partition- and engine-stable.
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
     def cell_of(vecs: pd.Series) -> pd.Series:
         block = _norm_rows(np.array(vecs.to_list(), dtype=np.float64))
         return pd.Series(
-            np.argmin(c2[None, :] - 2.0 * (block @ centers.T), axis=1).astype(
+            _stable_argmin(c2[None, :] - 2.0 * (block @ centers.T)).astype(
                 np.int32
             )
         )
@@ -481,7 +502,11 @@ def ivf_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")
     ).withColumn("__qnorm", _normed(F.col("__qvec")))
-    probe_w = Window.partitionBy("query_id").orderBy(F.desc("__cdot"), F.asc("__cell"))
+    # probe ranking on the ROUNDED centroid dot (6 dp, cell-id tiebreak)
+    # — the same engine-stability discipline as the assignment argmin
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("__cdot"), 6)), F.asc("__cell")
+    )
     probes = (
         q.crossJoin(F.broadcast(centroids))
         .withColumn(
@@ -540,6 +565,7 @@ def build_pq_index(
     seed: int = 42,
     max_iter: int = 8,
     fit_sample_rows: int = 100_000,
+    codebooks: "np.ndarray | None" = None,
 ) -> PqIndex:
     """Fit per-subspace codebooks and encode the corpus.
 
@@ -559,21 +585,27 @@ def build_pq_index(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cvec"),
     )
-    sample, known_n = _fit_sample(c, fit_sample_rows, n_codes * 10, seed)
-    if sample is None:
-        empty = c.withColumn(
-            "__code", F.array().cast("array<smallint>")
-        ).select("neighbor_id", "__code")
-        return PqIndex(np.zeros((n_subspaces, 1, dsub)), empty)
-    n_codes = max(1, min(n_codes, sample.shape[0]))
-    books = np.stack(
-        [
-            _lloyds(
-                sample[:, m * dsub : (m + 1) * dsub], n_codes, seed + m, max_iter
-            )
-            for m in range(n_subspaces)
-        ]
-    )  # m × ksub × dsub
+    if codebooks is not None:
+        # driver-adjudication mode (round 11): caller-pinned codebooks
+        # (normalized space) — the k-means fit was the one non-SQL stage
+        books = np.array(codebooks, dtype=np.float64)
+        known_n = None
+    else:
+        sample, known_n = _fit_sample(c, fit_sample_rows, n_codes * 10, seed)
+        if sample is None:
+            empty = c.withColumn(
+                "__code", F.array().cast("array<smallint>")
+            ).select("neighbor_id", "__code")
+            return PqIndex(np.zeros((n_subspaces, 1, dsub)), empty)
+        n_codes = max(1, min(n_codes, sample.shape[0]))
+        books = np.stack(
+            [
+                _lloyds(
+                    sample[:, m * dsub : (m + 1) * dsub], n_codes, seed + m, max_iter
+                )
+                for m in range(n_subspaces)
+            ]
+        )  # m × ksub × dsub
     b2 = np.sum(books * books, axis=2)  # m × ksub
 
     from pyspark.sql.functions import pandas_udf
@@ -584,8 +616,8 @@ def build_pq_index(
         codes = np.empty((len(block), n_subspaces), dtype=np.int16)
         for m in range(n_subspaces):
             sub = block[:, m * dsub : (m + 1) * dsub]
-            codes[:, m] = np.argmin(
-                b2[m][None, :] - 2.0 * (sub @ books[m].T), axis=1
+            codes[:, m] = _stable_argmin(
+                b2[m][None, :] - 2.0 * (sub @ books[m].T)
             )
         return pd.Series(list(codes))
 
@@ -668,7 +700,11 @@ def pq_topk(
             ).alias("__adc"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("__adc"), F.asc("neighbor_id"))
+    # candidate cut on the ROUNDED ADC (6 dp, id tiebreak): the cut at
+    # refine·k must select the same survivors in any engine/partitioning
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("__adc"), 6)), F.asc("neighbor_id")
+    )
     candidates = (
         adc.withColumn("__adc_rank", F.row_number().over(w))
         .filter(F.col("__adc_rank") <= refine * k)
@@ -720,6 +756,8 @@ def build_ivfpq_index(
     seed: int = 42,
     max_iter: int = 8,
     fit_sample_rows: int = 100_000,
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
 ) -> IvfPqIndex:
     """Fit coarse centroids, then PQ codebooks on the RESIDUALS
     (vector minus its assigned centroid — residuals are what remains
@@ -739,30 +777,38 @@ def build_ivfpq_index(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cvec"),
     )
-    sample, known_n = _fit_sample(c, fit_sample_rows, n_cells * 10, seed)
-    if sample is None:
-        empty = c.select(
-            "neighbor_id",
-            F.lit(0).cast("int").alias("__cell"),
-            F.array().cast("array<smallint>").alias("__code"),
-        )
-        return IvfPqIndex(
-            np.zeros((1, dim)), np.zeros((n_subspaces, 1, dsub)), empty
-        )
-    n_cells = max(1, min(n_cells, sample.shape[0]))
-    centers = _lloyds(sample, n_cells, seed, max_iter)
-    c2 = np.sum(centers * centers, axis=1)
-    assign = np.argmin(c2[None, :] - 2.0 * (sample @ centers.T), axis=1)
-    residuals = sample - centers[assign]
-    n_codes = max(1, min(n_codes, sample.shape[0]))
-    books = np.stack(
-        [
-            _lloyds(
-                residuals[:, m * dsub : (m + 1) * dsub], n_codes, seed + m, max_iter
+    if centroids is not None and codebooks is not None:
+        # driver-adjudication mode (round 11): both fits pinned — the
+        # assignment/encode/probe/ADC machinery is then SQL-replayable
+        centers = np.array(centroids, dtype=np.float64)
+        books = np.array(codebooks, dtype=np.float64)
+        c2 = np.sum(centers * centers, axis=1)
+        known_n = None
+    else:
+        sample, known_n = _fit_sample(c, fit_sample_rows, n_cells * 10, seed)
+        if sample is None:
+            empty = c.select(
+                "neighbor_id",
+                F.lit(0).cast("int").alias("__cell"),
+                F.array().cast("array<smallint>").alias("__code"),
             )
-            for m in range(n_subspaces)
-        ]
-    )
+            return IvfPqIndex(
+                np.zeros((1, dim)), np.zeros((n_subspaces, 1, dsub)), empty
+            )
+        n_cells = max(1, min(n_cells, sample.shape[0]))
+        centers = _lloyds(sample, n_cells, seed, max_iter)
+        c2 = np.sum(centers * centers, axis=1)
+        assign = _stable_argmin(c2[None, :] - 2.0 * (sample @ centers.T))
+        residuals = sample - centers[assign]
+        n_codes = max(1, min(n_codes, sample.shape[0]))
+        books = np.stack(
+            [
+                _lloyds(
+                    residuals[:, m * dsub : (m + 1) * dsub], n_codes, seed + m, max_iter
+                )
+                for m in range(n_subspaces)
+            ]
+        )
     b2 = np.sum(books * books, axis=2)  # m × ksub
 
     from pyspark.sql.functions import pandas_udf
@@ -770,13 +816,13 @@ def build_ivfpq_index(
     @pandas_udf("__cell int, __code array<smallint>")
     def encode(vecs: pd.Series) -> pd.DataFrame:
         block = _norm_rows(np.array(vecs.to_list(), dtype=np.float64))
-        cells = np.argmin(c2[None, :] - 2.0 * (block @ centers.T), axis=1)
+        cells = _stable_argmin(c2[None, :] - 2.0 * (block @ centers.T))
         res = block - centers[cells]
         codes = np.empty((len(block), n_subspaces), dtype=np.int16)
         for m in range(n_subspaces):
             sub = res[:, m * dsub : (m + 1) * dsub]
-            codes[:, m] = np.argmin(
-                b2[m][None, :] - 2.0 * (sub @ books[m].T), axis=1
+            codes[:, m] = _stable_argmin(
+                b2[m][None, :] - 2.0 * (sub @ books[m].T)
             )
         return pd.DataFrame(
             {"__cell": cells.astype(np.int32), "__code": list(codes)}
@@ -851,7 +897,7 @@ def ivfpq_topk(
         .withColumn("__lut", lut_of(F.col("__qvec")))
     )
     probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("__cdot"), F.asc("__cell")
+        F.desc(F.round(F.col("__cdot"), 6)), F.asc("__cell")
     )
     probes = (
         q.crossJoin(F.broadcast(centroid_rows))
@@ -887,7 +933,10 @@ def ivfpq_topk(
             ).alias("__adc"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("__adc"), F.asc("neighbor_id"))
+    # same rounded-ADC candidate-cut discipline as pq_topk
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("__adc"), 6)), F.asc("neighbor_id")
+    )
     candidates = (
         adc.withColumn("__adc_rank", F.row_number().over(w))
         .filter(F.col("__adc_rank") <= refine * k)

@@ -235,31 +235,151 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # drops nothing at sf0.01/sf0.1, and the function warns if a
         # future corpus changes that), and the cap keeps the band
         # self-join linear in corpus size (round-6 scaling harness).
+        # hash_family="md5_affine" (round 11): the driver-adjudication
+        # family — md5 shingle hashes × seeded affine permutations —
+        # which DuckDB replays exactly, so the whole MinHash pipeline
+        # (shingle → signature → band → cap → verify) is oracle-exact.
+        # The xxhash64 production family runs the identical pipeline
+        # code and keeps its recall property tests (test_dedup).
         df = dd.minhash_lsh_pairs(
             d, "doc_id", "text", num_hashes=32, bands=8, shingle_size=5,
-            threshold=0.5, max_bucket=128,
+            threshold=0.5, max_bucket=128, hash_family="md5_affine",
         )
         _MINHASH_PAIRS_CACHE[sf_dir] = df
     return df
 
 
 def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _minhash_pairs(spark, sf_dir)
+    return _minhash_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash pairs resolved into transitive duplicate clusters
     (min-label propagation): the step that picks one canonical doc per
     cluster even when A~B, B~C but A~C never became a candidate pair.
-    Rows-only check (edges come from xxhash64 MinHash); equivalence to
-    union-find is property-tested in tests/test_operators.py."""
+    ORACLE-EXACT since round 11: the md5_affine MinHash edges are
+    deterministic, so DuckDB recomputes the same closure with a
+    recursive CTE over the SAME generated pair CTEs (shared core —
+    engine and oracle cannot drift on the edge set). Equivalence to
+    union-find stays property-tested in tests/test_operators.py."""
     pairs = _minhash_pairs(spark, sf_dir)
-    return dd.dedup_component_groups(pairs).withColumn(
-        # stringify at the query edge: the driver canonicalizer sorts
-        # columns and cannot hash array cells (operator API keeps arrays)
-        "member_ids",
-        _ids_to_str("member_ids"),
+    return (
+        dd.dedup_component_groups(pairs)
+        .withColumn(
+            # stringify at the query edge: the driver canonicalizer sorts
+            # columns and cannot hash array cells (operator API keeps arrays)
+            "member_ids",
+            _ids_to_str("member_ids"),
+        )
+        .orderBy("keep_id")
     )
+
+
+def _minhash_core_ctes(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 5,
+    threshold: float = 0.5,
+    max_bucket: int = 128,
+) -> str:
+    """Shared CTE core replaying dd.minhash_lsh_pairs(md5_affine) up to
+    the verified pair set (``pairs``): md5-32bit shingle hashes, the
+    SAME seeded affine permutation coefficients (dedup._affine_coeffs),
+    banding by signature-slice concat, the >max_bucket band-bucket cap,
+    exact Jaccard verify over the hashed shingle SETS (distinct AFTER
+    hashing on both sides, so 32-bit collision semantics match)."""
+    from burla_spark.operators.dedup import MINHASH_AFFINE_P, _affine_coeffs
+
+    coeffs = _affine_coeffs(num_hashes)
+    r = num_hashes // bands
+    sig_exprs = ",\n         ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_AFFINE_P}) AS s{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band_id, CONCAT_WS('_', {cols}) AS band_key "
+        "FROM sig".format(
+            b=b, cols=", ".join(f"s{b * r + i}" for i in range(r))
+        )
+        for b in range(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(a.xs, b.xs)) AS DOUBLE)"
+        " / (CAST(len(a.xs) + len(b.xs) AS DOUBLE)"
+        " - len(list_intersect(a.xs, b.xs)))"
+    )
+    return f"""d AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN length(t) < {shingle_size} THEN [t]
+              ELSE list_distinct([substr(t, i, {shingle_size})
+                                  FOR i IN range(1, length(t) - {shingle_size - 2})])
+         END AS gs
+  FROM d
+),
+hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(gs,
+           s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS xs
+  FROM sh
+),
+ex AS (SELECT doc_id, UNNEST(xs) AS x FROM hs),
+sig AS (
+  SELECT doc_id,
+         {sig_exprs}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+capped AS (
+  SELECT doc_id, band_id, band_key FROM bands
+  QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_key) <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM capped l JOIN capped r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b, {jac} AS jaccard
+  FROM cand c
+  JOIN hs a ON a.doc_id = c.id_a
+  JOIN hs b ON b.doc_id = c.id_b
+  WHERE {jac} >= {threshold}
+)"""
+
+
+MINHASH_PAIRS_SQL = (
+    "WITH " + _minhash_core_ctes()
+    + "\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"
+)
+
+DEDUP_COMPONENTS_SQL = (
+    "WITH RECURSIVE " + _minhash_core_ctes()
+    + """,
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS component
+  FROM reach GROUP BY a
+)
+SELECT component AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       string_agg(CAST(node AS VARCHAR), chr(31) ORDER BY node) AS member_ids
+FROM comp GROUP BY component ORDER BY keep_id"""
+)
 
 
 # Exact-components cache: the closure over the exact pair set feeds
@@ -441,10 +561,47 @@ ORDER BY k.component
 
 
 def simhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash collision groups in driver-adjudication mode (round 11):
+    ``token_hash="md5_60"`` swaps the xxhash64 token bits for the
+    md5-derived 60-bit family DuckDB replays bit-identically (proven by
+    the simhash_md5_signatures companion since round 7), making the
+    WHOLE operator — votes, majority fold, bit packing, grouping —
+    oracle-exact instead of rows-only. The xxhash64 production default
+    runs through the identical fold code path and is property-tested in
+    tests/test_operators.py."""
     d = load_table(spark, sf_dir, "documents")
-    return dd.simhash_collision_groups(d, "doc_id", "text").withColumn(
-        "member_ids", _ids_to_str("member_ids")
+    return (
+        dd.simhash_collision_groups(d, "doc_id", "text", token_hash="md5_60")
+        .withColumn("member_ids", _ids_to_str("member_ids"))
+        .orderBy("simhash")
     )
+
+
+SIMHASH_GROUPS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(text), '\s+')) AS u(t)
+  WHERE text IS NOT NULL
+),
+votes AS (
+  SELECT doc_id, bit, SUM((h >> bit) & 1) AS ones, COUNT(*) AS n
+  FROM toks, UNNEST(generate_series(0, 59)) AS b(bit)
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN ones * 2 > n THEN (1::BIGINT << bit) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_id,
+       string_agg(CAST(doc_id AS VARCHAR), chr(31) ORDER BY doc_id)
+         AS member_ids
+FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
+ORDER BY simhash
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -483,14 +640,95 @@ FROM scored WHERE rank <= 10
 
 
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (LSH-bucketed) variant — the 100 TB path. No SQL
-    oracle (xxhash64 planes); recall vs brute force asserted in tests."""
-    e = load_table(spark, sf_dir, "embeddings")
+    """Approximate (LSH-bucketed) variant — the 100 TB path: candidates
+    share a (table, bucket) hyperplane-LSH key with the query in any of
+    8 independent plane sets, then exact cosine re-rank.
+
+    ORACLE-EXACT since round 11: the operator's hyperplanes were always
+    deterministic ±1 literals (similarity._plane_signs, seeded per
+    (table, plane) and embedded in the plan as literal arrays) — so the
+    oracle simply embeds the SAME 32 sign vectors as SQL literals and
+    replays bucketing + candidate join + re-rank bit-for-bit. No engine
+    change; the round-10 'no oracle (planes)' note was stale. NULL-id
+    vectors are excluded on both sides (a key needs an identity —
+    ann_oracle.load_vectors rationale). Recall vs brute force stays
+    property-tested in tests."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+    )
     q = e.filter(F.col("vec_id") < 5)
     return sim.lsh_bucketed_topk(
         q, e, "vec_id", "vec_id", "embedding", "embedding",
         k=10, num_planes=4, num_tables=8,
+    ).orderBy("query_id", "rank")
+
+
+def _lsh_topk_sql(num_planes: int = 4, num_tables: int = 8, dim: int = 64) -> str:
+    """Generate the DuckDB replay of lsh_bucketed_topk: the 32 plane
+    sign vectors are the operator's own literals (similarity._plane_signs
+    — part of the operator definition, not data), embedded as SQL list
+    literals; bucketing, the any-table candidate join, and the exact
+    cosine re-rank then follow the proven EMBEDDING_TOPK_SQL recipe."""
+    from burla_spark.operators.similarity import _plane_signs
+
+    rows = ",\n    ".join(
+        f"({t}, {1 << p}, "
+        + "["
+        + ",".join(str(int(s)) for s in _plane_signs(p, t, dim))
+        + "]::DOUBLE[])"
+        for t in range(num_tables)
+        for p in range(num_planes)
     )
+    return f"""
+WITH planes(tbl, w, signs) AS (
+  SELECT * FROM (VALUES
+    {rows}
+  ) AS v(tbl, w, signs)
+),
+i(i) AS (SELECT UNNEST(generate_series(1, {dim}))),
+dots AS (
+  SELECT v.vec_id, pl.tbl, pl.w,
+         SUM(CAST(v.embedding[i.i] AS DOUBLE) * pl.signs[i.i]) AS dot
+  FROM embeddings v, planes pl, i
+  WHERE v.vec_id IS NOT NULL AND v.embedding IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, tbl,
+         CAST(SUM(CASE WHEN dot > 0 THEN w ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c
+    ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+),
+p AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+    SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS qq,
+    SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS cc
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id, i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    dot / (SQRT(qq) * SQRT(cc)) AS raw_sim,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC,
+                                     neighbor_id) AS BIGINT) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, rank, ROUND(raw_sim, 6) AS sim
+FROM scored WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+EMBEDDING_LSH_TOPK_SQL = _lsh_topk_sql()
 
 
 # Session-lifetime IVF index cache: the fit + cell assignment is a
@@ -500,23 +738,130 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_INDEX_CACHE: dict[str, "sim.IvfIndex"] = {}
 
 
+def _pinned_norm_vectors(
+    spark: SparkSession, sf_dir: str, n: int
+) -> "np.ndarray":
+    """NORMALIZED embeddings of the n smallest non-null vec_ids — the
+    pinned 'trained' structures (IVF centroids, PQ codebooks) of the
+    driver-adjudication ANN specs. Deterministic, data-derived by a
+    rule DuckDB replays (ROW_NUMBER over vec_id), and living in the
+    same normalized space the production fits output."""
+    import numpy as np
+
+    from burla_spark.operators.similarity import _norm_rows
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    rows = e.orderBy("vec_id").limit(n).select("embedding").collect()
+    return _norm_rows(
+        np.array([[float(x) for x in r[0]] for r in rows], dtype=np.float64)
+    )
+
+
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (KMeans inverted-file) ANN variant — learned partitions
-    instead of LSH's random planes. No SQL oracle (centroids are
-    float-order dependent); recall vs brute force asserted in tests."""
+    """IVF (inverted-file) ANN variant — learned partitions instead of
+    LSH's random planes. ORACLE-EXACT since round 11 (driver-
+    adjudication mode): centroids are PINNED to the normalized first-16
+    vectors (the one non-SQL stage was the k-means fit — exactly the
+    kmeans companion's argument), and every downstream stage
+    (rounded-argmin cell assignment, rounded probe ranking, exact
+    cosine re-rank) is the production ivf_topk code, which DuckDB
+    replays. The trained path (build_ivf_index without ``centroids``)
+    stays the production default; recall vs brute force asserted in
+    tests."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     index = _IVF_INDEX_CACHE.get(sf_dir)
     # a cached index's inverted file is only valid in its own session
     if index is None or index.inverted.sparkSession is not spark:
         index = sim.build_ivf_index(
-            e, "vec_id", "embedding", n_clusters=16
+            e, "vec_id", "embedding", n_clusters=16,
+            centroids=[list(r) for r in _pinned_norm_vectors(spark, sf_dir, 16)],
         )
         _IVF_INDEX_CACHE[sf_dir] = index
     return sim.ivf_topk(
         q, None, "vec_id", "vec_id", "embedding", "embedding",
         k=10, n_probe=4, index=index,
-    )
+    ).orderBy("query_id", "rank")
+
+
+# Shared SQL fragments for the ANN driver-adjudication oracles: the
+# normalized-vector CTE and the pinned-centroid CTE (cell = rank of
+# vec_id among the 16 smallest) every IVF/PQ oracle builds on.
+_NV_CTE = """nv AS (
+  SELECT vec_id, embedding,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)
+      / CASE WHEN sqrt(list_sum(list_transform(embedding,
+               y -> CAST(y AS DOUBLE) * y))) = 0 THEN 1
+             ELSE sqrt(list_sum(list_transform(embedding,
+               y -> CAST(y AS DOUBLE) * y))) END) AS xhat
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+)"""
+
+_CENTS_CTE = """cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         xhat AS cvec,
+         list_sum(list_transform(xhat, x -> x * x)) AS c2
+  FROM nv WHERE vec_id IS NOT NULL
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16
+)"""
+
+_DOT64 = "list_sum([{a}[i] * {b}[i] FOR i IN range(1, 65)])"
+
+
+def _ivf_topk_sql() -> str:
+    score = "c.c2 - 2 * " + _DOT64.format(a="v.xhat", b="c.cvec")
+    qdot = _DOT64.format(a="q.xhat", b="c.cvec")
+    return f"""
+WITH {_NV_CTE},
+{_CENTS_CTE},
+assign AS (
+  SELECT v.vec_id, c.cell,
+         {score} AS score
+  FROM nv v, cents c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                             ORDER BY ROUND({score}, 6), c.cell) = 1
+),
+probes AS (
+  SELECT q.vec_id AS query_id, c.cell
+  FROM nv q, cents c
+  WHERE q.vec_id < 5
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                             ORDER BY ROUND({qdot}, 6) DESC, c.cell) <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE p.query_id <> a.vec_id
+),
+i(i) AS (SELECT UNNEST(generate_series(1, 64))),
+p AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+    SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS qq,
+    SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS cc
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id, i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    dot / (SQRT(qq) * SQRT(cc)) AS raw_sim,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC,
+                                     neighbor_id) AS BIGINT) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, rank, ROUND(raw_sim, 6) AS sim
+FROM scored WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+EMBEDDING_IVF_TOPK_SQL = _ivf_topk_sql()
 
 
 _PQ_INDEX_CACHE: dict[str, "sim.PqIndex"] = {}
@@ -525,20 +870,99 @@ _PQ_INDEX_CACHE: dict[str, "sim.PqIndex"] = {}
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN variant — compressed-domain ADC scan
     (codes are 8 smallints per vector instead of 64 floats) + exact
-    re-rank of the survivors. No SQL oracle (codebooks are float-order
-    dependent, like IVF centroids); recall vs brute force asserted in
-    tests. Same build-once/query-many contract as the IVF index."""
+    re-rank of the survivors. ORACLE-EXACT since round 11 (driver-
+    adjudication mode): codebooks are PINNED — codeword c of subspace m
+    is the m-th 8-dim slice of the c-th smallest-id normalized vector —
+    so encode (rounded argmin), the query LUT, the rounded-ADC
+    candidate cut, and the exact re-rank are all DuckDB replays through
+    the production pq_topk code. The trained fit stays the production
+    default; recall vs brute force asserted in tests. Same build-once/
+    query-many contract as the IVF index."""
+    import numpy as np
+
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     index = _PQ_INDEX_CACHE.get(sf_dir)
     # a cached index's code table is only valid in the session that built it
     if index is None or index.codes.sparkSession is not spark:
-        index = sim.build_pq_index(e, "vec_id", "embedding")
+        pinned = _pinned_norm_vectors(spark, sf_dir, 16)
+        books = np.stack([pinned[:, m * 8 : (m + 1) * 8] for m in range(8)])
+        index = sim.build_pq_index(e, "vec_id", "embedding", codebooks=books)
         _PQ_INDEX_CACHE[sf_dir] = index
     return sim.pq_topk(
         q, e, "vec_id", "vec_id", "embedding", "embedding",
         k=10, refine=4, index=index,
-    )
+    ).orderBy("query_id", "rank")
+
+
+def _pq_topk_sql() -> str:
+    sub_dot = "list_sum([{a}[b.m * 8 + s] * b.val[s] FOR s IN range(1, 9)])"
+    enc_score = "b.b2 - 2 * " + sub_dot.format(a="v.xhat")
+    return f"""
+WITH {_NV_CTE},
+pin AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+         xhat
+  FROM nv WHERE vec_id IS NOT NULL
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16
+),
+m(m) AS (SELECT UNNEST(generate_series(0, 7))),
+books AS (
+  SELECT m.m, pin.code,
+         [pin.xhat[m.m * 8 + s] FOR s IN range(1, 9)] AS val,
+         list_sum([pin.xhat[m.m * 8 + s] * pin.xhat[m.m * 8 + s]
+                   FOR s IN range(1, 9)]) AS b2
+  FROM pin, m
+),
+codes AS (
+  SELECT v.vec_id AS neighbor_id, b.m, b.code
+  FROM nv v, books b
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id, b.m
+                             ORDER BY ROUND({enc_score}, 6), b.code) = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, b.m, b.code,
+         {sub_dot.format(a="q.xhat")} AS pdot
+  FROM nv q, books b
+  WHERE q.vec_id < 5
+),
+adc AS (
+  SELECT l.query_id, c.neighbor_id, SUM(l.pdot) AS adc
+  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+  WHERE l.query_id <> c.neighbor_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM adc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY ROUND(adc, 6) DESC, neighbor_id) <= 40
+),
+i(i) AS (SELECT UNNEST(generate_series(1, 64))),
+p AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+    SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS qq,
+    SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS cc
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id, i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    dot / (SQRT(qq) * SQRT(cc)) AS raw_sim,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC,
+                                     neighbor_id) AS BIGINT) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, rank, ROUND(raw_sim, 6) AS sim
+FROM scored WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+EMBEDDING_PQ_TOPK_SQL = _pq_topk_sql()
 
 
 def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,9 +1341,16 @@ _NEARDUP_PAIRS_CACHE: dict[str, DataFrame] = {}
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (multi-table LSH + exact
-    verify) — rows-only (hash-bucketed candidates). Threshold 0.45 ≈
-    this fixture's near-dup band (its max pair cosine is ~0.51; real
-    corpora use 0.9+).
+    verify). Threshold 0.45 ≈ this fixture's near-dup band (its max
+    pair cosine is ~0.51; real corpora use 0.9+).
+
+    ORACLE-EXACT since round 11 (driver-adjudication mode): the plane
+    signs were always deterministic literals (similarity._plane_signs);
+    the one runtime-dependent knob — corpus-sized num_planes — is
+    PINNED to 5 (the auto rule's value at sf0.1) so the oracle can
+    embed the same 20 sign vectors and replay bucketing + candidate
+    join + exact verify bit-for-bit. The log-capacity auto-sizing rule
+    stays the operator default, exercised by scaling_bench.py.
 
     Build-once contract (same as the MinHash pairs table): the
     signature/self-join/verify pipeline is a per-corpus indexing job
@@ -933,12 +1364,72 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = load_table(spark, sf_dir, "embeddings")
         df = _spill_to_temp_parquet(
             sim.embedding_neardup_pairs(
-                e, "vec_id", "embedding", threshold=0.45, num_tables=4
+                e, "vec_id", "embedding", threshold=0.45,
+                num_planes=5, num_tables=4,
             ),
             "neardup_result",
         )
         _NEARDUP_PAIRS_CACHE[sf_dir] = df
-    return df
+    return df.orderBy("id_a", "id_b")
+
+
+def _neardup_sql(num_planes: int = 5, num_tables: int = 4, dim: int = 64) -> str:
+    """DuckDB replay of embedding_neardup: same literal plane signs,
+    any-table bucket-collision candidates (id_a < id_b), exact cosine
+    verify at the raw threshold, rounded output."""
+    from burla_spark.operators.similarity import _plane_signs
+
+    rows = ",\n    ".join(
+        f"({t}, {1 << p}, "
+        + "["
+        + ",".join(str(int(s)) for s in _plane_signs(p, t, dim))
+        + "]::DOUBLE[])"
+        for t in range(num_tables)
+        for p in range(num_planes)
+    )
+    return f"""
+WITH planes(tbl, w, signs) AS (
+  SELECT * FROM (VALUES
+    {rows}
+  ) AS v(tbl, w, signs)
+),
+i(i) AS (SELECT UNNEST(generate_series(1, {dim}))),
+dots AS (
+  SELECT v.vec_id, pl.tbl, pl.w,
+         SUM(CAST(v.embedding[i.i] AS DOUBLE) * pl.signs[i.i]) AS dot
+  FROM embeddings v, planes pl, i
+  WHERE v.embedding IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, tbl,
+         CAST(SUM(CASE WHEN dot > 0 THEN w ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+p AS (
+  SELECT cand.id_a, cand.id_b,
+    SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS dot,
+    SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)) AS aa,
+    SUM(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS bb
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.id_a
+  JOIN embeddings b ON b.vec_id = cand.id_b, i
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) AS sim
+FROM p WHERE dot / (SQRT(aa) * SQRT(bb)) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+EMBEDDING_NEARDUP_SQL = _neardup_sql()
 
 
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1183,10 +1674,31 @@ ORDER BY doc_id
 
 
 def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from burla_spark.operators.clustering import cluster_sizes, kmeans_assign
+    """K-means cluster occupancy in driver-adjudication mode (round 11):
+    deterministic Lloyd's — seeds = the 10 smallest-id vectors, exactly
+    3 (assign → mean-update) rounds, centroid means rounded to 6 dp per
+    round, ULP-stable argmin — so DuckDB replays the ENTIRE training
+    loop via a generated iteration unroll (the oracle string comes from
+    the same generator signature, kmeans_lloyd_fixed_sql). The MLlib
+    kmeans++ path stays the production operator (kmeans_assign),
+    quality-tested against label ground truth in tests."""
+    from burla_spark.operators.clustering import cluster_sizes, kmeans_lloyd_fixed
 
     e = load_table(spark, sf_dir, "embeddings")
-    return cluster_sizes(kmeans_assign(e, "vec_id", "embedding", k=10))
+    return cluster_sizes(
+        kmeans_lloyd_fixed(e, "vec_id", "embedding", k=10, n_iter=3)
+    )
+
+
+def _kmeans_sizes_sql() -> str:
+    from burla_spark.operators.clustering import kmeans_lloyd_fixed_sql
+
+    return kmeans_lloyd_fixed_sql(
+        "embeddings", "vec_id", "embedding", k=10, dim=64, n_iter=3
+    )
+
+
+KMEANS_SIZES_SQL = _kmeans_sizes_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1766,12 +2278,41 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("normalized_dedup_docs", normalized_dedup_docs, NORMALIZED_DEDUP_SQL, ("dedup",)),
     QuerySpec("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL, ("dedup",)),
-    QuerySpec("minhash_dedup_pairs", minhash_dedup_pairs, None, ("dedup", "lsh")),
-    QuerySpec("simhash_dedup_groups", simhash_dedup_groups, None, ("dedup", "lsh")),
+    QuerySpec(
+        "minhash_dedup_pairs", minhash_dedup_pairs, MINHASH_PAIRS_SQL,
+        ("dedup", "lsh"),
+        doc="MinHash-LSH verified near-dup pairs, md5_affine driver-"
+        "adjudication family (oracle-exact since round 11; xxhash64 "
+        "production family runs the identical pipeline code).",
+    ),
+    QuerySpec(
+        "simhash_dedup_groups", simhash_dedup_groups, SIMHASH_GROUPS_SQL,
+        ("dedup", "lsh"),
+        doc="SimHash collision groups, md5_60 driver-adjudication mode "
+        "(oracle-exact since round 11; xxhash64 production path "
+        "property-tested).",
+    ),
     QuerySpec("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_TOPK_SQL, ("similarity",)),
-    QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, ("similarity", "lsh")),
-    QuerySpec("embedding_ivf_topk", embedding_ivf_topk, None, ("similarity", "ivf")),
-    QuerySpec("embedding_pq_topk", embedding_pq_topk, None, ("similarity", "pq")),
+    QuerySpec(
+        "embedding_lsh_topk", embedding_lsh_topk, EMBEDDING_LSH_TOPK_SQL,
+        ("similarity", "lsh"),
+        doc="Hyperplane-LSH bucketed ANN top-k; oracle replays the "
+        "operator's literal plane signs (oracle-exact since round 11).",
+    ),
+    QuerySpec(
+        "embedding_ivf_topk", embedding_ivf_topk, EMBEDDING_IVF_TOPK_SQL,
+        ("similarity", "ivf"),
+        doc="IVF ANN top-k with pinned centroids (driver-adjudication "
+        "mode, oracle-exact since round 11; trained fit stays the "
+        "production default).",
+    ),
+    QuerySpec(
+        "embedding_pq_topk", embedding_pq_topk, EMBEDDING_PQ_TOPK_SQL,
+        ("similarity", "pq"),
+        doc="PQ/ADC ANN top-k with pinned codebooks (driver-adjudication "
+        "mode, oracle-exact since round 11; trained fit stays the "
+        "production default).",
+    ),
     QuerySpec(
         "embedding_ivfpq_topk", embedding_ivfpq_topk, None, ("similarity", "ivf", "pq"),
         doc="composed inverted-file + residual-PQ ANN (FAISS IndexIVFPQ shape)",
@@ -1781,8 +2322,12 @@ SPECS: list[QuerySpec] = [
         doc="maximal-marginal-relevance diversified retrieval (RAG rerank)",
     ),
     QuerySpec(
-        "dedup_components", dedup_components, None, ("dedup", "graph"),
-        doc="Transitive dedup-cluster resolution via min-label propagation.",
+        "dedup_components", dedup_components, DEDUP_COMPONENTS_SQL,
+        ("dedup", "graph"),
+        doc="Transitive dedup-cluster resolution via min-label "
+        "propagation over the md5_affine MinHash edges (oracle-exact "
+        "since round 11 — recursive-CTE closure over the shared pair "
+        "CTE core).",
     ),
     QuerySpec(
         "dedup_components_exact",
@@ -1811,7 +2356,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec("text_quality_scores", text_quality_scores, TEXT_QUALITY_SQL, ("text",)),
     QuerySpec("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL, ("text",)),
     QuerySpec("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINT_SQL, ("text",)),
-    QuerySpec("kmeans_cluster_sizes", kmeans_cluster_sizes, None, ("clustering",)),
+    QuerySpec(
+        "kmeans_cluster_sizes", kmeans_cluster_sizes, KMEANS_SIZES_SQL,
+        ("clustering",),
+        doc="Deterministic-Lloyd's cluster occupancy (oracle replays the "
+        "full 3-iteration training loop; oracle-exact since round 11). "
+        "MLlib kmeans++ stays the production path.",
+    ),
     QuerySpec(
         "multimodal_feature_extract",
         multimodal_feature_extract,
@@ -1841,7 +2392,13 @@ SPECS: list[QuerySpec] = [
         doc="Adjacent-symbol pair counting — the BPE vocabulary-"
         "induction kernel (alphabet²-bounded aggregate state).",
     ),
-    QuerySpec("embedding_neardup", embedding_neardup, None, ("similarity", "dedup", "lsh")),
+    QuerySpec(
+        "embedding_neardup", embedding_neardup, EMBEDDING_NEARDUP_SQL,
+        ("similarity", "dedup", "lsh"),
+        doc="LSH-bucketed embedding near-dup pairs; oracle replays the "
+        "operator's literal plane signs with num_planes pinned to 5 "
+        "(oracle-exact since round 11).",
+    ),
     QuerySpec("corpus_curation_pipeline", corpus_curation_pipeline, CORPUS_CURATION_SQL, ("text", "dedup", "pipeline")),
     QuerySpec(
         "sequence_packing",

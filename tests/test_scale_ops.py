@@ -8,15 +8,16 @@ from pyspark.sql import functions as F
 
 from burla_spark.plans.scale_ops import (
     hll_cardinality_sketch,
+    hll_native_cardinality_sketch,
     stratified_sample_stats,
 )
 from burla_spark.sources.tables import load_table
 
 
-def test_hll_estimates_within_5pct_of_exact(spark, sf_dir):
+def test_hll_native_estimates_within_5pct_of_exact(spark, sf_dir):
     est = {
         r.o_orderpriority: r.approx_customers
-        for r in hll_cardinality_sketch(spark, sf_dir).collect()
+        for r in hll_native_cardinality_sketch(spark, sf_dir).collect()
     }
     o = load_table(spark, sf_dir, "orders")
     exact = {
@@ -31,16 +32,73 @@ def test_hll_estimates_within_5pct_of_exact(spark, sf_dir):
         assert abs(est[k] - e) / e < 0.05, (k, est[k], e)
 
 
-def test_hll_all_row_comes_from_sketch_union(spark, sf_dir):
+def test_hll_native_all_row_comes_from_sketch_union(spark, sf_dir):
     # the ALL estimate must equal estimating a directly-built global
     # sketch — i.e. union of partial sketches loses nothing.
-    rows = hll_cardinality_sketch(spark, sf_dir).collect()
+    rows = hll_native_cardinality_sketch(spark, sf_dir).collect()
     all_row = [r for r in rows if r.o_orderpriority == "ALL"][0]
     direct = (
         load_table(spark, sf_dir, "orders")
         .agg(F.hll_sketch_estimate(F.hll_sketch_agg(F.col("o_custkey"), F.lit(14))))
         .collect()[0][0]
     )
+    assert all_row.approx_customers == direct
+
+
+def test_hll_md5_estimates_within_error_bound(spark, sf_dir):
+    """The oracle-exact md5-register HLL (m=64 registers) must estimate
+    within ~3 standard errors (3·1.04/√64 ≈ 39%) of exact — the
+    statistical guarantee the sketch advertises. Exactness of the
+    arithmetic itself is the driver oracle's job; this gates the
+    ESTIMATOR quality (alpha, linear-counting branch)."""
+    est = {
+        r.o_orderpriority: r.approx_customers
+        for r in hll_cardinality_sketch(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderpriority: r.exact
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("exact"))
+        .collect()
+    }
+    exact["ALL"] = o.select("o_custkey").distinct().count()
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) / e < 0.39, (k, est[k], e)
+
+
+def test_hll_md5_all_row_comes_from_register_union(spark, sf_dir):
+    """The ALL row must equal the estimate over a directly-built global
+    register table — register-MAX union loses nothing (mergeability)."""
+    from burla_spark.operators.dedup import md5_60bit_hash
+    from burla_spark.plans.scale_ops import (
+        _HLL_REM_BITS,
+        _hll_estimate,
+    )
+
+    rows = hll_cardinality_sketch(spark, sf_dir).collect()
+    all_row = [r for r in rows if r.o_orderpriority == "ALL"][0]
+    o = load_table(spark, sf_dir, "orders")
+    h = md5_60bit_hash(F.col("o_custkey").cast("string"))
+    rho = F.when(
+        h.bitwiseAND(F.lit((1 << _HLL_REM_BITS) - 1)) == 0,
+        F.lit(_HLL_REM_BITS + 1),
+    ).otherwise(
+        F.lit(_HLL_REM_BITS)
+        - F.length(F.bin(h.bitwiseAND(F.lit((1 << _HLL_REM_BITS) - 1))))
+        + 1
+    )
+    direct_regs = (
+        o.select(
+            F.lit("ALL").alias("g"),
+            F.shiftright(h, _HLL_REM_BITS).alias("register"),
+            rho.alias("rho"),
+        )
+        .groupBy("g", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    direct = _hll_estimate(direct_regs, "g").collect()[0]["approx_customers"]
     assert all_row.approx_customers == direct
 
 
