@@ -68,7 +68,11 @@ def cluster_sizes(assignments: DataFrame) -> DataFrame:
 # above stays the production path (kmeans++ init, convergence stop).
 # ---------------------------------------------------------------------------
 def _assign_literal_centroids(
-    df: DataFrame, id_col: str, vec_col: str, cents: list[tuple[int, list[float]]]
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment against LITERAL centroids: squared
     L2 on the ROUNDED (6 dp) distance, ties to the smaller cluster id —
@@ -99,9 +103,10 @@ def _assign_literal_centroids(
             ]
         )
     )
-    return df.select(
-        F.col(id_col), best["c"].alias("cluster"), best["d"].alias("d2")
-    )
+    cols = [F.col(id_col), best["c"].alias("cluster"), best["d"].alias("d2")]
+    if keep_vec:
+        cols.append(F.col(vec_col))
+    return df.select(*cols)
 
 
 def kmeans_lloyd_fixed(
@@ -114,32 +119,57 @@ def kmeans_lloyd_fixed(
     """Deterministic distributed Lloyd's: seeds = the k smallest-id
     vectors, exactly ``n_iter`` (assign → mean-update) rounds, final
     assignment against the last centroids. Cluster labels are the seed
-    ids. Centroid means round to 6 dp each round so both engines
-    re-synchronize per iteration; a cluster that loses all members is
-    dropped (no reseeding — determinism over quality; the production
-    path is MLlib ``kmeans_assign``).
+    ids. Returns (id, cluster, d2); see
+    :func:`kmeans_lloyd_fixed_centroids` for the training half (the
+    build-once artifact a caller can cache)."""
+    e = df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+    cents = kmeans_lloyd_fixed_centroids(df, id_col, vec_col, k, n_iter)
+    if not cents:
+        id_type = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, cluster long, d2 double"
+        )
+    return _assign_literal_centroids(e, id_col, vec_col, cents)
+
+
+def kmeans_lloyd_fixed_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iter: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """The TRAINING half of the deterministic Lloyd's: seeds = the k
+    smallest-id vectors, exactly ``n_iter`` (assign → mean-update)
+    rounds; returns the final (cluster_id, centroid) list — plain
+    driver-side data a caller can cache per corpus (training is a
+    build-once indexing job; only the final assignment belongs in the
+    query path). Centroid means round to 6 dp each round so engine and
+    oracle re-synchronize per iteration; a cluster that loses all
+    members is dropped (no reseeding — determinism over quality; the
+    production path is MLlib ``kmeans_assign``).
 
     100 TB shape: centroids ride the plan as literals (k·dim doubles);
     each round is ONE corpus scan + a k-row aggregate (per-dim avg with
     map-side partials — MLlib's own shape); the per-round driver read
     is k·dim doubles, the same bounded-probe contract as the BPE merge
-    loop. Returns (id, cluster, d2)."""
+    loop."""
     e = df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
     seeds = (
         e.orderBy(id_col).limit(k).select(F.col(id_col), F.col(vec_col)).collect()
     )
     if not seeds:
-        id_type = dict(df.dtypes)[id_col]
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} {id_type}, cluster long, d2 double"
-        )
+        return []
     dim = len(seeds[0][1])
     cents = [(int(r[0]), [float(x) for x in r[1]]) for r in seeds]
     for _ in range(n_iter):
-        assigned = _assign_literal_centroids(e, id_col, vec_col, cents)
+        # assignment is a pure projection — carry the vector through it
+        # so the mean-update is scan → map-side-partial agg, no join
+        assigned = _assign_literal_centroids(
+            e.select(id_col, vec_col), id_col, vec_col, cents, keep_vec=True
+        )
         rows = (
-            e.join(assigned.select(id_col, "cluster"), id_col)
-            .groupBy("cluster")
+            assigned.groupBy("cluster")
             .agg(
                 *[
                     F.round(F.avg(F.col(vec_col)[i].cast("double")), 6).alias(
@@ -153,7 +183,7 @@ def kmeans_lloyd_fixed(
         cents = sorted(
             (int(r["cluster"]), [r[f"c{i}"] for i in range(dim)]) for r in rows
         )
-    return _assign_literal_centroids(e, id_col, vec_col, cents)
+    return cents
 
 
 def kmeans_lloyd_fixed_sql(

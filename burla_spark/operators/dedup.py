@@ -301,29 +301,31 @@ def minhash_lsh_pairs(
         # identical in engine and oracle. Signatures come from one
         # explode + 32 map-side-partial MIN aggregates — no Python.
         coeffs = _affine_coeffs(num_hashes)
-        hashed = shingled.select(
+        # fully map-side: hash each distinct shingle once, then the 32
+        # per-permutation minima are array_min(transform(...)) folds
+        # over the hashed array — pure codegen'd projection, NO shuffle
+        # (the explode+groupBy form pays a corpus×shingles exchange for
+        # the same numbers).
+        def perm(a: int, b: int):
+            # closure factory: defaults-in-lambda would change the
+            # lambda's arity and break Spark's higher-order binding
+            return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(
+                MINHASH_AFFINE_P
+            )
+
+        sigs = shingled.select(
             "doc_id",
             F.array_distinct(
                 F.transform("shingles", md5_32bit_hash)
             ).alias("shingles"),
-        )
-        sig_mins = (
-            hashed.select("doc_id", F.explode("shingles").alias("__x"))
-            .groupBy("doc_id")
-            .agg(
+        ).withColumn(
+            "sig",
+            F.array(
                 *[
-                    F.min(
-                        (F.lit(a) * F.col("__x") + F.lit(b))
-                        % F.lit(MINHASH_AFFINE_P)
-                    ).alias(f"__s{j}")
-                    for j, (a, b) in enumerate(coeffs)
+                    F.array_min(F.transform("shingles", perm(a, b)))
+                    for a, b in coeffs
                 ]
-            )
-        )
-        sigs = hashed.join(sig_mins, "doc_id").select(
-            "doc_id",
-            "shingles",
-            F.array(*[F.col(f"__s{j}") for j in range(num_hashes)]).alias("sig"),
+            ),
         )
 
         def band_key(cols):  # replayable: plain string concat

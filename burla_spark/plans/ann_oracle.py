@@ -39,11 +39,13 @@ Round-7 additions close the two sketch gray zones the same way:
   the bias-corrected estimate is a driver-side function of these
   registers).
 
-Still irreducible (documented, pytest-verified against brute force):
-compression-ratio (zlib), IVF cell assignment (trained centroids —
-but its assignment MATH is exactly ``kmeans_assign_fixed_centroids``),
-and transitive ``dedup_components`` (whose algorithm is oracle-green
-via the exact variant ``dedup_components_exact``).
+Round 11 closed the ledger the companions were shrinking: every
+PRIMARY spec in the fuzzy family now registers a deterministic
+driver-adjudication mode with its own full oracle (plans/llm.py,
+plans/scale_ops.py), so these companions' role shifted from
+"only oracle coverage of the math" to regression anchors for the
+exact sub-stages. Still irreducible: compression-ratio (zlib — no SQL
+engine exposes it; property-gated via properties_report.py).
 """
 
 from __future__ import annotations

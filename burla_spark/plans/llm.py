@@ -1,8 +1,13 @@
 """LLM-training-data pipeline queries (SURVEY.md §2.C) over the
 documents / embeddings tables: dedup family, similarity search, text
-analysis. SQL-expressible ones carry an exact DuckDB oracle; the
-hash-based ones (MinHash/SimHash/LSH — xxhash64 has no DuckDB twin)
-are rows-only checked by the driver and property-tested in tests/.
+analysis. Every spec here carries an exact DuckDB oracle (round 11):
+the formerly rows-only hash/trained specs now register deterministic
+driver-adjudication modes — md5-family hashes, pinned planes/
+centroids/codebooks, generated iteration unrolls — while their
+xxhash64/trained production configurations keep the identical
+pipeline code and are property-gated (PROPERTIES_r{N}.json via
+properties_report.py). The one exception is compression_ratio_scores
+(zlib has no SQL twin — rows-only + property gate).
 """
 
 from __future__ import annotations
@@ -967,16 +972,100 @@ EMBEDDING_PQ_TOPK_SQL = _pq_topk_sql()
 
 def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance rerank of the retrieval pool — the
-    standard RAG diversity pass. Rows-only (greedy selection is not
-    SQL-expressible without a per-step recursive argmax); exactness is
-    tested via the lam=1 degeneration equaling cosine top-k, and
-    diversity via max-pairwise-sim reduction."""
+    standard RAG diversity pass. ORACLE-EXACT since round 11: the
+    greedy selection has no randomness at all — its only obstacle was
+    expressing a sequential argmax in SQL, which the generated
+    10-step CTE unroll (one sel/score/selall block per rank) does
+    directly, mirroring the operator's processing-order tiebreak
+    (rounded pool sim desc, id asc) and exact score arithmetic
+    (lam·rsim − (1−lam)·max-pairwise-sim with the same double
+    constants). The lam=1 degeneration and diversity-reduction
+    properties stay tested in pytest."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return sim.mmr_topk(
         q, e, "vec_id", "vec_id", "embedding", "embedding",
         k=10, pool=50, lam=0.7,
     )
+
+
+def _mmr_topk_sql(k: int = 10, pool: int = 50, lam: float = 0.7) -> str:
+    """DuckDB replay of mmr_topk: exact-cosine pool (raw-sim rank cut,
+    rounded sim payload — the cosine_topk recipe), pairwise
+    normalized-dot table, then one generated CTE block per greedy step.
+    Score constants are embedded via repr() so the doubles match the
+    operator's (1.0 - 0.7 is 0.30000000000000004, not 0.3)."""
+    a, b = repr(lam), repr(1.0 - lam)
+    score = f"CAST({a} AS DOUBLE) * rsim - CAST({b} AS DOUBLE) * mts"
+    # AS MATERIALIZED everywhere state is re-referenced: each selall{t}
+    # is consumed 3× by step t+1 (join, NOT EXISTS, union) — inlined
+    # CTEs would re-expand the whole prefix 3^k times (measured: blows
+    # the fd limit via thousands of parquet re-opens before it even
+    # runs out of plan memory).
+    parts = [
+        f"""pool AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    ROUND(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE))
+      / (SQRT(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)))
+         * SQRT(SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)))), 6) AS rsim
+  FROM embeddings q, embeddings c,
+       (SELECT UNNEST(generate_series(1, 64)) AS i) i
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+    ORDER BY SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE))
+      / (SQRT(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)))
+         * SQRT(SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)))) DESC,
+      c.vec_id) <= {pool}
+)""",
+        f"""ps AS MATERIALIZED (
+  SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+         {_DOT64.format(a="na.xhat", b="nb.xhat")} AS v
+  FROM pool a
+  JOIN pool b ON a.query_id = b.query_id
+  JOIN nv na ON na.vec_id = a.neighbor_id
+  JOIN nv nb ON nb.vec_id = b.neighbor_id
+)""",
+        f"""sel1 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, 1 AS rank, rsim FROM pool
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY rsim DESC, neighbor_id) = 1
+)""",
+        "selall1 AS MATERIALIZED (SELECT * FROM sel1)",
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f"""score{t} AS MATERIALIZED (
+  SELECT p.query_id, p.neighbor_id, p.rsim, MAX(ps.v) AS mts
+  FROM pool p
+  JOIN selall{t - 1} s ON s.query_id = p.query_id
+  JOIN ps ON ps.query_id = p.query_id
+         AND ps.id_a = p.neighbor_id AND ps.id_b = s.neighbor_id
+  WHERE NOT EXISTS (SELECT 1 FROM selall{t - 1} x
+                    WHERE x.query_id = p.query_id
+                      AND x.neighbor_id = p.neighbor_id)
+  GROUP BY 1, 2, 3
+)"""
+        )
+        parts.append(
+            f"""sel{t} AS MATERIALIZED (
+  SELECT query_id, neighbor_id, {t} AS rank, rsim FROM score{t}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY {score} DESC, rsim DESC, neighbor_id) = 1
+)"""
+        )
+        parts.append(
+            f"selall{t} AS MATERIALIZED (SELECT * FROM selall{t - 1} "
+            f"UNION ALL SELECT * FROM sel{t})"
+        )
+    return (
+        "WITH " + _NV_CTE + ",\n" + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, rsim AS sim
+FROM selall{k} ORDER BY query_id, rank"""
+    )
+
+
+MMR_TOPK_SQL = _mmr_topk_sql()
 
 
 _IVFPQ_INDEX_CACHE: dict[str, "sim.IvfPqIndex"] = {}
@@ -987,19 +1076,140 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     times residual product quantization — queries equi-join only their
     probed cells AND read only 8 smallint codes per corpus row (the
     two scale levers multiplied; neither IVF nor PQ alone has both).
-    Rows-only (codebooks are float-order dependent); recall vs brute
-    force and residual-vs-raw quantization-error dominance asserted in
-    tests."""
+
+    ORACLE-EXACT since round 11 (driver-adjudication mode): coarse
+    centroids = the 16 smallest-id normalized vectors; the residual
+    codebooks quantize REAL residual-space points — codeword c of
+    subspace m is the m-th slice of (normalized vector at id-rank
+    16+c minus ITS assigned pinned centroid) — so the oracle derives
+    the identical codebooks from the parquet and replays assignment,
+    residual encode, probe, cdot+ADC scoring, and the exact re-rank
+    through the production ivfpq_topk code. Trained fits stay the
+    production default; recall and residual-vs-raw quantization-error
+    dominance asserted in tests."""
+    import numpy as np
+
+    from burla_spark.operators.similarity import _stable_argmin
+
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     index = _IVFPQ_INDEX_CACHE.get(sf_dir)
     if index is None or index.codes.sparkSession is not spark:
-        index = sim.build_ivfpq_index(e, "vec_id", "embedding")
+        pinned = _pinned_norm_vectors(spark, sf_dir, 32)
+        cents, src = pinned[:16], pinned[16:]
+        c2 = np.sum(cents * cents, axis=1)
+        assign = _stable_argmin(c2[None, :] - 2.0 * (src @ cents.T))
+        res = src - cents[assign]
+        books = np.stack([res[:, m * 8 : (m + 1) * 8] for m in range(8)])
+        index = sim.build_ivfpq_index(
+            e, "vec_id", "embedding", centroids=cents, codebooks=books
+        )
         _IVFPQ_INDEX_CACHE[sf_dir] = index
     return sim.ivfpq_topk(
         q, e, "vec_id", "vec_id", "embedding", "embedding",
         k=10, n_probe=8, refine=8, index=index,
+    ).orderBy("query_id", "rank")
+
+
+def _ivfpq_topk_sql() -> str:
+    score = "c.c2 - 2 * " + _DOT64.format(a="v.xhat", b="c.cvec")
+    qdot = _DOT64.format(a="q.xhat", b="c.cvec")
+    enc_score = (
+        "b.b2 - 2 * list_sum([r.rvec[b.m * 8 + s] * b.val[s] "
+        "FOR s IN range(1, 9)])"
     )
+    return f"""
+WITH {_NV_CTE},
+{_CENTS_CTE},
+src AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 17 AS INT) AS code,
+         xhat
+  FROM nv WHERE vec_id IS NOT NULL
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) BETWEEN 17 AND 32
+),
+srcassign AS (
+  SELECT v.code, c.cvec,
+         [v.xhat[j] - c.cvec[j] FOR j IN range(1, 65)] AS rvec
+  FROM (SELECT code, xhat FROM src) v, cents c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.code
+    ORDER BY ROUND(c.c2 - 2 * list_sum([v.xhat[i] * c.cvec[i]
+                                        FOR i IN range(1, 65)]), 6),
+             c.cell) = 1
+),
+m(m) AS (SELECT UNNEST(generate_series(0, 7))),
+books AS (
+  SELECT m.m, r.code,
+         [r.rvec[m.m * 8 + s] FOR s IN range(1, 9)] AS val,
+         list_sum([r.rvec[m.m * 8 + s] * r.rvec[m.m * 8 + s]
+                   FOR s IN range(1, 9)]) AS b2
+  FROM srcassign r, m
+),
+cellassign AS (
+  SELECT v.vec_id, c.cell,
+         [v.xhat[j] - c.cvec[j] FOR j IN range(1, 65)] AS rvec
+  FROM nv v, cents c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                             ORDER BY ROUND({score}, 6), c.cell) = 1
+),
+codes AS (
+  SELECT r.vec_id AS neighbor_id, r.cell, b.m, b.code
+  FROM cellassign r, books b
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY r.vec_id, b.m
+                             ORDER BY ROUND({enc_score}, 6), b.code) = 1
+),
+probes AS (
+  SELECT q.vec_id AS query_id, c.cell,
+         {qdot} AS cdot
+  FROM nv q, cents c
+  WHERE q.vec_id < 5
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                             ORDER BY ROUND({qdot}, 6) DESC, c.cell) <= 8
+),
+lut AS (
+  SELECT q.vec_id AS query_id, b.m, b.code,
+         list_sum([q.xhat[b.m * 8 + s] * b.val[s] FOR s IN range(1, 9)]) AS pdot
+  FROM nv q, books b
+  WHERE q.vec_id < 5
+),
+adc AS (
+  SELECT p.query_id, c.neighbor_id, MAX(p.cdot) + SUM(l.pdot) AS adc
+  FROM codes c
+  JOIN probes p ON p.cell = c.cell
+  JOIN lut l ON l.query_id = p.query_id AND l.m = c.m AND l.code = c.code
+  WHERE p.query_id <> c.neighbor_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM adc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY ROUND(adc, 6) DESC, neighbor_id) <= 80
+),
+i(i) AS (SELECT UNNEST(generate_series(1, 64))),
+p AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+    SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS qq,
+    SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS cc
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id, i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    dot / (SQRT(qq) * SQRT(cc)) AS raw_sim,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC,
+                                     neighbor_id) AS BIGINT) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, rank, ROUND(raw_sim, 6) AS sim
+FROM scored WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+EMBEDDING_IVFPQ_TOPK_SQL = _ivfpq_topk_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1682,12 +1892,30 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same generator signature, kmeans_lloyd_fixed_sql). The MLlib
     kmeans++ path stays the production operator (kmeans_assign),
     quality-tested against label ground truth in tests."""
-    from burla_spark.operators.clustering import cluster_sizes, kmeans_lloyd_fixed
-
-    e = load_table(spark, sf_dir, "embeddings")
-    return cluster_sizes(
-        kmeans_lloyd_fixed(e, "vec_id", "embedding", k=10, n_iter=3)
+    from burla_spark.operators.clustering import (
+        _assign_literal_centroids,
+        cluster_sizes,
+        kmeans_lloyd_fixed_centroids,
     )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    # training is a build-once indexing job (same contract as the ANN
+    # index caches): the trained centroids are plain driver-side data,
+    # cached per corpus; the QUERY is one assignment scan + a k-row agg
+    cents = _KMEANS_CENTS_CACHE.get(sf_dir)
+    if cents is None:
+        cents = kmeans_lloyd_fixed_centroids(
+            e, "vec_id", "embedding", k=10, n_iter=3
+        )
+        _KMEANS_CENTS_CACHE[sf_dir] = cents
+    return cluster_sizes(
+        _assign_literal_centroids(e, "vec_id", "embedding", cents)
+    )
+
+
+_KMEANS_CENTS_CACHE: dict[str, list] = {}
 
 
 def _kmeans_sizes_sql() -> str:
@@ -2314,12 +2542,18 @@ SPECS: list[QuerySpec] = [
         "production default).",
     ),
     QuerySpec(
-        "embedding_ivfpq_topk", embedding_ivfpq_topk, None, ("similarity", "ivf", "pq"),
-        doc="composed inverted-file + residual-PQ ANN (FAISS IndexIVFPQ shape)",
+        "embedding_ivfpq_topk", embedding_ivfpq_topk, EMBEDDING_IVFPQ_TOPK_SQL,
+        ("similarity", "ivf", "pq"),
+        doc="composed inverted-file + residual-PQ ANN (FAISS IndexIVFPQ "
+        "shape); pinned centroids/residual-codebooks driver-adjudication "
+        "mode (oracle-exact since round 11).",
     ),
     QuerySpec(
-        "mmr_diversified_topk", mmr_diversified_topk, None, ("similarity", "rag"),
-        doc="maximal-marginal-relevance diversified retrieval (RAG rerank)",
+        "mmr_diversified_topk", mmr_diversified_topk, MMR_TOPK_SQL,
+        ("similarity", "rag"),
+        doc="maximal-marginal-relevance diversified retrieval (RAG "
+        "rerank); oracle replays the greedy loop via a generated "
+        "10-step CTE unroll (oracle-exact since round 11).",
     ),
     QuerySpec(
         "dedup_components", dedup_components, DEDUP_COMPONENTS_SQL,

@@ -84,35 +84,23 @@ def all_specs() -> list[QuerySpec]:
     return specs
 
 
-# Round-10 rotation: everything the engine OR oracle changed in
-# rounds 9-10 that the driver has not yet adjudicated. The round-9
-# lang-ID fix (operators/text.py one-arg closure + whole-token oracle
-# rewrite) never made the round-9 sample; the round-10 unicode-sweep
-# fixes changed both sides of the edit-distance and multimodal
-# contracts; the broadcast-hint removals changed 13 TPC-H plans
-# (same rows expected — adjudication proves it); the pushdown-fixture
-# change rewires load_table for every lineitem consumer. The driver's
-# 50-slot sample fills the rest from the layer-interleaved rotation
-# remainder.
+# Round-11 rotation: the 11 formerly-no-oracle specs whose engines
+# gained deterministic driver-adjudication modes AND first-ever oracles
+# this round (VERDICT r10 'Next round #1' — the whole point is the
+# driver ledger finally carrying green hash-match rows for them), plus
+# multimodal_feature_extract (engine-side content-type routing changed,
+# ADVICE r10). The driver's 50-slot sample fills the rest from the
+# layer-interleaved rotation remainder.
 _DRIVER_PRIORITY = frozenset(
     {
-        # round-9 lang fix — engine + both oracles changed, never sampled
-        "lang_id_heuristic", "corpus_curation_pipeline",
-        # round-10 unicode-contract fixes (both engine sides changed)
-        "editdist_neardup_pairs", "multimodal_feature_extract",
-        # round-10 fact-scaled broadcast-hint removals (plan change,
-        # same rows expected)
-        "q2_min_cost_supplier", "q3_shipping_priority",
-        "q5_local_supplier_volume", "q7_volume_shipping", "q8_market_share",
-        "q9_profit_by_nation", "q14_promo_share", "q15_top_supplier",
-        "q16_supplier_part_counts", "q17_small_quantity", "q18_large_orders",
-        "q19_disjunctive_filter", "q20_heavy_shippers",
-        # round-10 pushdown-fixture rewire: one heavy representative
-        # per rewired fact table
-        "q1_pricing_summary", "q6_forecast_revenue",
-        # round-10 NEW operators — first driver adjudication
-        "dsir_importance_weights", "char_entropy_report",
-        "zipf_slope_by_source",
+        # round-11: deterministic modes + first oracles — adjudicate all
+        "minhash_dedup_pairs", "simhash_dedup_groups", "dedup_components",
+        "embedding_lsh_topk", "embedding_ivf_topk", "embedding_pq_topk",
+        "embedding_ivfpq_topk", "embedding_neardup", "mmr_diversified_topk",
+        "kmeans_cluster_sizes", "hll_cardinality_sketch",
+        # round-11 engine change: text/* payloads skip the image header
+        # parser (ADVICE r10 magic-prefix fix)
+        "multimodal_feature_extract",
     }
 )
 
