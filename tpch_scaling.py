@@ -81,12 +81,25 @@ PROJECTIONS = {
 # The 10 worst steady-state ratios from TPCH_CURVE_r08 (sf0.1→sf1):
 # round-10 extends these one more decade (sf1→sf10, ×100 total) to
 # confirm sublinearity past the page-cache comfort zone. Run with
-# --sf10 (adds ~5 min dbgen + the timed runs).
+# --sf10 (adds ~5 min dbgen + the timed runs). Round 11 (VERDICT r10
+# #6): widened from 10 spot specs to the WORST-20 by sf1 ratio in
+# TPCH_CURVE_r10 (plus the original 10) — the second decade is where
+# sort/shuffle cliffs appear, so the decade gate should watch the
+# specs whose first decade already scaled worst, heavy TPC-H joins
+# included.
 SF10_WORST = (
+    # original round-10 spot set
     "window_rank_customers", "scalar_string_functions",
     "window_running_revenue", "applyinarrow_grouped", "topk_per_group",
     "subquery_aggregation", "window_lag_lead", "topk_global",
     "scalar_date_functions", "agg_collect",
+    # round-11: worst-20 by sf1 ratio in TPCH_CURVE_r10
+    "scalar_string_functions2", "q15_top_supplier",
+    "q21_sole_failing_supplier", "q18_large_orders",
+    "q12_priority_buckets", "regexp_groups", "q13_count_distribution",
+    "q3_shipping_priority", "agg_bitwise_stringagg",
+    "q16_supplier_part_counts", "q4_order_priority", "agg_stats",
+    "q6_forecast_revenue", "set_operations", "q7_volume_shipping",
 )
 
 
