@@ -234,7 +234,196 @@ ORDER BY bin
 """
 
 
+# ---------------------------------------------------------------------------
+# Encoding hygiene (round 11): mojibake / control-char / zero-width
+# rates per source — the ingest-time signal that catches a feed whose
+# upstream decoder broke (U+FFFD replacement chars), whose scraper left
+# terminal control bytes, or whose text carries invisible joiners that
+# poison tokenizers. bytes_per_char is the exact corpus-weighted ratio
+# of UTF-8 bytes to codepoints (1.0 = pure ASCII; drifting up = more
+# multibyte — or mojibake re-encoding). All counts are exact BIGINTs;
+# the one division is BIGINT/BIGINT evaluated identically by both
+# engines. Char probes use explicit codepoint literals, never unicode
+# regex classes (the two engines' regex unicode tables differ —
+# ENGINEERING_NOTES unicode-sweep lessons).
+# ---------------------------------------------------------------------------
+_ZERO_WIDTH = "\u00a0\u200b\u200d\ufeff"  # NBSP, ZWSP, ZWJ, BOM
+
+
+def encoding_hygiene_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    has_replacement = F.contains(F.col("text"), F.lit("\ufffd"))
+    has_control = F.col("text").rlike(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+    has_zero_width = None
+    for ch in _ZERO_WIDTH:
+        probe = F.contains(F.col("text"), F.lit(ch))
+        has_zero_width = probe if has_zero_width is None else (has_zero_width | probe)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(has_replacement.cast("long")).alias("n_replacement_docs"),
+            F.sum(has_control.cast("long")).alias("n_control_docs"),
+            F.sum(has_zero_width.cast("long")).alias("n_zero_width_docs"),
+            # try_divide: an all-empty-text source (trunc-sweep shape)
+            # has SUM(length)=0 — ANSI divide would abort the query;
+            # both engines emit NULL (SQL mirrors with NULLIF)
+            F.round(
+                F.try_divide(
+                    F.sum(F.octet_length("text")).cast("double"),
+                    F.sum(F.length("text")).cast("double"),
+                ),
+                6,
+            ).alias("bytes_per_char"),
+        )
+        .orderBy("source")
+    )
+
+
+ENCODING_HYGIENE_SQL = r"""
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(CASE WHEN strpos(text, chr(65533)) > 0 THEN 1 END) AS BIGINT)
+    AS n_replacement_docs,
+  CAST(COUNT(CASE WHEN regexp_matches(text,
+    '[\x00-\x08\x0b\x0c\x0e-\x1f]') THEN 1 END) AS BIGINT) AS n_control_docs,
+  CAST(COUNT(CASE WHEN strpos(text, chr(160)) > 0
+                    OR strpos(text, chr(8203)) > 0
+                    OR strpos(text, chr(8205)) > 0
+                    OR strpos(text, chr(65279)) > 0 THEN 1 END) AS BIGINT)
+    AS n_zero_width_docs,
+  ROUND(CAST(SUM(strlen(text)) AS DOUBLE)
+        / NULLIF(CAST(SUM(length(text)) AS DOUBLE), 0), 6) AS bytes_per_char
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (round 11): quasi-identifier combination sizes —
+# the governance check run before releasing a derived dataset: any
+# (nation, market-segment) cell with fewer than k members re-identifies
+# its customers. k=10 is the common release threshold (and flags real
+# cells at every fixture SF; k=5 was vacuous at sf0.01 where the
+# smallest cell is exactly 5). One group-cardinality aggregate; at 100 TB the output
+# is bounded by the quasi-identifier domain, never the table.
+# ---------------------------------------------------------------------------
+K_ANONYMITY_K = 10
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n_members"))
+        .withColumn(
+            "risky", (F.col("n_members") < K_ANONYMITY_K).cast("boolean")
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+K_ANONYMITY_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       COUNT(*) < {K_ANONYMITY_K} AS risky
+FROM customer
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (round 11): the dedup ACCOUNTING
+# view a curation team actually reads — for each (source, source)
+# pair, how many verified near-dup pairs cross it and how similar they
+# are. Consumes the build-once exact pair table (llm.ngram_jaccard
+# pairs — same artifact three other specs read), joined back to the
+# corpus for attribution; sources are least/greatest-normalized so the
+# matrix is upper-triangular. Output is bounded by source-domain².
+# ---------------------------------------------------------------------------
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from burla_spark.plans.llm import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    attributed = (
+        pairs.join(
+            d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+    )
+    return (
+        attributed.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_dup_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _cross_source_sql() -> str:
+    from burla_spark.plans.llm import NGRAM_JACCARD_SQL
+
+    return f"""
+WITH pr AS ({NGRAM_JACCARD_SQL}),
+attributed AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         pr.jaccard
+  FROM pr
+  JOIN documents da ON da.doc_id = pr.id_a
+  JOIN documents db ON db.doc_id = pr.id_b
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+       ROUND(AVG(jaccard), 6) AS avg_jaccard
+FROM attributed
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+CROSS_SOURCE_DUP_SQL = _cross_source_sql()
+
+
 SPECS = [
+    QuerySpec(
+        "encoding_hygiene_scores",
+        encoding_hygiene_scores,
+        ENCODING_HYGIENE_SQL,
+        ("quality", "text", "documents"),
+        doc="Per-source mojibake/control/zero-width rates + exact "
+        "bytes-per-char — ingest encoding hygiene (round 11).",
+    ),
+    QuerySpec(
+        "k_anonymity_audit",
+        k_anonymity_audit,
+        K_ANONYMITY_SQL,
+        ("quality", "governance"),
+        doc="Quasi-identifier cell sizes with a k<5 re-identification "
+        "flag — release-gate governance check (round 11).",
+    ),
+    QuerySpec(
+        "cross_source_dup_matrix",
+        cross_source_dup_matrix,
+        CROSS_SOURCE_DUP_SQL,
+        ("quality", "dedup", "documents"),
+        doc="Upper-triangular source×source near-dup pair matrix over "
+        "the build-once exact pair table (round 11).",
+    ),
     QuerySpec(
         "chisq_drift_report",
         chisq_drift_report,

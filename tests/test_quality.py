@@ -43,3 +43,67 @@ def test_observed_counts_ride_existing_action(spark, sf_dir):
     m = obs.get
     assert m["n_rows"] == l.count()
     assert m["high_qty"] == l.filter("l_quantity > 45").count()
+
+
+def test_encoding_hygiene_flags_each_defect_class(spark, tmp_path):
+    """Round 11: the hygiene scores must actually discriminate — a
+    mojibake doc raises n_replacement_docs, a control-byte doc raises
+    n_control_docs, invisible-char docs raise n_zero_width_docs, and
+    multibyte text pushes bytes_per_char above 1 while tab/newline
+    whitespace does NOT count as control."""
+    import pandas as pd
+
+    from burla_spark.plans.quality_queries import encoding_hygiene_scores
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "source": ["s"] * 6,
+            "text": [
+                "clean ascii text",
+                "broken � decode",
+                "bell \x07 byte",
+                "tab\tand\nnewline only",  # must NOT count as control
+                "nbsp joiner‍",
+                "höfn múltibyte",
+            ],
+            "lang": ["en"] * 6,
+            "n_chars": [16] * 6,
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+    row = encoding_hygiene_scores(spark, str(d)).collect()[0]
+    assert row.n_docs == 6
+    assert row.n_replacement_docs == 1
+    assert row.n_control_docs == 1, "tab/newline must not flag as control"
+    assert row.n_zero_width_docs == 1
+    assert row.bytes_per_char > 1.0, "multibyte text must raise the ratio"
+
+
+def test_k_anonymity_flags_small_cells(spark):
+    from burla_spark.plans.quality_queries import (
+        K_ANONYMITY_K,
+        k_anonymity_audit,
+    )
+
+    # pinned to the driver's correctness SF: the k=10 threshold flags
+    # 35/125 cells there (every cell at sf0.1 holds 93+ members — a
+    # larger release is safer, which is the point of the audit)
+    rows = k_anonymity_audit(spark, "/root/testdata/sf0.01").collect()
+    assert all((r.n_members < K_ANONYMITY_K) == r.risky for r in rows)
+    assert any(r.risky for r in rows), (
+        "fixture must contain at least one re-identifiable cell or the "
+        "flag is vacuous"
+    )
+    assert any(not r.risky for r in rows)
+
+
+def test_cross_source_dup_matrix_is_upper_triangular(spark, sf_dir):
+    from burla_spark.plans.quality_queries import cross_source_dup_matrix
+
+    rows = cross_source_dup_matrix(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    assert all(r.source_a <= r.source_b for r in rows)
+    assert all(r.n_dup_pairs >= 1 and 0.0 <= r.avg_jaccard <= 1.0 for r in rows)
