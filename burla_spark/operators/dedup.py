@@ -540,7 +540,16 @@ def simhash_collision_groups(
       oracle-exact. Bits 60..63 never vote (always 0) — signatures use
       60 effective bits; collision semantics are unchanged. The fold,
       grouping, and output contract are byte-for-byte the same code
-      path for both families."""
+      path for both families.
+
+    A document's identity is its id (the nullkey-sweep rule): replayed
+    rows sharing an id merge their token MULTISETS into one vote pool
+    before the fold — one signature per document, exactly the oracle's
+    GROUP BY doc_id semantics (the round-11 dup sweep caught per-ROW
+    signatures diverging on a duplicated ingest). Verbatim duplicates
+    double every vote, so the signature is unchanged; the fold is
+    vote-count-based and thus order-invariant under collect_list's
+    nondeterministic concatenation order."""
     from burla_spark.operators.text import tokens
 
     fold = _simhash_fold_udf()
@@ -554,12 +563,19 @@ def simhash_collision_groups(
     df = df.filter(F.col(text_col).isNotNull())
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     df = df.repartition(n_parts, F.col(id_col))
-    sigs = df.select(
-        F.col(id_col),
-        F.transform(tokens(F.col(text_col)), lambda t: hash_one(t)).alias("__h"),
-    ).select(
-        F.col(id_col),
-        fold(F.col("__h")).alias("simhash"),
+    sigs = (
+        df.select(
+            F.col(id_col),
+            F.transform(tokens(F.col(text_col)), lambda t: hash_one(t)).alias(
+                "__h"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.flatten(F.collect_list("__h")).alias("__h"))
+        .select(
+            F.col(id_col),
+            fold(F.col("__h")).alias("simhash"),
+        )
     )
     return (
         sigs.groupBy("simhash")
