@@ -638,7 +638,141 @@ GROUP BY dc.doc_id ORDER BY dc.doc_id
 """
 
 
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per source — the companion
+    diagnostic to zipf_slope_by_source: natural language grows its
+    vocabulary as V(N) ≈ K·N^β with β ≈ 0.4–0.6; template/boilerplate
+    farms saturate early (β → 0), ID/hash dumps never repeat (β → 1).
+    The growth curve is sampled at power-of-two document checkpoints
+    (rank & (rank-1) = 0, plus the final rank) along a deterministic
+    ingest order (doc_id asc), then fit by OLS ln V ~ ln N via the
+    engines' own regr_* aggregates — identical closed form both sides,
+    6dp-rounded at the edge.
+
+    100 TB shape: the only corpus-scale stage is the token explode into
+    a (source, token) → min-rank aggregate with map-side partial MIN —
+    the first-occurrence table is vocabulary-bounded, so "cumulative
+    distinct vocabulary at rank c" becomes a COUNT over r0 <= c instead
+    of a running set union. Checkpoints are O(log n_docs) per source,
+    so the checkpoint fan-out joins are vocab×log and docs×log rows;
+    the regression aggregates ~log n points per source. The per-source
+    row_number is an ingest-order attribute (here derived from doc_id
+    for replayability; a production feed carries it natively)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = Window.partitionBy("source").orderBy("doc_id")
+    sized = (
+        d.select(
+            "source",
+            "doc_id",
+            F.split(F.lower(F.trim("text")), r"\s+").alias("toks"),
+        )
+        .withColumn("drank", F.row_number().over(w))
+        .withColumn("n_toks", F.size("toks").cast("long"))
+    )
+    maxr = sized.groupBy("source").agg(F.max("drank").alias("max_rank"))
+    cpts = (
+        sized.select("source", "drank")
+        .join(maxr, "source")
+        .filter(
+            (F.expr("drank & (drank - 1)") == 0)
+            | (F.col("drank") == F.col("max_rank"))
+        )
+        .select("source", F.col("drank").alias("c"))
+        .distinct()
+    )
+    first_occ = (
+        sized.select("source", "drank", F.explode("toks").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.min("drank").alias("r0"))
+    )
+    vocab_at = (
+        first_occ.join(cpts, "source")
+        .filter(F.col("r0") <= F.col("c"))
+        .groupBy("source", "c")
+        .agg(F.count("*").alias("v"))
+    )
+    ntok_at = (
+        sized.select("source", "drank", "n_toks")
+        .join(cpts, "source")
+        .filter(F.col("drank") <= F.col("c"))
+        .groupBy("source", "c")
+        .agg(F.sum("n_toks").alias("n"))
+    )
+    pts = vocab_at.join(ntok_at, ["source", "c"])
+    reg = "ln(CAST(v AS DOUBLE)), ln(CAST(n AS DOUBLE))"
+    return (
+        pts.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_checkpoints"),
+            F.max("n").cast("long").alias("total_tokens"),
+            F.max("v").cast("long").alias("vocab_size"),
+            (F.round(F.expr(f"regr_slope({reg})"), 6) + F.lit(0.0)).alias(
+                "heaps_beta"
+            ),
+            (F.round(F.expr(f"regr_intercept({reg})"), 6) + F.lit(0.0)).alias(
+                "heaps_ln_k"
+            ),
+            (F.round(F.expr(f"regr_r2({reg})"), 6) + F.lit(0.0)).alias("heaps_r2"),
+        )
+        .orderBy("source")
+    )
+
+
+HEAPS_VOCAB_SQL = r"""
+WITH sized AS (
+  SELECT source,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS drank
+  FROM documents WHERE text IS NOT NULL
+), lens AS (
+  SELECT source, drank, CAST(len(toks) AS BIGINT) AS n_toks FROM sized
+), maxr AS (
+  SELECT source, MAX(drank) AS max_rank FROM lens GROUP BY source
+), cpts AS (
+  SELECT DISTINCT l.source, l.drank AS c
+  FROM lens l JOIN maxr m ON l.source = m.source
+  WHERE (l.drank & (l.drank - 1)) = 0 OR l.drank = m.max_rank
+), first_occ AS (
+  SELECT source, tok, MIN(drank) AS r0
+  FROM (SELECT source, drank, UNNEST(toks) AS tok FROM sized)
+  GROUP BY source, tok
+), vocab_at AS (
+  SELECT f.source, c.c, COUNT(*) AS v
+  FROM first_occ f JOIN cpts c ON f.source = c.source AND f.r0 <= c.c
+  GROUP BY 1, 2
+), ntok_at AS (
+  SELECT l.source, c.c, SUM(l.n_toks) AS n
+  FROM lens l JOIN cpts c ON l.source = c.source AND l.drank <= c.c
+  GROUP BY 1, 2
+), pts AS (
+  SELECT va.source, va.c, va.v, na.n
+  FROM vocab_at va JOIN ntok_at na ON va.source = na.source AND va.c = na.c
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_checkpoints,
+       CAST(MAX(n) AS BIGINT) AS total_tokens,
+       CAST(MAX(v) AS BIGINT) AS vocab_size,
+       ROUND(regr_slope(ln(CAST(v AS DOUBLE)), ln(CAST(n AS DOUBLE))), 6)
+         + 0.0 AS heaps_beta,
+       ROUND(regr_intercept(ln(CAST(v AS DOUBLE)), ln(CAST(n AS DOUBLE))), 6)
+         + 0.0 AS heaps_ln_k,
+       ROUND(regr_r2(ln(CAST(v AS DOUBLE)), ln(CAST(n AS DOUBLE))), 6)
+         + 0.0 AS heaps_r2
+FROM pts GROUP BY source ORDER BY source
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "heaps_vocab_growth",
+        heaps_vocab_growth,
+        HEAPS_VOCAB_SQL,
+        ("llm", "quality", "diagnostics"),
+        doc="Heaps'-law vocabulary-growth OLS fit per source "
+        "(V ~ K·N^beta over power-of-two document checkpoints along a "
+        "deterministic ingest order) — the saturation companion to the "
+        "Zipf head fit (round 11).",
+    ),
     QuerySpec(
         "zipf_slope_by_source",
         zipf_slope_by_source,

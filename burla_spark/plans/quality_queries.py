@@ -399,7 +399,222 @@ ORDER BY 1, 2
 CROSS_SOURCE_DUP_SQL = _cross_source_sql()
 
 
+# ---------------------------------------------------------------------------
+# Split-leakage audit (round 11): the dedup-aware twin of
+# mlprep.train_test_split_stats — a hash split is leak-free only at
+# EXACT granularity; near-duplicate pairs that straddle train/val/test
+# are memorization leaks that inflate eval scores. Labels both sides of
+# every verified near-dup pair (build-once llm.ngram_jaccard pair
+# table) with the same deterministic affine-hash 80/10/10 split used
+# for the split itself, normalizes pairs to (earlier-phase,
+# later-phase), and reports per split-pair: pair count, distinct
+# implicated docs on each side, and mean Jaccard. The
+# n_docs_b_implicated column on a cross row IS the remediation list
+# size (eval docs to drop). Output bounded by 3×3 split pairs.
+# ---------------------------------------------------------------------------
+_SPLIT_MULT = 2654435761  # mlprep._HASH_MULT — same split assignment
+_SPLIT_MOD = 1000000007
+
+
+def _split3(key):
+    b = (key * F.lit(_SPLIT_MULT)) % F.lit(_SPLIT_MOD) % F.lit(100)
+    return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+
+def _split_ord(split_col):
+    return (
+        F.when(split_col == "train", 0).when(split_col == "val", 1).otherwise(2)
+    )
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from burla_spark.plans.llm import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    labeled = pairs.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        _split3(F.col("id_a")).alias("sa"),
+        _split3(F.col("id_b")).alias("sb"),
+    )
+    swap = _split_ord(F.col("sb")) < _split_ord(F.col("sa"))
+    norm = labeled.select(
+        F.when(swap, F.col("sb")).otherwise(F.col("sa")).alias("split_a"),
+        F.when(swap, F.col("sa")).otherwise(F.col("sb")).alias("split_b"),
+        F.when(swap, F.col("id_b")).otherwise(F.col("id_a")).alias("doc_a"),
+        F.when(swap, F.col("id_a")).otherwise(F.col("id_b")).alias("doc_b"),
+        "jaccard",
+    )
+    return (
+        norm.groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("doc_a").alias("n_docs_a_implicated"),
+            F.countDistinct("doc_b").alias("n_docs_b_implicated"),
+            (F.round(F.avg("jaccard"), 6) + F.lit(0.0)).alias("avg_jaccard"),
+        )
+        .withColumn(
+            "is_cross_split", (F.col("split_a") != F.col("split_b"))
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+def _split_leakage_sql() -> str:
+    from burla_spark.plans.llm import NGRAM_JACCARD_SQL
+
+    bucket_a = f"(id_a * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100"
+    bucket_b = f"(id_b * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100"
+    return f"""
+WITH pr AS ({NGRAM_JACCARD_SQL}),
+lab AS (
+  SELECT id_a, id_b, jaccard,
+    CASE WHEN {bucket_a} < 80 THEN 'train'
+         WHEN {bucket_a} < 90 THEN 'val' ELSE 'test' END AS sa,
+    CASE WHEN {bucket_b} < 80 THEN 'train'
+         WHEN {bucket_b} < 90 THEN 'val' ELSE 'test' END AS sb
+  FROM pr
+), ord_lab AS (
+  SELECT *,
+    CASE sa WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END AS oa,
+    CASE sb WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END AS ob
+  FROM lab
+), norm AS (
+  SELECT
+    CASE WHEN ob < oa THEN sb ELSE sa END AS split_a,
+    CASE WHEN ob < oa THEN sa ELSE sb END AS split_b,
+    CASE WHEN ob < oa THEN id_b ELSE id_a END AS doc_a,
+    CASE WHEN ob < oa THEN id_a ELSE id_b END AS doc_b,
+    jaccard
+  FROM ord_lab
+)
+SELECT split_a, split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS n_docs_a_implicated,
+       CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_b_implicated,
+       ROUND(AVG(jaccard), 6) + 0.0 AS avg_jaccard,
+       split_a <> split_b AS is_cross_split
+FROM norm
+GROUP BY split_a, split_b
+ORDER BY split_a, split_b
+"""
+
+
+SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold sweep (round 11): the tuning view behind "what
+# Jaccard cutoff do we dedup at" — one pass over the build-once pair
+# table replicated across candidate thresholds reports, per cutoff,
+# how many pairs survive, how many distinct documents they implicate,
+# and what fraction of the corpus that is. Thresholds below the pair
+# table's 0.4 generation floor would under-count, so the sweep starts
+# there. Output bounded by the threshold list; the corpus total rides
+# a 1-row broadcast.
+# ---------------------------------------------------------------------------
+SWEEP_THRESHOLDS = (0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from burla_spark.plans.llm import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    p = pairs.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.explode(
+            F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])
+        ).alias("threshold"),
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    stats = p.groupBy("threshold").agg(
+        F.count("*").alias("n_pairs"),
+        (F.round(F.avg("jaccard"), 6) + F.lit(0.0)).alias("avg_jaccard"),
+    )
+    docs = (
+        p.select(
+            "threshold", F.explode(F.array("id_a", "id_b")).alias("doc")
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("doc").alias("n_docs_involved"))
+    )
+    total = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    return (
+        stats.join(docs, "threshold")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_docs_involved",
+            (
+                F.round(
+                    F.col("n_docs_involved").cast("double") / F.col("n_total"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("dup_doc_rate"),
+            "avg_jaccard",
+        )
+        .orderBy("threshold")
+    )
+
+
+def _threshold_sweep_sql() -> str:
+    from burla_spark.plans.llm import NGRAM_JACCARD_SQL
+
+    th_list = ", ".join(str(t) for t in SWEEP_THRESHOLDS)
+    return f"""
+WITH pr AS ({NGRAM_JACCARD_SQL}),
+th AS (SELECT CAST(UNNEST([{th_list}]) AS DOUBLE) AS threshold),
+p AS (
+  SELECT th.threshold, pr.id_a, pr.id_b, pr.jaccard
+  FROM pr JOIN th ON pr.jaccard >= th.threshold
+), stats AS (
+  SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         ROUND(AVG(jaccard), 6) + 0.0 AS avg_jaccard
+  FROM p GROUP BY threshold
+), docs AS (
+  SELECT threshold, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs_involved
+  FROM (SELECT threshold, UNNEST([id_a, id_b]) AS doc FROM p)
+  GROUP BY threshold
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents
+)
+SELECT s.threshold, s.n_pairs, d.n_docs_involved,
+       ROUND(CAST(d.n_docs_involved AS DOUBLE) / t.n_total, 6) + 0.0
+         AS dup_doc_rate,
+       s.avg_jaccard
+FROM stats s JOIN docs d ON s.threshold = d.threshold, tot t
+ORDER BY s.threshold
+"""
+
+
+DEDUP_THRESHOLD_SWEEP_SQL = _threshold_sweep_sql()
+
+
 SPECS = [
+    QuerySpec(
+        "split_leakage_audit",
+        split_leakage_audit,
+        SPLIT_LEAKAGE_SQL,
+        ("quality", "governance", "dedup"),
+        doc="Near-dup pairs straddling the deterministic train/val/test "
+        "hash split — memorization-leak audit over the build-once pair "
+        "table, with per-side implicated-doc counts (round 11).",
+    ),
+    QuerySpec(
+        "dedup_threshold_sweep",
+        dedup_threshold_sweep,
+        DEDUP_THRESHOLD_SWEEP_SQL,
+        ("quality", "dedup", "tuning"),
+        doc="Surviving pair / implicated-doc counts per candidate "
+        "Jaccard cutoff — the dedup threshold-tuning view over the "
+        "build-once pair table (round 11).",
+    ),
     QuerySpec(
         "encoding_hygiene_scores",
         encoding_hygiene_scores,

@@ -101,6 +101,10 @@ _DRIVER_PRIORITY = frozenset(
         # round-11 engine change: text/* payloads skip the image header
         # parser (ADVICE r10 magic-prefix fix)
         "multimodal_feature_extract",
+        # round-11 NEW operators — first-ever driver adjudication
+        "encoding_hygiene_scores", "k_anonymity_audit",
+        "cross_source_dup_matrix", "heaps_vocab_growth",
+        "split_leakage_audit", "dedup_threshold_sweep",
     }
 )
 

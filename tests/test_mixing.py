@@ -142,3 +142,38 @@ def test_compaction_bins_contiguous_and_bounded(spark, sf_dir):
             assert a.last_doc < b.first_doc  # contiguous, ordered ranges
         for r in bins:
             assert r.n_bytes < COMPACT_TARGET_BYTES + max_file[source]
+
+
+def test_heaps_beta_separates_novel_from_saturated(spark, tmp_path):
+    """Round 11: the Heaps fit must discriminate — a source whose every
+    document introduces only fresh tokens grows V = N exactly (beta =
+    1, perfect fit), while a source recycling a 3-token vocabulary
+    saturates immediately (beta near 0). Exact count columns are
+    checked against construction."""
+    import pandas as pd
+
+    from burla_spark.plans.mixing import heaps_vocab_growth
+
+    novel = [" ".join(f"w{i}_{j}" for j in range(8)) for i in range(8)]
+    flat = ["a b c a b c a b"] * 8
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(16),
+            "source": ["novelsrc"] * 8 + ["flatsrc"] * 8,
+            "text": novel + flat,
+            "lang": ["en"] * 16,
+            "n_chars": [len(t) for t in novel + flat],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+    rows = {r.source: r for r in heaps_vocab_growth(spark, str(d)).collect()}
+    nv, fl = rows["novelsrc"], rows["flatsrc"]
+    # checkpoints at ranks 1,2,4,8 (8 = max rank, power of two)
+    assert nv.n_checkpoints == 4 and fl.n_checkpoints == 4
+    assert nv.total_tokens == 64 and nv.vocab_size == 64
+    assert fl.total_tokens == 64 and fl.vocab_size == 3
+    assert nv.heaps_beta == 1.0 and nv.heaps_r2 == 1.0
+    assert fl.heaps_beta < 0.2, "saturated vocabulary must flatten beta"
+    assert nv.heaps_beta - fl.heaps_beta > 0.8

@@ -74,6 +74,12 @@ BNLJ_OK = {
     # two 1-row broadcasts: raw-corpus totals (nr, fall) and target
     # total (nt) joined onto the vocab-bounded feature-stats table
     "dsir_importance_weights",
+    # the 'ALL' rollup row: 1-row merged-register estimate joined to a
+    # 1-row grand-total on a literal key (Catalyst constant-folds the
+    # equi-key away, leaving a 1x1 BNLJ)
+    "hll_cardinality_sketch",
+    # 1-row corpus-total broadcast onto the 6-row threshold stats
+    "dedup_threshold_sweep",
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]

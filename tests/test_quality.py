@@ -107,3 +107,86 @@ def test_cross_source_dup_matrix_is_upper_triangular(spark, sf_dir):
     assert len(rows) >= 1
     assert all(r.source_a <= r.source_b for r in rows)
     assert all(r.n_dup_pairs >= 1 and 0.0 <= r.avg_jaccard <= 1.0 for r in rows)
+
+
+def _mk_docs_parquet(tmp_path, rows):
+    import pandas as pd
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "source": [r[1] for r in rows],
+            "text": [r[2] for r in rows],
+            "lang": ["en"] * len(rows),
+            "n_chars": [len(r[2]) for r in rows],
+        }
+    ).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def _split_of(doc_id: int) -> str:
+    b = (doc_id * 2654435761) % 1000000007 % 100
+    return "train" if b < 80 else ("val" if b < 90 else "test")
+
+
+def test_split_leakage_flags_cross_split_neardups(spark, tmp_path):
+    """Round 11: a near-identical doc pair whose hash buckets land in
+    train and test must surface as an is_cross_split row with the
+    test-side doc counted as implicated; a same-split clone pair must
+    surface as a non-cross row."""
+    from burla_spark.plans.quality_queries import split_leakage_audit
+
+    train_ids = [i for i in range(200) if _split_of(i) == "train"]
+    test_ids = [i for i in range(200) if _split_of(i) == "test"]
+    assert len(train_ids) >= 2 and len(test_ids) >= 1
+    text = " ".join(f"t{j}" for j in range(17))  # 16 bigrams, band 2
+    rows = [
+        (train_ids[0], "s", text),
+        (test_ids[0], "s", text),  # cross-split exact clone
+        (train_ids[1], "s", " ".join(f"u{j}" for j in range(17))),
+    ]
+    # same-split clone pair on a disjoint vocabulary
+    clone2 = [i for i in train_ids[2:] if i != train_ids[1]][0]
+    rows.append((clone2, "s", rows[2][2]))
+    out = {
+        (r.split_a, r.split_b): r
+        for r in split_leakage_audit(spark, _mk_docs_parquet(tmp_path, rows)).collect()
+    }
+    leak = out[("train", "test")]
+    assert leak.is_cross_split and leak.n_pairs == 1
+    assert leak.n_docs_b_implicated == 1  # the test-side doc to drop
+    same = out[("train", "train")]
+    assert not same.is_cross_split and same.n_pairs == 1
+
+
+def test_dedup_threshold_sweep_is_monotone(spark, tmp_path):
+    """Round 11: pair/doc counts must be non-increasing in the cutoff,
+    and a high-similarity pair must survive cutoffs that an 0.5-ish
+    pair does not."""
+    from burla_spark.plans.quality_queries import (
+        SWEEP_THRESHOLDS,
+        dedup_threshold_sweep,
+    )
+
+    toks = [f"c{j}" for j in range(17)]
+    exact_clone = " ".join(toks)
+    # shares 11 of its 16 bigrams with exact_clone -> jaccard ~0.52
+    partial = " ".join(toks[:12] + [f"z{j}" for j in range(5)])
+    rows = [
+        (0, "s", exact_clone),
+        (1, "s", exact_clone),
+        (2, "s", partial),
+    ]
+    out = {
+        float(r.threshold): r
+        for r in dedup_threshold_sweep(spark, _mk_docs_parquet(tmp_path, rows)).collect()
+    }
+    assert set(out) == set(SWEEP_THRESHOLDS)
+    counts = [out[t].n_pairs for t in SWEEP_THRESHOLDS]
+    assert counts == sorted(counts, reverse=True)
+    assert out[0.4].n_pairs > out[0.9].n_pairs
+    assert out[0.9].n_pairs == 1 and out[0.9].n_docs_involved == 2
+    assert abs(out[0.9].dup_doc_rate - 2 / 3) < 1e-6
+    assert all(0.0 <= out[t].avg_jaccard <= 1.0 for t in SWEEP_THRESHOLDS)
