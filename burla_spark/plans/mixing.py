@@ -657,8 +657,18 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the checkpoint fan-out joins are vocab×log and docs×log rows;
     the regression aggregates ~log n points per source. The per-source
     row_number is an ingest-order attribute (here derived from doc_id
-    for replayability; a production feed carries it natively)."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    for replayability; a production feed carries it natively).
+
+    NULL-key contract (nullkey-sweep policy): a document with NULL
+    doc_id has no ingest position, so it is excluded from the growth
+    curve — stated explicitly on both engine sides because the engines
+    disagree on NULL placement in window orderings (Spark sorts NULLS
+    FIRST ascending, DuckDB NULLS LAST)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .filter(F.col("doc_id").isNotNull())
+    )
     w = Window.partitionBy("source").orderBy("doc_id")
     sized = (
         d.select(
@@ -723,7 +733,7 @@ WITH sized AS (
   SELECT source,
          regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
          ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS drank
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
 ), lens AS (
   SELECT source, drank, CAST(len(toks) AS BIGINT) AS n_toks FROM sized
 ), maxr AS (
