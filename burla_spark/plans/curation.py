@@ -940,7 +940,159 @@ FROM merged ORDER BY tot DESC, o_custkey LIMIT 25
 """
 
 
+# ---------------------------------------------------------------------------
+# N-gram novelty decay (round 11): the marginal-value-of-more-data
+# curve — for each power-of-two document checkpoint along the
+# deterministic ingest order, what fraction of 8-gram OCCURRENCES in
+# the newly-ingested interval is duplicated text (first seen earlier
+# or within the interval)? Fluent fresh sources stay novel; a crawl
+# re-visiting the same sites decays fast — this is the "does another
+# crawl buy anything after dedup" ROI view (the corpus-growth twin of
+# repeated_ngram_coverage's per-doc removal accounting, and the
+# occurrence-level twin of mixing.heaps_vocab_growth's vocab fit).
+#
+# 100 TB shape: an occurrence is novel iff its rank equals its gram's
+# first-occurrence rank — so "duplicated fraction per interval" needs
+# only the (source, gram) -> min-rank aggregate (map-side partial MIN,
+# same cost class as the dedup family's shingle tables) plus two
+# docs-bounded per-rank count tables; intervals come from an
+# O(log n)-row checkpoint spine, never a corpus-scale window. NULL
+# doc_id = no ingest position = excluded, both engines (nullkey rule).
+# ---------------------------------------------------------------------------
+def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .filter(F.col("doc_id").isNotNull())
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    sized = d.select(
+        "source", "doc_id", F.split(F.col("text"), " ", -1).alias("toks")
+    ).withColumn("drank", F.row_number().over(w))
+    grams8 = F.when(
+        F.size("toks") >= 8,
+        F.expr(
+            "transform(sequence(1, size(toks) - 7),"
+            " i -> array_join(slice(toks, i, 8), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = sized.select("source", "drank", F.explode(grams8).alias("gram"))
+    occ_per_rank = occ.groupBy("source", "drank").agg(
+        F.count("*").alias("n_occ")
+    )
+    new_per_rank = (
+        occ.groupBy("source", "gram")
+        .agg(F.min("drank").alias("r0"))
+        .groupBy("source", "r0")
+        .agg(F.count("*").alias("n_new"))
+    )
+    maxr = sized.groupBy("source").agg(F.max("drank").alias("max_rank"))
+    cpts = (
+        sized.select("source", "drank")
+        .join(maxr, "source")
+        .filter(
+            (F.expr("drank & (drank - 1)") == 0)
+            | (F.col("drank") == F.col("max_rank"))
+        )
+        .select("source", F.col("drank").alias("c"))
+        .distinct()
+    )
+    wc = Window.partitionBy("source").orderBy("c")
+    iv = cpts.withColumn(
+        "prev_c", F.coalesce(F.lag("c").over(wc), F.lit(0))
+    )
+    occ_iv = (
+        occ_per_rank.join(iv, "source")
+        .filter((F.col("drank") > F.col("prev_c")) & (F.col("drank") <= F.col("c")))
+        .groupBy("source", "c", "prev_c")
+        .agg(F.sum("n_occ").cast("long").alias("n_occurrences"))
+    )
+    new_iv = (
+        new_per_rank.join(iv, "source")
+        .filter((F.col("r0") > F.col("prev_c")) & (F.col("r0") <= F.col("c")))
+        .groupBy("source", "c")
+        .agg(F.sum("n_new").cast("long").alias("n_novel"))
+    )
+    return (
+        occ_iv.join(new_iv, ["source", "c"], "left")
+        .select(
+            "source",
+            F.col("c").cast("long").alias("checkpoint_docs"),
+            (F.col("c") - F.col("prev_c")).cast("long").alias("interval_docs"),
+            "n_occurrences",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            (
+                F.round(
+                    F.lit(1.0)
+                    - F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                    / F.col("n_occurrences"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("dup_rate"),
+        )
+        .orderBy("source", "checkpoint_docs")
+    )
+
+
+NGRAM_NOVELTY_SQL = """
+WITH sized AS (
+  SELECT source, string_split(text, ' ') AS toks,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS drank
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), occ AS (
+  SELECT source, drank, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM sized, LATERAL (SELECT UNNEST(generate_series(1, len(toks) - 7)) AS i)
+  WHERE len(toks) >= 8
+), occ_per_rank AS (
+  SELECT source, drank, COUNT(*) AS n_occ FROM occ GROUP BY 1, 2
+), new_per_rank AS (
+  SELECT source, r0, COUNT(*) AS n_new
+  FROM (SELECT source, gram, MIN(drank) AS r0 FROM occ GROUP BY 1, 2)
+  GROUP BY 1, 2
+), maxr AS (
+  SELECT source, MAX(drank) AS max_rank FROM sized GROUP BY source
+), cpts AS (
+  SELECT DISTINCT s.source, s.drank AS c
+  FROM sized s JOIN maxr m ON s.source = m.source
+  WHERE (s.drank & (s.drank - 1)) = 0 OR s.drank = m.max_rank
+), iv AS (
+  SELECT source, c,
+         COALESCE(LAG(c) OVER (PARTITION BY source ORDER BY c), 0) AS prev_c
+  FROM cpts
+), occ_iv AS (
+  SELECT o.source, i.c, i.prev_c, CAST(SUM(o.n_occ) AS BIGINT) AS n_occurrences
+  FROM occ_per_rank o JOIN iv i
+    ON o.source = i.source AND o.drank > i.prev_c AND o.drank <= i.c
+  GROUP BY 1, 2, 3
+), new_iv AS (
+  SELECT n.source, i.c, CAST(SUM(n.n_new) AS BIGINT) AS n_novel
+  FROM new_per_rank n JOIN iv i
+    ON n.source = i.source AND n.r0 > i.prev_c AND n.r0 <= i.c
+  GROUP BY 1, 2
+)
+SELECT o.source AS source,
+       CAST(o.c AS BIGINT) AS checkpoint_docs,
+       CAST(o.c - o.prev_c AS BIGINT) AS interval_docs,
+       o.n_occurrences,
+       COALESCE(n.n_novel, 0) AS n_novel,
+       ROUND(1.0 - CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / o.n_occurrences, 6)
+         + 0.0 AS dup_rate
+FROM occ_iv o LEFT JOIN new_iv n ON o.source = n.source AND o.c = n.c
+ORDER BY o.source, checkpoint_docs
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "ngram_novelty_decay",
+        ngram_novelty_decay,
+        NGRAM_NOVELTY_SQL,
+        ("curation", "dedup", "diagnostics"),
+        doc="Per-source duplicated-8-gram-occurrence fraction per "
+        "power-of-two ingest interval — the marginal-value-of-more-"
+        "data / dedup-ROI curve (round 11).",
+    ),
     QuerySpec(
         "incremental_agg_maintenance",
         incremental_agg_maintenance,

@@ -282,6 +282,14 @@ def main() -> int:
     spark = get_spark(app_name=f"{mode}_sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = em.queries(), em.oracle_sql()
+    # optional arg 2: comma-separated spec filter — sweep just the
+    # named specs across a mode (new-operator iteration); the printed
+    # line is tagged so a filtered run can't masquerade as a battery.
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2].split(","))
+        unknown = only - set(qs)
+        assert not unknown, f"unknown spec(s) in filter: {sorted(unknown)}"
+        qs = {k: v for k, v in qs.items() if k in only}
     con = duck_connection(dst)
     fails = []
     for name in sorted(qs):
@@ -296,8 +304,9 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — report every divergence
             fails.append(name)
             print(f"FAIL {name}: {exc!r}"[:300], file=sys.stderr)
-    print(f"{mode}-sweep: {len(qs) - len(fails)}/{len(qs)} pass; fails={fails}",
-          file=sys.stderr)
+    tag = f"[filtered:{len(qs)}]" if len(sys.argv) > 2 else ""
+    print(f"{mode}-sweep{tag}: {len(qs) - len(fails)}/{len(qs)} pass; "
+          f"fails={fails}", file=sys.stderr)
     return 1 if fails else 0
 
 

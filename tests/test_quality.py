@@ -190,3 +190,29 @@ def test_dedup_threshold_sweep_is_monotone(spark, tmp_path):
     assert out[0.9].n_pairs == 1 and out[0.9].n_docs_involved == 2
     assert abs(out[0.9].dup_doc_rate - 2 / 3) < 1e-6
     assert all(0.0 <= out[t].avg_jaccard <= 1.0 for t in SWEEP_THRESHOLDS)
+
+
+def test_ngram_novelty_decay_separates_fresh_from_recrawl(spark, tmp_path):
+    """Round 11: a source that re-ingests the same page decays to
+    dup_rate 1.0 after the first interval; a source of entirely fresh
+    text stays at 0. Checkpoint spine must be powers of two plus the
+    final rank, with contiguous interval accounting."""
+    from burla_spark.plans.curation import ngram_novelty_decay
+
+    page = " ".join(f"p{j}" for j in range(12))
+    rows = [(i, "recrawl", page) for i in range(8)]
+    rows += [
+        (100 + i, "fresh", " ".join(f"f{i}_{j}" for j in range(12)))
+        for i in range(8)
+    ]
+    out = ngram_novelty_decay(spark, _mk_docs_parquet(tmp_path, rows)).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert [r.checkpoint_docs for r in rs] == [1, 2, 4, 8]
+        assert [r.interval_docs for r in rs] == [1, 1, 2, 4]
+        assert sum(r.n_occurrences for r in rs) == 8 * 5  # 12 toks -> 5 grams
+    re_rates = [r.dup_rate for r in by_src["recrawl"]]
+    assert re_rates[0] == 0.0 and re_rates[1:] == [1.0, 1.0, 1.0]
+    assert all(r.dup_rate == 0.0 for r in by_src["fresh"])
