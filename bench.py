@@ -56,22 +56,35 @@ def main() -> dict:
     build_s: dict[str, float] = {}
 
     def _prebuild() -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         from burla_spark.plans import llm, scale_ops, semantic
 
-        builders = {
-            "ngram_pairs": llm.ngram_jaccard_pairs,
-            "minhash_pairs": llm._minhash_pairs,
-            "ngram_components": llm._ngram_components,
-            "neardup_pairs": llm.embedding_neardup,
-            "ivf_index": llm.embedding_ivf_topk,
-            "pq_index": llm.embedding_pq_topk,
-            "ivfpq_index": llm.embedding_ivfpq_topk,
-            "kmeans_centroids": llm.kmeans_cluster_sizes,
-            "pagerank_edges": scale_ops.pagerank_fixed_point,
-            "triangle_edges": scale_ops.triangle_counts_part_graph,
-            "bpe_vocab": semantic.bpe_train_merges,
-        }
-        for name, fn in builders.items():
+        # Two waves of CONCURRENT builds: these are independent indexing
+        # jobs (each spills its own artifact, caches under its own key),
+        # exactly what a cluster runs as parallel jobs — serializing them
+        # charged the bench wall-clock ~46 s for work that overlaps to
+        # a fraction of that on 32 cores. ngram_components is the one true
+        # dependency (it consumes the ngram_pairs spill), so it runs in
+        # wave 2. Per-builder times below OVERLAP (they sum to more than
+        # the elapsed wall); build_wall_s is the number to read.
+        waves = [
+            {
+                "ngram_pairs": llm.ngram_jaccard_pairs,
+                "minhash_pairs": llm._minhash_pairs,
+                "neardup_pairs": llm.embedding_neardup,
+                "ivf_index": llm.embedding_ivf_topk,
+                "pq_index": llm.embedding_pq_topk,
+                "ivfpq_index": llm.embedding_ivfpq_topk,
+                "kmeans_centroids": llm.kmeans_cluster_sizes,
+                "pagerank_edges": scale_ops.pagerank_fixed_point,
+                "triangle_edges": scale_ops.triangle_counts_part_graph,
+                "bpe_vocab": semantic.bpe_train_merges,
+            },
+            {"ngram_components": llm._ngram_components},
+        ]
+
+        def build_one(name, fn):
             t0 = time.perf_counter()
             try:
                 # the builds run as actions (spill writes / index fits)
@@ -80,8 +93,14 @@ def main() -> dict:
                 build_s[name] = round(time.perf_counter() - t0, 3)
             except Exception as exc:  # noqa: BLE001 — record and continue
                 errors[f"build:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
-            finally:
-                spark.catalog.clearCache()
+
+        t_wall = time.perf_counter()
+        for wave in waves:
+            with ThreadPoolExecutor(max_workers=len(wave)) as pool:
+                for name, fn in wave.items():
+                    pool.submit(build_one, name, fn)
+        build_s["build_wall_s"] = round(time.perf_counter() - t_wall, 3)
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
