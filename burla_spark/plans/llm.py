@@ -1213,6 +1213,92 @@ EMBEDDING_IVFPQ_TOPK_SQL = _ivfpq_topk_sql()
 
 
 # ---------------------------------------------------------------------------
+# ANN recall report (round 11): the evaluation view an ANN deployment
+# is TUNED with — recall@k of each approximate path (LSH buckets, IVF
+# probes, PQ ADC) against the exact brute-force baseline, per query.
+# This is how n_probe / num_planes / codebook size decisions are made;
+# shipping the eval as a first-class operator means the tuning loop is
+# one query, not a notebook. All four inputs are themselves
+# oracle-exact registry specs, so the composition inherits exactness
+# (set overlap on neighbor ids — rank/score differences can't leak in).
+# 100 TB shape: each input is already bounded (query-set × candidates);
+# the report joins 3×|queries|×k rows. k is small and fixed here; the
+# production harness samples queries.
+# ---------------------------------------------------------------------------
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = embedding_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    methods = {
+        "ivf": embedding_ivf_topk,
+        "lsh": embedding_lsh_topk,
+        "pq": embedding_pq_topk,
+    }
+    out = None
+    for method, fn in methods.items():
+        approx = (
+            fn(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+        )
+        per = (
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count("*").cast("long").alias("k"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                "k",
+                "n_hits",
+                (
+                    F.round(
+                        F.col("n_hits").cast("double") / F.col("k"), 6
+                    )
+                    + F.lit(0.0)
+                ).alias("recall_at_k"),
+            )
+        )
+        out = per if out is None else out.unionByName(per)
+    return out.orderBy("method", "query_id")
+
+
+def _ann_recall_sql() -> str:
+    legs = []
+    for method, sql in (
+        ("ivf", EMBEDDING_IVF_TOPK_SQL),
+        ("lsh", EMBEDDING_LSH_TOPK_SQL),
+        ("pq", EMBEDDING_PQ_TOPK_SQL),
+    ):
+        legs.append(
+            f"""SELECT '{method}' AS method, e.query_id,
+       COUNT(*) AS k, COUNT(a.neighbor_id) AS n_hits
+FROM exact e LEFT JOIN ({sql}) a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY 1, 2"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH exact AS MATERIALIZED ({EMBEDDING_TOPK_SQL}),
+per AS (
+{union}
+)
+SELECT method, query_id,
+       CAST(k AS BIGINT) AS k,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / k, 6) + 0.0 AS recall_at_k
+FROM per ORDER BY method, query_id
+"""
+
+
+ANN_RECALL_SQL = _ann_recall_sql()
+
+
+# ---------------------------------------------------------------------------
 # text analysis (oracle-checked)
 # ---------------------------------------------------------------------------
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2521,6 +2607,15 @@ SPECS: list[QuerySpec] = [
         "property-tested).",
     ),
     QuerySpec("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_TOPK_SQL, ("similarity",)),
+    QuerySpec(
+        "ann_recall_report",
+        ann_recall_report,
+        ANN_RECALL_SQL,
+        ("similarity", "evaluation"),
+        doc="Recall@k of each ANN path (lsh/ivf/pq) vs the exact "
+        "brute-force baseline per query — the index-tuning evaluation "
+        "view as a first-class operator (round 11).",
+    ),
     QuerySpec(
         "embedding_lsh_topk", embedding_lsh_topk, EMBEDDING_LSH_TOPK_SQL,
         ("similarity", "lsh"),

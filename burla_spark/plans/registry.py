@@ -105,6 +105,7 @@ _DRIVER_PRIORITY = frozenset(
         "encoding_hygiene_scores", "k_anonymity_audit",
         "cross_source_dup_matrix", "heaps_vocab_growth",
         "split_leakage_audit", "dedup_threshold_sweep",
+        "ngram_novelty_decay", "ann_recall_report",
     }
 )
 

@@ -70,6 +70,11 @@ QUERIES = [
     # session-2 additions: corpus-explode and block-join paths
     "distinct_ngram_diversity", "simhash_md5_signatures",
     "frequent_event_sequences",
+    # round-11 additions: the two new diagnostics with corpus-scale
+    # explode stages (vocab first-occurrence + per-rank counts); the
+    # checkpoint range-join work is a geometric sum ≈ 2·n_docs, so
+    # both must scale linearly despite the O(log n) checkpoint spine.
+    "heaps_vocab_growth", "ngram_novelty_decay",
 ]
 # Deliberately excluded: interval_overlap_join — replicating a FIXED
 # time window multiplies temporal density, and interval-overlap OUTPUT

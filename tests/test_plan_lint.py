@@ -80,6 +80,9 @@ BNLJ_OK = {
     "hll_cardinality_sketch",
     # 1-row corpus-total broadcast onto the 6-row threshold stats
     "dedup_threshold_sweep",
+    # composes embedding_cosine_topk + ivf/pq (all BNLJ_OK above):
+    # each leg is the reviewed 5-query × corpus exact-verify shape
+    "ann_recall_report",
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]
