@@ -417,6 +417,11 @@ def build_ivf_index(
         F.col(corpus_vec).alias("__cvec"),
     )
     if centroids is not None:
+        if len(centroids) == 0:
+            # pinned mode on an empty corpus (the pinned vectors are
+            # data-derived) → same empty-index path as the trained fit
+            empty = c.withColumn("__cell", F.lit(0).cast("int"))
+            return IvfIndex([], empty)
         centers = np.array(centroids, dtype=np.float64)
         known_n = None
     else:
@@ -780,6 +785,17 @@ def build_ivfpq_index(
     if centroids is not None and codebooks is not None:
         # driver-adjudication mode (round 11): both fits pinned — the
         # assignment/encode/probe/ADC machinery is then SQL-replayable
+        if len(centroids) == 0:
+            # pinned mode on an empty corpus (pinned structures are
+            # data-derived) → trained path's empty-index shape
+            empty = c.select(
+                "neighbor_id",
+                F.lit(0).cast("int").alias("__cell"),
+                F.array().cast("array<smallint>").alias("__code"),
+            )
+            return IvfPqIndex(
+                np.zeros((1, dim)), np.zeros((n_subspaces, 1, dsub)), empty
+            )
         centers = np.array(centroids, dtype=np.float64)
         books = np.array(codebooks, dtype=np.float64)
         c2 = np.sum(centers * centers, axis=1)

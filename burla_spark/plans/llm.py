@@ -759,6 +759,12 @@ def _pinned_norm_vectors(
         F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
     )
     rows = e.orderBy("vec_id").limit(n).select("embedding").collect()
+    if not rows:
+        # empty corpus: keep the (0, dim) SHAPE so downstream slicing/
+        # stacking stays 2-D and the builders take their empty-index
+        # paths (dim pinned to 64 — the same contract the _DOT64
+        # oracles encode)
+        return np.zeros((0, 64), dtype=np.float64)
     return _norm_rows(
         np.array([[float(x) for x in r[0]] for r in rows], dtype=np.float64)
     )
@@ -1097,10 +1103,15 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if index is None or index.codes.sparkSession is not spark:
         pinned = _pinned_norm_vectors(spark, sf_dir, 32)
         cents, src = pinned[:16], pinned[16:]
-        c2 = np.sum(cents * cents, axis=1)
-        assign = _stable_argmin(c2[None, :] - 2.0 * (src @ cents.T))
-        res = src - cents[assign]
-        books = np.stack([res[:, m * 8 : (m + 1) * 8] for m in range(8)])
+        if cents.shape[0] == 0:
+            # empty corpus: no pinned structures to derive — hand the
+            # builder the empty shapes and let it return the empty index
+            books = np.zeros((8, 0, 8), dtype=np.float64)
+        else:
+            c2 = np.sum(cents * cents, axis=1)
+            assign = _stable_argmin(c2[None, :] - 2.0 * (src @ cents.T))
+            res = src - cents[assign]
+            books = np.stack([res[:, m * 8 : (m + 1) * 8] for m in range(8)])
         index = sim.build_ivfpq_index(
             e, "vec_id", "embedding", centroids=cents, codebooks=books
         )
@@ -1996,6 +2007,11 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             e, "vec_id", "embedding", k=10, n_iter=3
         )
         _KMEANS_CENTS_CACHE[sf_dir] = cents
+    if not cents:
+        # empty corpus → no seeds → empty report with the same schema
+        return cluster_sizes(
+            e.limit(0).withColumn("cluster", F.lit(0).cast("int"))
+        )
     return cluster_sizes(
         _assign_literal_centroids(e, "vec_id", "embedding", cents)
     )
