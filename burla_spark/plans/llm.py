@@ -454,6 +454,95 @@ ORDER BY node
 """
 
 
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the accounting view that
+    tells a curation team whether duplication is a long tail of pairs
+    or a few mega-clusters (the remediation differs: pair-wise keep-
+    best vs template/boilerplate removal). Sizes >= 2 come from the
+    build-once exact component table; the size-1 row is derived from
+    the corpus total so the histogram partitions the whole corpus
+    (corpus_frac sums to 1). Output bounded by the largest cluster
+    size; the corpus total rides a 1-row broadcast."""
+    comps = _ngram_components(spark, sf_dir)
+    sizes = comps.groupBy("component").agg(F.count("*").alias("csize"))
+    multi = (
+        sizes.groupBy("csize")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            F.col("csize").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("csize") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )
+    total = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    in_comp = comps.agg(F.count("*").cast("long").alias("n_in_comp"))
+    singleton = (
+        total.crossJoin(F.broadcast(in_comp))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("n_total") - F.col("n_in_comp"))
+            .cast("long")
+            .alias("n_clusters"),
+            (F.col("n_total") - F.col("n_in_comp"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .filter(F.col("n_clusters") > 0)
+    )
+    return (
+        multi.unionByName(singleton)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            (
+                F.round(
+                    F.col("n_docs").cast("double") / F.col("n_total"), 6
+                )
+                + F.lit(0.0)
+            ).alias("corpus_frac"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _cluster_histogram_sql() -> str:
+    return f"""
+WITH comp AS MATERIALIZED ({DEDUP_COMPONENTS_EXACT_SQL}),
+sizes AS (
+  SELECT component, COUNT(*) AS csize FROM comp GROUP BY 1
+),
+multi AS (
+  SELECT csize AS cluster_size,
+         CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(csize * COUNT(*) AS BIGINT) AS n_docs
+  FROM sizes GROUP BY csize
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+incomp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_in_comp FROM comp),
+unioned AS (
+  SELECT * FROM multi
+  UNION ALL
+  SELECT 1, t.n_total - i.n_in_comp, t.n_total - i.n_in_comp
+  FROM tot t, incomp i
+  WHERE t.n_total - i.n_in_comp > 0
+)
+SELECT CAST(u.cluster_size AS BIGINT) AS cluster_size,
+       u.n_clusters, u.n_docs,
+       ROUND(CAST(u.n_docs AS DOUBLE) / t.n_total, 6) + 0.0 AS corpus_frac
+FROM unioned u, tot t
+ORDER BY cluster_size
+"""
+
+
+DEDUP_CLUSTER_HISTOGRAM_SQL = _cluster_histogram_sql()
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative selection — the ACTION a dedup pipeline
     takes after clustering: per duplicate cluster keep exactly one doc
@@ -2680,6 +2769,15 @@ SPECS: list[QuerySpec] = [
         DEDUP_COMPONENTS_EXACT_SQL,
         ("dedup", "graph"),
         doc="Connected components over exact jaccard edges — closure oracle-checked vs recursive CTE.",
+    ),
+    QuerySpec(
+        "dedup_cluster_size_histogram",
+        dedup_cluster_size_histogram,
+        DEDUP_CLUSTER_HISTOGRAM_SQL,
+        ("dedup", "diagnostics"),
+        doc="Duplicate-cluster size distribution over the build-once "
+        "exact component table, singleton row derived from the corpus "
+        "total so corpus_frac partitions to 1 (round 11).",
     ),
     QuerySpec(
         "dedup_keep_best",

@@ -83,6 +83,9 @@ BNLJ_OK = {
     # composes embedding_cosine_topk + ivf/pq (all BNLJ_OK above):
     # each leg is the reviewed 5-query × corpus exact-verify shape
     "ann_recall_report",
+    # two 1-row broadcasts (corpus total, in-component count) onto a
+    # histogram bounded by the largest cluster size
+    "dedup_cluster_size_histogram",
 }
 
 BATCH_SPECS = [s for s in all_specs() if not s.name.startswith("stream_")]

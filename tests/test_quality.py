@@ -235,3 +235,27 @@ def test_ann_recall_report_ranks_methods_sanely(spark):
     assert mean["ivf"] >= 0.8, mean
     assert mean["ivf"] >= mean["lsh"] and mean["ivf"] >= mean["pq"], mean
     assert all(v > 0.2 for v in mean.values()), mean
+
+
+def test_cluster_histogram_partitions_corpus(spark, tmp_path):
+    """Round 11: histogram must report the mega-cluster, the pair, and
+    the singleton mass — and corpus_frac must partition to 1."""
+    from burla_spark.plans.llm import dedup_cluster_size_histogram
+
+    mega = " ".join(f"m{j}" for j in range(17))
+    pair = " ".join(f"p{j}" for j in range(17))
+    rows = [(i, "s", mega) for i in range(4)]
+    rows += [(10, "s", pair), (11, "s", pair)]
+    rows += [(20, "s", " ".join(f"u{j}" for j in range(17)))]
+    rows += [(21, "s", " ".join(f"v{j}" for j in range(17)))]
+    out = {
+        r.cluster_size: r
+        for r in dedup_cluster_size_histogram(
+            spark, _mk_docs_parquet(tmp_path, rows)
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[4].n_clusters == 1 and out[4].n_docs == 4
+    assert out[2].n_clusters == 1 and out[2].n_docs == 2
+    assert out[1].n_clusters == 2 and out[1].n_docs == 2
+    assert abs(sum(r.corpus_frac for r in out.values()) - 1.0) < 1e-6
