@@ -106,7 +106,7 @@ _DRIVER_PRIORITY = frozenset(
         "cross_source_dup_matrix", "heaps_vocab_growth",
         "split_leakage_audit", "dedup_threshold_sweep",
         "ngram_novelty_decay", "ann_recall_report",
-        "dedup_cluster_size_histogram",
+        "dedup_cluster_size_histogram", "stream_burst_throttle",
     }
 )
 

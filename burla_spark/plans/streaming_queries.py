@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from burla_spark.plans.base import QuerySpec
 from burla_spark.streaming.events import (
+    stream_burst_throttle,
     stream_click_purchase_join,
     stream_full_outer_join,
     stream_left_outer_join,
@@ -63,6 +64,20 @@ FROM sessions GROUP BY user_id, session_seq
 """
 
 STREAM_KEY_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+# the batch window-lag burst filter is an exact oracle: the stream
+# carries the last SEEN ts per key in state, which is precisely LAG
+STREAM_BURST_THROTTLE_SQL = """
+WITH lagged AS (
+  SELECT event_id, user_id, event_type, ts,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_id, user_id, event_type, ts
+FROM lagged
+WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+"""
 
 # fsum (correctly-rounded) state total rounded to 2 decimals equals the
 # decimal-routed batch sum (inputs are 2-decimal values; divergence
@@ -227,6 +242,15 @@ SPECS: list[QuerySpec] = [
         doc="dropDuplicatesWithinWatermark: state bounded by the horizon.",
     ),
     QuerySpec("stream_stateful_user_stats", stream_stateful_user_stats, STREAM_STATEFUL_SQL, ("streaming", "udf")),
+    QuerySpec(
+        "stream_burst_throttle",
+        stream_burst_throttle,
+        STREAM_BURST_THROTTLE_SQL,
+        ("streaming", "state", "filter"),
+        doc="Online notification-throttle: first event of each 30-min "
+        "burst per (user, type) via one long of keyed state; oracle = "
+        "the batch window-lag plan (round 11).",
+    ),
     QuerySpec(
         "stream_static_enrich",
         stream_static_enrich,

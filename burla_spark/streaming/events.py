@@ -218,6 +218,54 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_stateful_user_stats")
 
 
+def stream_burst_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of curation.burst_first_events: keep only the
+    FIRST event of each 30-minute activity burst per (user,
+    event_type) — the notification-throttle row filter as an online
+    operator. Explicit keyed state (applyInPandasWithState) carries the
+    last SEEN event's timestamp across micro-batches, so an event
+    survives exactly when no previous same-key event fell within the
+    window — the identical rule the batch window-lag plan applies,
+    which is why the batch SQL is an exact oracle. Replayed batches
+    arrive time-ordered (file source), matching the lag's ts ordering.
+
+    100 TB shape: state is ONE long per live (user, type) key; the
+    shuffle is the same single keyed exchange as the batch plan."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = 30 * 60 * 1_000_000
+    s = events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+
+    def throttle(key, pdfs, state: GroupState):
+        last_us = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # chunk iteration order within a batch is not a time order —
+        # sort the whole group slice the way the batch lag does
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        keep = []
+        for ts, event_id in zip(pdf["ts"], pdf["event_id"]):
+            us = int(pd.Timestamp(ts).value) // 1000
+            keep.append(last_us is None or us - last_us > gap_us)
+            last_us = us
+        if last_us is not None:
+            state.update((int(last_us),))
+        out = pdf.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+        yield out
+
+    kept = s.groupBy("user_id", "event_type").applyInPandasWithState(
+        throttle,
+        outputStructType=(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        ),
+        stateStructType="last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_stream_to_table(kept, "stream_burst_throttle", "append")
+    return spark.table("stream_burst_throttle")
+
+
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute windows sliding every 10 — the streaming twin of the
     batch events_sliding_agg plan (each event expands into 3 window
