@@ -412,8 +412,10 @@ CROSS_SOURCE_DUP_SQL = _cross_source_sql()
 # n_docs_b_implicated column on a cross row IS the remediation list
 # size (eval docs to drop). Output bounded by 3×3 split pairs.
 # ---------------------------------------------------------------------------
-_SPLIT_MULT = 2654435761  # mlprep._HASH_MULT — same split assignment
-_SPLIT_MOD = 1000000007
+from burla_spark.plans.mlprep import (  # noqa: E402 — same split assignment
+    _HASH_MOD as _SPLIT_MOD,
+    _HASH_MULT as _SPLIT_MULT,
+)
 
 
 def _split3(key):
