@@ -2686,6 +2686,63 @@ ORDER BY source
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling as a registry spec: the video→frames 1→N
+    mapInPandas expansion (operators/multimodal.sample_frames) driven
+    over the documents-as-blobs payloads and reduced to byte-true
+    evidence (per-frame byte count + md5) so DuckDB can replay the
+    EXACT stride arithmetic: n = max(1, len//stride) frames of
+    payload[i·stride : (i+1)·stride] — the tail beyond n·stride drops,
+    a sub-stride payload yields one whole frame. Completes the
+    multimodal family's oracled surface (metadata and feature-extract
+    were already byte-true; the expansion stage wasn't).
+
+    100 TB shape: pure map-side Arrow expansion, no shuffle until the
+    final order; frame bytes never leave the executor (only the md5)."""
+    from burla_spark.operators import multimodal as mm
+
+    stride = 64
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    frames = mm.sample_frames(d, every_n_bytes=stride)
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+        F.hex("frame").alias("frame_hex"),
+    ).orderBy("doc_id", "frame_no")
+
+
+# DuckDB cannot slice BLOBs, so the oracle works in hex space (the
+# byte-true contract multimodal_feature_extract established): byte
+# stride 64 = hex stride 128, and substr clamps at the tail exactly
+# like the python slice. strlen = VARCHAR byte length in DuckDB.
+MULTIMODAL_FRAME_SQL = """
+WITH h AS (
+  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nb,
+         hex(encode(text)) AS hx
+  FROM documents WHERE text IS NOT NULL
+),
+sized AS (
+  SELECT doc_id, hx, GREATEST(1, nb // 64) AS n_frames FROM h
+),
+frames AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS frame_no,
+         substr(hx, CAST(i * 128 + 1 AS BIGINT), 128) AS frame_hex
+  FROM sized, LATERAL (SELECT UNNEST(generate_series(0, n_frames - 1)) AS i)
+)
+SELECT doc_id, frame_no,
+       CAST(length(frame_hex) // 2 AS BIGINT) AS frame_bytes,
+       frame_hex
+FROM frames
+ORDER BY doc_id, frame_no
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_SQL, ("dedup",)),
     QuerySpec(
@@ -2825,6 +2882,15 @@ SPECS: list[QuerySpec] = [
         MULTIMODAL_META_SQL,
         ("multimodal",),
         doc="typed blob metadata (bytes/sha256) — the oracle-checked half",
+    ),
+    QuerySpec(
+        "multimodal_frame_sample",
+        multimodal_frame_sample,
+        MULTIMODAL_FRAME_SQL,
+        ("multimodal", "expansion"),
+        doc="video→frames 1→N mapInPandas expansion reduced to "
+        "byte-true per-frame evidence (count + md5) — the stride "
+        "arithmetic replayed exactly by the oracle (round 11).",
     ),
     QuerySpec("token_pieces_stats", token_pieces_stats, TOKEN_PIECES_SQL, ("text",)),
     QuerySpec(

@@ -598,7 +598,114 @@ ORDER BY s.threshold
 DEDUP_THRESHOLD_SWEEP_SQL = _threshold_sweep_sql()
 
 
+# ---------------------------------------------------------------------------
+# Embedding-feed hygiene (round 11): the OBSERVABILITY twin of the
+# ingest gate — sources/tables.py EXCLUDES null/non-finite/zero-norm
+# vectors before any similarity operator sees them (a direction-less
+# vector has no geometric meaning), so this report deliberately reads
+# the RAW pre-gate feed (spark.read.parquet / main.embeddings, NOT
+# load_table) and accounts for what the gate admits vs quarantines per
+# label. All counts are exact BIGINTs; the one ratio is rounded. At
+# 100 TB: one scan, per-row array folds, label-bounded output.
+# ---------------------------------------------------------------------------
+def embedding_hygiene_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from burla_spark.sources.tables import table_path
+
+    e = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    emb = F.col("embedding")
+    # NULL COMPONENT is its own defect class: a decoder that dropped a
+    # value (pandas→parquet even maps in-list NaN to null). It must be
+    # classified BEFORE the float probes — isnan/abs return NULL on a
+    # null element and the vector would silently fall out of every
+    # bucket.
+    has_null_comp = F.exists(emb, lambda x: x.isNull())
+    nonfinite = F.exists(
+        emb, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    ss = F.aggregate(
+        emb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+    )
+    per = e.select(
+        "label",
+        emb.isNull().alias("is_null"),
+        F.coalesce(has_null_comp, F.lit(False)).alias("null_comp"),
+        F.coalesce(nonfinite, F.lit(False)).alias("nonfinite"),
+        ss.alias("ss"),
+    )
+    whole = ~F.col("is_null") & ~F.col("null_comp")
+    ok = whole & ~F.col("nonfinite")
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(F.col("is_null").cast("long")).alias("n_null_vec"),
+            F.sum(
+                (~F.col("is_null") & F.col("null_comp")).cast("long")
+            ).alias("n_null_component"),
+            F.sum((whole & F.col("nonfinite")).cast("long")).alias(
+                "n_nonfinite"
+            ),
+            F.sum((ok & (F.col("ss") == 0)).cast("long")).alias("n_zero_norm"),
+            F.sum((ok & (F.col("ss") > 0)).cast("long")).alias("n_admitted"),
+        )
+        .withColumn(
+            "admit_rate",
+            F.round(
+                F.col("n_admitted").cast("double") / F.col("n_vecs"), 6
+            )
+            + F.lit(0.0),
+        )
+        .orderBy("label")
+    )
+
+
+# reads main.embeddings: the ingest CTE deliberately does NOT apply —
+# the report measures what that gate drops
+EMBEDDING_HYGIENE_SQL = """
+WITH raw AS (
+  SELECT label,
+         embedding IS NULL AS is_null,
+         CASE WHEN embedding IS NULL THEN FALSE
+              ELSE len(list_filter(embedding, x -> x IS NULL)) > 0
+         END AS null_comp,
+         CASE WHEN embedding IS NULL THEN FALSE
+              ELSE len(list_filter(embedding, x -> NOT isfinite(x))) > 0
+         END AS nonfinite,
+         CASE WHEN embedding IS NULL THEN NULL
+              ELSE list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * x))
+         END AS ss
+  FROM main.embeddings
+)
+SELECT label,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(COUNT(CASE WHEN is_null THEN 1 END) AS BIGINT) AS n_null_vec,
+  CAST(COUNT(CASE WHEN NOT is_null AND null_comp THEN 1 END) AS BIGINT)
+    AS n_null_component,
+  CAST(COUNT(CASE WHEN NOT is_null AND NOT null_comp AND nonfinite THEN 1
+    END) AS BIGINT) AS n_nonfinite,
+  CAST(COUNT(CASE WHEN NOT is_null AND NOT null_comp AND NOT nonfinite
+    AND ss = 0 THEN 1 END) AS BIGINT) AS n_zero_norm,
+  CAST(COUNT(CASE WHEN NOT is_null AND NOT null_comp AND NOT nonfinite
+    AND ss > 0 THEN 1 END) AS BIGINT) AS n_admitted,
+  ROUND(CAST(COUNT(CASE WHEN NOT is_null AND NOT null_comp AND NOT nonfinite
+    AND ss > 0 THEN 1 END) AS DOUBLE) / COUNT(*), 6) + 0.0 AS admit_rate
+FROM raw
+GROUP BY label
+ORDER BY label
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "embedding_hygiene_report",
+        embedding_hygiene_report,
+        EMBEDDING_HYGIENE_SQL,
+        ("quality", "embeddings", "ingest"),
+        doc="Raw embedding-feed hygiene: per-label null/non-finite/"
+        "zero-norm vs admitted counts — the observability twin of the "
+        "ingest gate, read deliberately PRE-gate (round 11).",
+    ),
     QuerySpec(
         "split_leakage_audit",
         split_leakage_audit,

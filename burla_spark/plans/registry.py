@@ -107,6 +107,7 @@ _DRIVER_PRIORITY = frozenset(
         "split_leakage_audit", "dedup_threshold_sweep",
         "ngram_novelty_decay", "ann_recall_report",
         "dedup_cluster_size_histogram", "stream_burst_throttle",
+        "multimodal_frame_sample", "embedding_hygiene_report",
     }
 )
 

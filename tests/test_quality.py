@@ -259,3 +259,41 @@ def test_cluster_histogram_partitions_corpus(spark, tmp_path):
     assert out[2].n_clusters == 1 and out[2].n_docs == 2
     assert out[1].n_clusters == 2 and out[1].n_docs == 2
     assert abs(sum(r.corpus_frac for r in out.values()) - 1.0) < 1e-6
+
+
+def test_embedding_hygiene_counts_each_defect_class(spark, tmp_path):
+    """Round 11: the pre-gate hygiene report must count every defect
+    class the ingest gate quarantines — null vector, null COMPONENT
+    (a decoder-dropped value; pandas even writes in-list NaN this
+    way), real NaN, Inf, zero norm — and admit the healthy remainder.
+    Fixture written via DuckDB so NaN/Inf survive as float values."""
+    import duckdb
+
+    from burla_spark.plans.quality_queries import embedding_hygiene_report
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    good = "[1.0" + ", 0.0" * 63 + "]"
+    zero = "[0.0" + ", 0.0" * 63 + "]"
+    nanv = "['NaN'::FLOAT" + ", 0.0" * 63 + "]"
+    infv = "['Infinity'::FLOAT" + ", 0.0" * 63 + "]"
+    nullc = "[NULL::FLOAT" + ", 0.0" * 63 + "]"
+    duckdb.sql(
+        f"""COPY (
+          SELECT * FROM (VALUES
+            (0, CAST({good} AS FLOAT[]), 'a'),
+            (1, NULL, 'a'),
+            (2, CAST({nanv} AS FLOAT[]), 'a'),
+            (3, CAST({infv} AS FLOAT[]), 'a'),
+            (4, CAST({zero} AS FLOAT[]), 'a'),
+            (5, CAST({nullc} AS FLOAT[]), 'a'),
+            (6, CAST({good} AS FLOAT[]), 'b')
+          ) t(vec_id, embedding, label)
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    out = {r.label: r for r in embedding_hygiene_report(spark, str(d)).collect()}
+    a = out["a"]
+    assert a.n_vecs == 6 and a.n_null_vec == 1 and a.n_null_component == 1
+    assert a.n_nonfinite == 2 and a.n_zero_norm == 1 and a.n_admitted == 1
+    assert abs(a.admit_rate - round(1 / 6, 6)) < 1e-9
+    assert out["b"].n_admitted == 1 and out["b"].admit_rate == 1.0
