@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from burla_spark.plans.base import QuerySpec
-from burla_spark.plans.mlprep import _HASH_MOD, _HASH_MULT
+from burla_spark.plans.mlprep import _HASH_MOD, _affine_hash, _affine_hash_sql
 from burla_spark.sources.tables import load_table
 
 
@@ -580,7 +580,7 @@ def source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull()
     )
-    h = (F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    h = _affine_hash(F.col("doc_id"))
     w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
     ranked = (
         d.select("source", "doc_id", h.alias("h"))
@@ -609,7 +609,7 @@ WITH ranked AS (
   SELECT source, doc_id,
     ROW_NUMBER() OVER (
       PARTITION BY source
-      ORDER BY (doc_id * {_HASH_MULT}) % {_HASH_MOD}, doc_id) AS rk
+      ORDER BY {_affine_hash_sql("doc_id")}, doc_id) AS rk
   FROM documents WHERE doc_id IS NOT NULL
 )
 SELECT source,
@@ -640,7 +640,7 @@ def importance_acceptance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
     u = (
-        ((F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD))
+        _affine_hash(F.col("doc_id"))
         .cast("double")
         / F.lit(float(_HASH_MOD))
     )
@@ -662,7 +662,7 @@ def importance_acceptance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 IMPORTANCE_SAMPLE_SQL = rf"""
 WITH scored AS (
   SELECT doc_id, lang,
-    CAST((doc_id * {_HASH_MULT}) % {_HASH_MOD} AS DOUBLE) / {_HASH_MOD}.0 AS u,
+    CAST({_affine_hash_sql("doc_id")} AS DOUBLE) / {_HASH_MOD}.0 AS u,
     LEAST(1.0, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 400.0) AS p
   FROM documents WHERE text IS NOT NULL
 )
@@ -700,8 +700,7 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.sha2(F.col("text"), 256).alias("dig"),
         (
-            (F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
-            < F.lit(_HASH_MOD // 5)
+            _affine_hash(F.col("doc_id")) < F.lit(_HASH_MOD // 5)
         ).alias("is_new"),
     )
     base_digs = (
@@ -738,7 +737,7 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCREMENTAL_DEDUP_SQL = f"""
 WITH hashed AS (
   SELECT doc_id, lang, sha256(text) AS dig,
-         (doc_id * {_HASH_MULT}) % {_HASH_MOD} < {_HASH_MOD // 5} AS is_new
+         {_affine_hash_sql("doc_id")} < {_HASH_MOD // 5} AS is_new
   FROM documents WHERE text IS NOT NULL
 ), base_digs AS (
   SELECT DISTINCT dig FROM hashed WHERE NOT is_new

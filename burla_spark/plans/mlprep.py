@@ -20,15 +20,30 @@ from burla_spark.functions.numeric import dec
 from burla_spark.plans.base import QuerySpec
 from burla_spark.sources.tables import load_table
 
-# Knuth multiplicative hash, then an outer prime mod to keep the
-# product inside int64 for keys < ~3.4e9 (mod the key first if keys can
-# exceed that). Both engines evaluate this in exact BIGINT arithmetic.
+# Knuth multiplicative hash, then an outer prime mod. The key is
+# reduced mod the prime BEFORE the multiply (modmul) so the product
+# stays under (1e9 * 6.6e8) ≈ 6.6e17 < int64 max for EVERY int64 key —
+# the naive (key * MULT) % MOD silently wraps in Spark but raises in
+# DuckDB once keys pass ~3.5e9, which a 100 TB doc_id space will.
+# For keys below that threshold the modmul is value-identical to the
+# naive form, so the hash (and every oracle) is unchanged at test SFs.
 _HASH_MULT = 2654435761
 _HASH_MOD = 1000000007
+_HASH_MULT_RED = _HASH_MULT % _HASH_MOD  # 654435747
+
+
+def _affine_hash(key):
+    """Overflow-safe (key * MULT) % MOD as a Column, exact on both engines."""
+    return ((key % F.lit(_HASH_MOD)) * F.lit(_HASH_MULT_RED)) % F.lit(_HASH_MOD)
+
+
+def _affine_hash_sql(expr: str) -> str:
+    """The same modmul as ANSI SQL text for the DuckDB oracle side."""
+    return f"((({expr}) % {_HASH_MOD}) * {_HASH_MULT_RED}) % {_HASH_MOD}"
 
 
 def _split_bucket(key):
-    return (key * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD) % F.lit(100)
+    return _affine_hash(key) % F.lit(100)
 
 
 def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,7 +68,7 @@ def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRAIN_TEST_SPLIT_SQL = f"""
 SELECT
-  CASE WHEN (o_orderkey * {_HASH_MULT}) % {_HASH_MOD} % 100 < 80
+  CASE WHEN {_affine_hash_sql("o_orderkey")} % 100 < 80
        THEN 'train' ELSE 'test' END AS split,
   COUNT(*) AS n_rows,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
@@ -75,7 +90,7 @@ def group_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     c = load_table(spark, sf_dir, "customer")
-    hash_order = (F.col("c_custkey") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    hash_order = _affine_hash(F.col("c_custkey"))
     w = Window.partitionBy("c_mktsegment").orderBy(hash_order, "c_custkey")
     return (
         c.withColumn("rn", F.row_number().over(w))
@@ -90,7 +105,7 @@ SELECT c_mktsegment, c_custkey, rn FROM (
   SELECT c_mktsegment, c_custkey,
          ROW_NUMBER() OVER (
            PARTITION BY c_mktsegment
-           ORDER BY (c_custkey * {_HASH_MULT}) % {_HASH_MOD}, c_custkey
+           ORDER BY {_affine_hash_sql("c_custkey")}, c_custkey
          ) AS rn
   FROM customer
 ) WHERE rn <= 5
@@ -436,7 +451,7 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full-range hash-uniform (not _split_bucket's %100 coarsening:
     # sampling needs a dense u, the split only needs percent buckets)
     u = (
-        ((F.col("o_orderkey") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD) + 1)
+        (_affine_hash(F.col("o_orderkey")) + 1)
         .cast("double")
         / F.lit(float(_HASH_MOD + 1))
     )
@@ -472,7 +487,7 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEIGHTED_SAMPLE_SQL = f"""
 WITH scored AS (
   SELECT o_orderpriority, o_orderkey,
-    LN(CAST((o_orderkey * {_HASH_MULT}) % {_HASH_MOD} + 1 AS DOUBLE) / {_HASH_MOD + 1}.0)
+    LN(CAST({_affine_hash_sql("o_orderkey")} + 1 AS DOUBLE) / {_HASH_MOD + 1}.0)
       / CAST(o_totalprice AS DOUBLE) AS sample_priority
   FROM orders WHERE o_totalprice > 0
 ), ranked AS (

@@ -413,13 +413,13 @@ CROSS_SOURCE_DUP_SQL = _cross_source_sql()
 # size (eval docs to drop). Output bounded by 3×3 split pairs.
 # ---------------------------------------------------------------------------
 from burla_spark.plans.mlprep import (  # noqa: E402 — same split assignment
-    _HASH_MOD as _SPLIT_MOD,
-    _HASH_MULT as _SPLIT_MULT,
+    _affine_hash as _split_hash,
+    _affine_hash_sql as _split_hash_sql,
 )
 
 
 def _split3(key):
-    b = (key * F.lit(_SPLIT_MULT)) % F.lit(_SPLIT_MOD) % F.lit(100)
+    b = _split_hash(key) % F.lit(100)
     return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
 
 
@@ -466,8 +466,8 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _split_leakage_sql() -> str:
     from burla_spark.plans.llm import NGRAM_JACCARD_SQL
 
-    bucket_a = f"(id_a * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100"
-    bucket_b = f"(id_b * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100"
+    bucket_a = f"{_split_hash_sql('id_a')} % 100"
+    bucket_b = f"{_split_hash_sql('id_b')} % 100"
     return f"""
 WITH pr AS ({NGRAM_JACCARD_SQL}),
 lab AS (

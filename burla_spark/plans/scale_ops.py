@@ -35,8 +35,12 @@ from burla_spark.sources.tables import load_table
 
 # Same multiplicative-hash family as plans/mlprep.py — exact BIGINT
 # arithmetic on both engines, membership stable across partitionings.
-_HASH_MULT = 2654435761
-_HASH_MOD = 1000000007
+# Overflow-safe modmul helpers imported so all call sites share the
+# key-reduced form that never wraps int64 (mlprep.py's rationale).
+from burla_spark.plans.mlprep import (  # noqa: E402
+    _affine_hash,
+    _affine_hash_sql,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -289,7 +293,7 @@ ORDER BY pos
 # ---------------------------------------------------------------------------
 def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    bucket = (F.col("c_custkey") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD) % F.lit(100)
+    bucket = _affine_hash(F.col("c_custkey")) % F.lit(100)
     keep_pct = (
         F.when(F.col("c_mktsegment") == "BUILDING", 10)
         .when(F.col("c_mktsegment") == "AUTOMOBILE", 25)
@@ -311,7 +315,7 @@ SELECT c_mktsegment,
        COUNT(*) AS n_sampled,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sampled_acctbal
 FROM customer
-WHERE (c_custkey * {_HASH_MULT}) % {_HASH_MOD} % 100 <
+WHERE {_affine_hash_sql("c_custkey")} % 100 <
       CASE c_mktsegment WHEN 'BUILDING' THEN 10
                         WHEN 'AUTOMOBILE' THEN 25
                         ELSE 50 END

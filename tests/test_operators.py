@@ -824,3 +824,46 @@ def test_neardup_verify_never_broadcasts_the_corpus(spark, sf_dir):
         "verify stage carries a broadcast hint on the corpus-sized "
         "vector relation:\n" + plan[:2000]
     )
+
+
+def test_affine_hash_is_overflow_safe_and_matches_naive(spark):
+    """The split/sample hash is ((key % P) * (MULT % P)) % P — modmul,
+    not the naive (key * MULT) % P. Two contracts: (1) for small keys
+    the modmul equals the naive form (so every existing oracle is
+    unchanged); (2) for keys above ~3.5e9 — where the naive form wraps
+    int64 in Spark and raises in DuckDB — Spark and DuckDB agree on
+    the modmul value (ADVICE r11: split_leakage_audit divergence)."""
+    import duckdb
+
+    from burla_spark.plans.mlprep import (
+        _HASH_MOD,
+        _HASH_MULT,
+        _affine_hash,
+        _affine_hash_sql,
+    )
+
+    small = [1, 7, 1000003, 3_400_000_000]
+    big = [3_500_000_001, 2**40 + 17, 2**62 + 3, 9_223_372_036_854_775_783]
+    keys = small + big
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["h"]
+        for r in df.select("k", _affine_hash(F.col("k")).alias("h")).collect()
+    }
+    # Python ints are arbitrary precision: the true mathematical value.
+    for k in keys:
+        assert got[k] == (k * _HASH_MULT) % _HASH_MOD, k
+    # naive form would have overflowed signed int64 for every big key
+    # (sanity on the premise of this test)
+    for k in big:
+        assert k * _HASH_MULT > 2**63 - 1
+
+    con = duckdb.connect()
+    for k in keys:
+        # cast: a bare literal parses as INT32 in DuckDB; real call
+        # sites always feed a BIGINT column
+        (dv,) = con.execute(
+            f"SELECT {_affine_hash_sql(f'CAST({k} AS BIGINT)')}"
+        ).fetchone()
+        assert dv == got[k], k

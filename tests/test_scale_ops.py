@@ -168,7 +168,7 @@ def test_stratified_sample_partition_invariant(spark, sf_dir):
     # exact same membership (hash split, not sample()).
     c = load_table(spark, sf_dir, "customer").repartition(13)
     c.createOrReplaceTempView("__strat_cust")
-    from burla_spark.plans.scale_ops import _HASH_MOD, _HASH_MULT
+    from burla_spark.plans.mlprep import _affine_hash_sql
 
     b = {
         tuple(r)
@@ -178,7 +178,7 @@ def test_stratified_sample_partition_invariant(spark, sf_dir):
                    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
                      AS sampled_acctbal
             FROM __strat_cust
-            WHERE (c_custkey * {_HASH_MULT}) % {_HASH_MOD} % 100 <
+            WHERE {_affine_hash_sql("c_custkey")} % 100 <
                   CASE c_mktsegment WHEN 'BUILDING' THEN 10
                                     WHEN 'AUTOMOBILE' THEN 25
                                     ELSE 50 END
