@@ -593,6 +593,14 @@ def build_pq_index(
     if codebooks is not None:
         # driver-adjudication mode (round 11): caller-pinned codebooks
         # (normalized space) — the k-means fit was the one non-SQL stage
+        if len(codebooks[0]) == 0:
+            # pinned mode on an empty corpus (pinned books are data-
+            # derived) → same empty-index path as the trained fit, so
+            # the encode UDF is never handed a zero-codeword argmin
+            empty = c.withColumn(
+                "__code", F.array().cast("array<smallint>")
+            ).select("neighbor_id", "__code")
+            return PqIndex(np.zeros((n_subspaces, 1, dsub)), empty)
         books = np.array(codebooks, dtype=np.float64)
         known_n = None
     else:

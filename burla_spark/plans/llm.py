@@ -2698,7 +2698,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     were already byte-true; the expansion stage wasn't).
 
     100 TB shape: pure map-side Arrow expansion, no shuffle until the
-    final order; frame bytes never leave the executor (only the md5)."""
+    final order; frame bytes never leave the executor — each frame is
+    reduced IN the map stage to (byte count, md5 of its hex encoding),
+    so the global sort moves 40 bytes per frame, not the payload.
+    (md5-of-hex rather than md5-of-bytes because the oracle side only
+    exposes md5(VARCHAR), and a stride slice can split a multi-byte
+    char — hex is injective, so the fingerprint is still byte-true.
+    ADVICE r11: the first version shipped the full hex through the
+    sort, contradicting this paragraph.)"""
     from burla_spark.operators import multimodal as mm
 
     stride = 64
@@ -2712,7 +2719,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "frame_no",
         F.octet_length("frame").cast("long").alias("frame_bytes"),
-        F.hex("frame").alias("frame_hex"),
+        F.md5(F.encode(F.hex("frame"), "utf-8")).alias("frame_md5"),
     ).orderBy("doc_id", "frame_no")
 
 
@@ -2737,7 +2744,7 @@ frames AS (
 )
 SELECT doc_id, frame_no,
        CAST(length(frame_hex) // 2 AS BIGINT) AS frame_bytes,
-       frame_hex
+       md5(frame_hex) AS frame_md5
 FROM frames
 ORDER BY doc_id, frame_no
 """

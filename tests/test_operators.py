@@ -867,3 +867,27 @@ def test_affine_hash_is_overflow_safe_and_matches_naive(spark):
             f"SELECT {_affine_hash_sql(f'CAST({k} AS BIGINT)')}"
         ).fetchone()
         assert dv == got[k], k
+
+
+def test_pq_pinned_empty_corpus_matches_sibling_builders(spark):
+    """ADVICE r11: build_ivf_index/build_ivfpq_index got an early
+    return for pinned mode on an empty corpus, build_pq_index didn't —
+    it relied on the encode UDF never seeing a batch. The guard must be
+    symmetric: pinned (8, 0, 8) codebooks on an empty corpus yield an
+    empty code table and a 1-codeword placeholder book, and a pq_topk
+    over that index returns zero rows instead of raising."""
+    import numpy as np
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    books = np.zeros((8, 0, 8))
+    idx = sim.build_pq_index(empty, "vec_id", "embedding", codebooks=books)
+    assert idx.codes.count() == 0
+    assert idx.codebooks.shape == (8, 1, 8)
+
+    q = spark.createDataFrame(
+        [(0, [1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    out = sim.pq_topk(
+        q, empty, "vec_id", "vec_id", "embedding", "embedding", k=5, index=idx
+    )
+    assert out.count() == 0
