@@ -89,8 +89,21 @@ def _replay_width(spark: SparkSession):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def run_stream_to_table(stream_df: DataFrame, name: str, output_mode: str) -> None:
-    """Execute a streaming DataFrame to completion into a memory sink."""
+def run_stream_to_table(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str,
+    assert_single_batch: bool = False,
+) -> None:
+    """Execute a streaming DataFrame to completion into a memory sink.
+
+    ``assert_single_batch`` is for operators whose oracle equivalence
+    depends on the replay arriving time-ordered ACROSS micro-batches
+    (stream_burst_throttle's last-seen-ts state): it verifies from the
+    query's progress history that at most one micro-batch carried rows,
+    so a future maxFilesPerTrigger/multi-file change that silently
+    splits the replay fails loudly here instead of diverging the
+    oracle."""
     with _replay_width(stream_df.sparkSession):
         q = (
             stream_df.writeStream.format("memory")
@@ -100,6 +113,17 @@ def run_stream_to_table(stream_df: DataFrame, name: str, output_mode: str) -> No
             .start()
         )
         q.awaitTermination()
+        if assert_single_batch:
+            data_batches = [
+                p for p in q.recentProgress if p["numInputRows"] > 0
+            ]
+            if len(data_batches) > 1:
+                raise AssertionError(
+                    f"{name}: replay split into {len(data_batches)} "
+                    "data-bearing micro-batches; the last-seen-ts state "
+                    "contract requires a single ordered batch (see "
+                    "stream_burst_throttle docstring)"
+                )
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,8 +250,19 @@ def stream_burst_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     last SEEN event's timestamp across micro-batches, so an event
     survives exactly when no previous same-key event fell within the
     window — the identical rule the batch window-lag plan applies,
-    which is why the batch SQL is an exact oracle. Replayed batches
-    arrive time-ordered (file source), matching the lag's ts ordering.
+    which is why the batch SQL is an exact oracle.
+
+    ORDERING CONTRACT (ADVICE r11): the state is only the LAST-SEEN
+    timestamp per key, so equivalence to the batch LAG oracle requires
+    every micro-batch to arrive in global ts order across batches
+    (within a batch the UDF sorts). The hermetic replay guarantees
+    this by construction — ``events_stream`` never sets
+    ``maxFilesPerTrigger``, so availableNow drains the fixture in ONE
+    micro-batch (asserted below via the progress history). A
+    production feed with cross-batch out-of-order events needs the
+    watermark-buffered variant (hold rows until watermark, emit in ts
+    order) — this operator documents that it implements the in-order
+    contract, not that one.
 
     100 TB shape: state is ONE long per live (user, type) key; the
     shuffle is the same single keyed exchange as the batch plan."""
@@ -262,7 +297,9 @@ def stream_burst_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    run_stream_to_table(kept, "stream_burst_throttle", "append")
+    run_stream_to_table(
+        kept, "stream_burst_throttle", "append", assert_single_batch=True
+    )
     return spark.table("stream_burst_throttle")
 
 
