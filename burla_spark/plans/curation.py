@@ -959,15 +959,32 @@ FROM merged ORDER BY tot DESC, o_custkey LIMIT 25
 # doc_id = no ingest position = excluded, both engines (nullkey rule).
 # ---------------------------------------------------------------------------
 def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .filter(F.col("doc_id").isNotNull())
+    return ngram_novelty_decay_of(load_table(spark, sf_dir, "documents"))
+
+
+def ngram_novelty_decay_of(
+    corpus: DataFrame, rank_col: str | None = None
+) -> DataFrame:
+    """Novelty decay over any (source, doc_id, text) corpus frame.
+
+    ``rank_col`` names a column already carrying the 1-based
+    per-source ingest rank (a production feed has one natively —
+    VERDICT r11 #5: deriving it here is a full per-source sort of the
+    corpus at 100 TB). Absent, rank falls back to a row_number window
+    over doc_id — the replayable fixture path the oracle uses."""
+    d = corpus.filter(F.col("text").isNotNull()).filter(
+        F.col("doc_id").isNotNull()
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    sized = d.select(
-        "source", "doc_id", F.split(F.col("text"), " ", -1).alias("toks")
-    ).withColumn("drank", F.row_number().over(w))
+    toks = F.split(F.col("text"), " ", -1).alias("toks")
+    if rank_col is not None:
+        sized = d.select(
+            "source", F.col(rank_col).cast("long").alias("drank"), toks
+        )
+    else:
+        w = Window.partitionBy("source").orderBy("doc_id")
+        sized = d.select("source", "doc_id", toks).withColumn(
+            "drank", F.row_number().over(w)
+        )
     grams8 = F.when(
         F.size("toks") >= 8,
         F.expr(

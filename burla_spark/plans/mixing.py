@@ -664,21 +664,34 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve — stated explicitly on both engine sides because the engines
     disagree on NULL placement in window orderings (Spark sorts NULLS
     FIRST ascending, DuckDB NULLS LAST)."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .filter(F.col("doc_id").isNotNull())
+    return heaps_vocab_growth_of(load_table(spark, sf_dir, "documents"))
+
+
+def heaps_vocab_growth_of(
+    corpus: DataFrame, rank_col: str | None = None
+) -> DataFrame:
+    """Heaps'-law growth over any (source, doc_id, text) corpus frame.
+
+    ``rank_col`` names a column that ALREADY carries the 1-based
+    per-source ingest rank — the shape a production feed has natively
+    (VERDICT r11 #5: deriving it here costs a full per-source sort of
+    the corpus at 100 TB). When absent, the rank falls back to a
+    row_number window over doc_id — the replayable fixture path the
+    registry spec and oracle use."""
+    d = corpus.filter(F.col("text").isNotNull()).filter(
+        F.col("doc_id").isNotNull()
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    sized = (
-        d.select(
-            "source",
-            "doc_id",
-            F.split(F.lower(F.trim("text")), r"\s+").alias("toks"),
+    toks = F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
+    if rank_col is not None:
+        sized = d.select(
+            "source", F.col(rank_col).cast("long").alias("drank"), toks
         )
-        .withColumn("drank", F.row_number().over(w))
-        .withColumn("n_toks", F.size("toks").cast("long"))
-    )
+    else:
+        w = Window.partitionBy("source").orderBy("doc_id")
+        sized = d.select("source", "doc_id", toks).withColumn(
+            "drank", F.row_number().over(w)
+        )
+    sized = sized.withColumn("n_toks", F.size("toks").cast("long"))
     maxr = sized.groupBy("source").agg(F.max("drank").alias("max_rank"))
     cpts = (
         sized.select("source", "drank")

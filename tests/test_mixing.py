@@ -177,3 +177,48 @@ def test_heaps_beta_separates_novel_from_saturated(spark, tmp_path):
     assert nv.heaps_beta == 1.0 and nv.heaps_r2 == 1.0
     assert fl.heaps_beta < 0.2, "saturated vocabulary must flatten beta"
     assert nv.heaps_beta - fl.heaps_beta > 0.8
+
+
+def test_native_ingest_rank_column_matches_window_fallback(spark, sf_dir):
+    """VERDICT r11 #5: heaps_vocab_growth / ngram_novelty_decay must
+    accept a feed-carried ingest-rank column so the per-source
+    row_number window is only the fixture fallback. Feeding a SHUFFLED
+    corpus whose explicit rank column equals the rank the window would
+    derive must reproduce the registry output exactly."""
+    from pyspark.sql import Window
+
+    from burla_spark.plans.curation import (
+        ngram_novelty_decay,
+        ngram_novelty_decay_of,
+    )
+    from burla_spark.plans.mixing import (
+        heaps_vocab_growth,
+        heaps_vocab_growth_of,
+    )
+    from burla_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = (
+        d.select("source", "doc_id", "text")
+        .withColumn("ingest_rank", F.row_number().over(w))
+        # destroy the storage order so only the explicit column carries it
+        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .repartition(7)
+    )
+
+    want_h = {tuple(r) for r in heaps_vocab_growth(spark, sf_dir).collect()}
+    got_h = {
+        tuple(r)
+        for r in heaps_vocab_growth_of(ranked, rank_col="ingest_rank").collect()
+    }
+    assert got_h == want_h
+
+    want_n = {tuple(r) for r in ngram_novelty_decay(spark, sf_dir).collect()}
+    got_n = {
+        tuple(r)
+        for r in ngram_novelty_decay_of(ranked, rank_col="ingest_rank").collect()
+    }
+    assert got_n == want_n
