@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query (omitted for hash-based ops whose
-    candidate generation has no DuckDB twin — driver does rows-only)."""
+    """DuckDB oracle SQL per query. Since round 12 EVERY registry spec
+    carries one (randomized/trained production configs run behind
+    deterministic driver-adjudication modes; see PROPERTIES_r{N})."""
     return registry.oracle_sql()

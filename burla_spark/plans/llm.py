@@ -6,8 +6,9 @@ driver-adjudication modes — md5-family hashes, pinned planes/
 centroids/codebooks, generated iteration unrolls — while their
 xxhash64/trained production configurations keep the identical
 pipeline code and are property-gated (PROPERTIES_r{N}.json via
-properties_report.py). The one exception is compression_ratio_scores
-(zlib has no SQL twin — rows-only + property gate).
+properties_report.py). compression_ratio_scores joined the pattern in
+round 12: the ngram8 dictionary-coder ratio is the adjudication mode,
+zlib stays the property-gated production signal.
 """
 
 from __future__ import annotations
@@ -2366,19 +2367,75 @@ GROUP BY big.doc_id ORDER BY big.doc_id
 """
 
 
-def compression_ratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def compression_ratio_scores(
+    spark: SparkSession, sf_dir: str, mode: str = "ngram8"
+) -> DataFrame:
     """Compression-ratio quality signal (Gopher/RedPajama rule family):
     highly repetitive or templated docs compress far below natural
-    text, so zlib ratio is a cheap repetition detector that catches
-    what token-level stats miss (long-range boilerplate). zlib with a
-    fixed level is bit-deterministic, so results are stable across
-    runs and partitionings — but no SQL engine exposes it, so this is
-    a rows-only spec; the monotone repetitive-vs-varied property is
-    asserted in tests.
+    text, so a per-doc compressibility ratio is a cheap repetition
+    detector that catches what token-level stats miss (long-range
+    boilerplate). Two modes (VERDICT r11 #6 — closing the last
+    ``no_oracle`` ledger row):
 
-    100 TB shape: ONE scan through an Arrow-batched pandas UDF (zlib
-    releases the GIL; C-speed per batch), zero shuffles before the
-    driver ordering."""
+    - ``ngram8`` (registry/driver-adjudication default): ratio =
+      distinct 8-gram windows / total 8-gram windows within the doc —
+      a dictionary-coder's-eye view of the same repetition zlib
+      exploits (every repeated window is a back-reference), fully
+      SQL-replayable so the spec carries a real DuckDB hash row. A doc
+      shorter than 8 tokens is a single unit (ratio exactly 1.0).
+    - ``zlib`` (production signal): byte-true zlib level-6 ratio —
+      bit-deterministic across runs/partitionings, strictly separates
+      repetitive from varied text, but no SQL engine exposes zlib, so
+      it stays behind the PROPERTIES_r{N} gate
+      (test_compression_ratio_flags_repetition) rather than the
+      driver ledger.
+
+    Both modes: low ratio = repetitive. 100 TB shape: ngram8 is one
+    scan + one doc_id-keyed aggregate (the explode is map-side and the
+    partial agg combines before the shuffle); zlib is ONE scan through
+    an Arrow-batched pandas UDF (zlib releases the GIL; C-speed per
+    batch), zero shuffles before the driver ordering."""
+    d = load_table(spark, sf_dir, "documents")
+    if mode == "ngram8":
+        d = d.filter(F.col("text").isNotNull())
+        toks = F.split(F.col("text"), " ", -1)
+        units = F.when(
+            F.size("toks") >= 8,
+            F.expr(
+                "transform(sequence(1, size(toks) - 7),"
+                " i -> array_join(slice(toks, i, 8), ' '))"
+            ),
+        ).otherwise(F.array(F.array_join("toks", " ")))
+        return (
+            d.select(
+                "doc_id",
+                F.octet_length("text").cast("long").alias("n_bytes"),
+                toks.alias("toks"),
+            )
+            .select("doc_id", "n_bytes", F.explode(units).alias("unit"))
+            .groupBy("doc_id", "n_bytes")
+            .agg(
+                F.count("*").cast("long").alias("n_units"),
+                F.countDistinct("unit").cast("long").alias("n_distinct_units"),
+            )
+            .select(
+                "doc_id",
+                "n_bytes",
+                "n_units",
+                "n_distinct_units",
+                (
+                    F.round(
+                        F.col("n_distinct_units").cast("double")
+                        / F.col("n_units").cast("double"),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("ratio"),
+            )
+            .orderBy("doc_id")
+        )
+    if mode != "zlib":
+        raise ValueError(f"unknown mode {mode!r} (ngram8 | zlib)")
     import zlib
 
     import pandas as pd
@@ -2392,7 +2449,6 @@ def compression_ratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: len(zlib.compress(t.encode("utf-8"), 6))
         )
 
-    d = load_table(spark, sf_dir, "documents")
     return (
         d.select(
             "doc_id",
@@ -2409,6 +2465,33 @@ def compression_ratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# The oracle replays the ngram8 dictionary-coder ratio: the tail
+# (< 8 tokens) branch contributes the whole doc as one unit, exactly
+# like the Spark otherwise() arm. strlen = VARCHAR byte length.
+COMPRESSION_RATIO_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+         string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+), u AS (
+  SELECT doc_id, n_bytes, array_to_string(toks[i:i+7], ' ') AS unit
+  FROM d, LATERAL (SELECT UNNEST(generate_series(1, len(toks) - 7)) AS i)
+  WHERE len(toks) >= 8
+  UNION ALL
+  SELECT doc_id, n_bytes, array_to_string(toks, ' ') AS unit
+  FROM d WHERE len(toks) < 8
+)
+SELECT doc_id, n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_units,
+       CAST(COUNT(DISTINCT unit) AS BIGINT) AS n_distinct_units,
+       ROUND(CAST(COUNT(DISTINCT unit) AS DOUBLE) / COUNT(*), 6) + 0.0
+         AS ratio
+FROM u
+GROUP BY doc_id, n_bytes
+ORDER BY doc_id
+"""
 
 
 _CHUNK_SIZE = 128
@@ -2968,9 +3051,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "compression_ratio_scores",
         compression_ratio_scores,
-        None,  # zlib has no SQL twin; deterministic, property-tested
+        COMPRESSION_RATIO_SQL,
         ("text", "quality"),
-        doc="zlib compression-ratio repetition signal (Gopher rule family)",
+        doc="compressibility repetition signal (Gopher rule family): "
+        "ngram8 dictionary-coder ratio driver-adjudication mode "
+        "(oracle-exact since round 12); zlib production mode stays "
+        "property-gated (no SQL engine exposes zlib).",
     ),
     QuerySpec(
         "similarity_join_prefix_filter",

@@ -84,30 +84,24 @@ def all_specs() -> list[QuerySpec]:
     return specs
 
 
-# Round-11 rotation: the 11 formerly-no-oracle specs whose engines
-# gained deterministic driver-adjudication modes AND first-ever oracles
-# this round (VERDICT r10 'Next round #1' — the whole point is the
-# driver ledger finally carrying green hash-match rows for them), plus
-# multimodal_feature_extract (engine-side content-type routing changed,
-# ADVICE r10). The driver's 50-slot sample fills the rest from the
-# layer-interleaved rotation remainder.
+# Round-12 rotation (VERDICT r11 #8: every spec whose engine or oracle
+# changed this round front-loads into the driver's 50-slot sample).
 _DRIVER_PRIORITY = frozenset(
     {
-        # round-11: deterministic modes + first oracles — adjudicate all
-        "minhash_dedup_pairs", "simhash_dedup_groups", "dedup_components",
-        "embedding_lsh_topk", "embedding_ivf_topk", "embedding_pq_topk",
-        "embedding_ivfpq_topk", "embedding_neardup", "mmr_diversified_topk",
-        "kmeans_cluster_sizes", "hll_cardinality_sketch",
-        # round-11 engine change: text/* payloads skip the image header
-        # parser (ADVICE r10 magic-prefix fix)
-        "multimodal_feature_extract",
-        # round-11 NEW operators — first-ever driver adjudication
-        "encoding_hygiene_scores", "k_anonymity_audit",
-        "cross_source_dup_matrix", "heaps_vocab_growth",
-        "split_leakage_audit", "dedup_threshold_sweep",
-        "ngram_novelty_decay", "ann_recall_report",
-        "dedup_cluster_size_histogram", "stream_burst_throttle",
-        "multimodal_frame_sample", "embedding_hygiene_report",
+        # first-ever oracle this round: ngram8 dictionary-coder
+        # adjudication mode closed the last no_oracle ledger row
+        "compression_ratio_scores",
+        # engine+oracle changed: frame evidence reduced to md5-of-hex
+        "multimodal_frame_sample",
+        # engine changed: optional feed-carried ingest-rank column
+        "heaps_vocab_growth", "ngram_novelty_decay",
+        # engine changed: single-batch replay assertion
+        "stream_burst_throttle",
+        # engine+oracle changed: overflow-safe modmul affine hash
+        "split_leakage_audit", "train_test_split_stats",
+        "group_sample_rows", "weighted_sample_orders",
+        "stratified_sample_stats", "source_frequency_cap",
+        "importance_acceptance_sample", "incremental_dedup_new_docs",
     }
 )
 

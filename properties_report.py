@@ -1,12 +1,12 @@
 """Machine-readable property-gate report for the registry specs whose
 PRODUCTION configurations are randomized/trained (and therefore not
-DuckDB-replayable), plus the one spec with no oracle at all
-(``compression_ratio_scores`` — zlib has no SQL twin).
+DuckDB-replayable).
 
-Round-11 context: every formerly-``no_oracle`` registry spec except
-``compression_ratio_scores`` now runs a deterministic
-driver-adjudication mode with a full DuckDB oracle (see plans/llm.py,
-plans/scale_ops.py). This report is the OTHER half of the evidence —
+Round-12 context: every registry spec now runs a deterministic
+driver-adjudication mode with a full DuckDB oracle — round 12 closed
+the last one, ``compression_ratio_scores``, whose adjudication mode is
+the ngram8 dictionary-coder ratio while zlib stays the production
+signal gated here. This report is the OTHER half of the evidence —
 the pytest recall/precision/error-bound gates that cover the
 production (xxhash / trained-fit / MLlib) configurations the
 deterministic modes pin away, emitted as a round artifact
@@ -26,10 +26,11 @@ import time
 
 # spec name -> (property description, pytest node ids that gate it)
 PROPERTY_GATES: dict[str, tuple[str, list[str]]] = {
-    "compression_ratio_scores": (
-        "zlib level-6 ratio is bit-deterministic across runs/partitionings "
-        "and strictly separates repetitive from varied text (no SQL oracle "
-        "exists: no SQL engine exposes zlib)",
+    "compression_ratio_scores[production:zlib]": (
+        "zlib level-6 ratio is bit-deterministic across runs/partitionings, "
+        "strictly separates repetitive from varied text, and agrees with "
+        "the ngram8 adjudication mode on what it flags (no SQL engine "
+        "exposes zlib, so the production mode stays gated here)",
         ["tests/test_operators.py::test_compression_ratio_flags_repetition"],
     ),
     "minhash_dedup_pairs[production:xxhash64]": (

@@ -565,11 +565,14 @@ def test_funnel_stages_are_monotone_and_ordered(spark, sf_dir):
 
 
 def test_compression_ratio_flags_repetition(spark, sf_dir):
-    """A doc made of one repeated token must compress far below a
-    varied doc, and the signal must be partition-invariant."""
+    """zlib production mode: a doc made of one repeated token must
+    compress far below a varied doc, and the signal must be
+    partition-invariant. The ngram8 adjudication mode must flag the
+    same repetitive doc (low ratio) so the two signals agree on what
+    they exist to detect."""
     from burla_spark.plans.llm import compression_ratio_scores
 
-    rows = compression_ratio_scores(spark, sf_dir).collect()
+    rows = compression_ratio_scores(spark, sf_dir, mode="zlib").collect()
     assert rows and all(0 < r.ratio for r in rows if r.n_bytes)
     ratios = {r.doc_id: r.ratio for r in rows}
     df = spark.createDataFrame(
@@ -579,10 +582,27 @@ def test_compression_ratio_flags_repetition(spark, sf_dir):
     import tempfile, os
     d = tempfile.mkdtemp()
     df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
-    synth = {r.doc_id: r.ratio for r in compression_ratio_scores(spark, d).collect()}
+    synth = {
+        r.doc_id: r.ratio
+        for r in compression_ratio_scores(spark, d, mode="zlib").collect()
+    }
     assert synth[1] < synth[2] / 3  # repetition compresses dramatically better
-    again = {r.doc_id: r.ratio for r in compression_ratio_scores(spark, sf_dir).collect()}
+    again = {
+        r.doc_id: r.ratio
+        for r in compression_ratio_scores(spark, sf_dir, mode="zlib").collect()
+    }
     assert again == ratios
+
+    # ngram8 adjudication mode sees the same repetition: the all-"spam"
+    # doc collapses to ~one distinct 8-gram (two: the trailing space
+    # yields one empty-token window), the varied doc has all-distinct
+    # windows (ratio 1.0).
+    ng = {
+        r.doc_id: r
+        for r in compression_ratio_scores(spark, d, mode="ngram8").collect()
+    }
+    assert ng[1].n_distinct_units <= 2 and ng[1].ratio < 0.02
+    assert ng[2].ratio == 1.0
 
 
 def test_ivfpq_topk_recall_vs_bruteforce(spark, sf_dir):
