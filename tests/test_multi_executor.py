@@ -62,6 +62,38 @@ gen = remote_parallel_map(
 assert sorted(gen) == list(range(1, 17)), "generator across executors"
 assert len(logs) == 16, f"live logs across executors: {len(logs)}"
 
+# --- round 12 (VERDICT r11 #3): the A11/A14 driver-TCP side-channels
+# under REAL cross-process executors — local[*] can't catch a listener
+# bound to the wrong host or one that only works same-process.
+# (a) completion ORDER is observable: input 0 sleeps, so the first
+#     yielded result must come from a faster input — the stream is
+#     completion-ordered, not input-ordered;
+# (b) per-input logs arrive MID-job: by the time the first result is
+#     consumed, at least one executor log has already crossed the
+#     socket while the slow input is still running.
+import time as _tmx
+
+logs2 = []
+
+def _slow0(x):
+    if x == 0:
+        _tmx.sleep(4)
+    print("mark %%d" %% x)
+    return x
+
+gen2 = remote_parallel_map(
+    _slow0, range(16), spark=spark, generator=True,
+    stdout_sink=lambda idx, text: logs2.append(idx),
+)
+it = iter(gen2)
+first = next(it)
+assert first != 0, "completion order: slow input 0 must not yield first"
+assert len(logs2) >= 1, "live log must arrive before the job drains"
+rest = [first] + list(it)
+assert sorted(rest) == list(range(16)), "generator drain"
+assert sorted(set(logs2)) == list(range(16)), "all per-input logs delivered"
+print("GENERATOR_SIDE_CHANNEL_OK")
+
 try:
     remote_parallel_map(lambda x: 1 / x, [1, 0], spark=spark)
     raise AssertionError("expected error")
@@ -214,6 +246,19 @@ def test_two_executor_cluster_end_to_end(sf_dir, tmp_path_factory):
     r = _cluster_run(sf_dir, tmp_path_factory)
     assert r["rc"] == 0, r["err"][-3000:]
     assert "MULTI_EXECUTOR_OK" in r["out"], r["out"][-2000:] + r["err"][-2000:]
+
+
+def test_cluster_generator_and_live_log_side_channels(
+    sf_dir, tmp_path_factory
+):
+    """VERDICT r11 #3: A11 completion-ordered generator + A14 live log
+    streaming bind a driver TCP listener that executors dial back —
+    assert completion order is observed and per-input logs arrive
+    mid-job across REAL executor processes."""
+    r = _cluster_run(sf_dir, tmp_path_factory)
+    assert "GENERATOR_SIDE_CHANNEL_OK" in r["out"], (
+        r["out"][-2000:] + r["err"][-2000:]
+    )
 
 
 def test_cluster_validated_fixture_cache(sf_dir, tmp_path_factory):
