@@ -139,6 +139,35 @@ plan = li._jdf.queryExecution().executedPlan().toString()
 assert "l_quantity" in plan[plan.find("PushedFilters"):][:200], plan[-500:]
 print("VALIDATED_FIXTURE_OK")
 
+# --- round 12 (VERDICT r11 #7): publish + re-read a validated copy
+# through an EXPLICIT file:-scheme root on a different FS root than
+# the driver cwd — proves the Hadoop-FS publish protocol (tmp write,
+# rename, _VALIDATED marker last) works against an explicit scheme
+# URI rather than the implicit default filesystem, the one branch a
+# POSIX-path-only run never exercises.
+import os as _os
+from burla_spark.sources.tables import validated_table_path
+
+vroot = "file://" + tempfile.mkdtemp(prefix="burla_mx_vroot_")
+_os.environ["SPARK_GRAFT_VALIDATED_DIR"] = vroot
+try:
+    p1 = validated_table_path(spark, %(sf)r, "embeddings")
+    assert p1.startswith(vroot), p1
+    # marker visible through the Hadoop FS view executors write through
+    from burla_spark.sources.tables import _hadoop_fs
+    fs, _ = _hadoop_fs(spark, p1)
+    marker = spark._jvm.org.apache.hadoop.fs.Path(p1 + "/_VALIDATED")
+    assert fs.exists(marker), "marker missing under file: scheme root"
+    emb = load_table(spark, %(sf)r, "embeddings").filter(F.col("vec_id") < 50)
+    assert emb.count() > 0, "validated copy readable via file: scheme"
+    eplan = emb._jdf.queryExecution().executedPlan().toString()
+    assert "vec_id" in eplan[eplan.find("PushedFilters"):][:200], eplan[-500:]
+    # second resolve must be a cache HIT (marker present, no rewrite)
+    assert validated_table_path(spark, %(sf)r, "embeddings") == p1
+finally:
+    del _os.environ["SPARK_GRAFT_VALIDATED_DIR"]
+print("VALIDATED_REMOTE_ROOT_OK")
+
 q = queries()
 assert len(q["q1_pricing_summary"](spark, %(sf)r).collect()) > 0
 assert len(q["pandas_udaf_grouped"](spark, %(sf)r).collect()) > 0
@@ -268,6 +297,20 @@ def test_cluster_validated_fixture_cache(sf_dir, tmp_path_factory):
     with real executor JVMs, with measure pushdown intact."""
     r = _cluster_run(sf_dir, tmp_path_factory)
     assert "VALIDATED_FIXTURE_OK" in r["out"], r["out"][-2000:] + r["err"][-2000:]
+
+
+def test_cluster_validated_cache_on_explicit_scheme_root(
+    sf_dir, tmp_path_factory
+):
+    """VERDICT r11 #7: publish + re-read a validated copy via an
+    explicit SPARK_GRAFT_VALIDATED_DIR carrying a file: scheme on a
+    different FS root than the driver cwd — the publish protocol must
+    hold through the Hadoop FileSystem resolved from the URI scheme,
+    with pushdown intact and the second resolve a cache hit."""
+    r = _cluster_run(sf_dir, tmp_path_factory)
+    assert "VALIDATED_REMOTE_ROOT_OK" in r["out"], (
+        r["out"][-2000:] + r["err"][-2000:]
+    )
 
 
 def test_cluster_ivf_pq_index_builds(sf_dir, tmp_path_factory):
