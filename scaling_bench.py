@@ -12,6 +12,10 @@ exists for.
 
 Run: ``python scaling_bench.py`` — prints one JSON line
 {"scale": 10, "queries": {name: {"t1": s, "t10": s, "ratio": r}}, ...}.
+``--x100`` adds the second decade: the DECADE2_QUERIES set (the worst
+×10 ratios of round 11) re-timed on a ×100 fixture, reporting
+cold-to-cold ``ratio10_100`` per query (VERDICT r11 #1 — the sf10
+TPC-H gate caught a decade-two cliff one-decade ratios hid).
 The pytest wrapper (tests/test_scaling_curve.py, env-gated
 BURLA_SCALING=1) asserts every ratio ≤ scale × slack.
 
@@ -33,6 +37,23 @@ BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALE = 10
 GEN_VERSION = "2"  # v2: word-prefix replica transform (see documents comment)
 SCALED_DIR = os.path.join(REPO_DIR, ".scaling", f"x{SCALE}")
+
+# Second decade (round 12, VERDICT r11 #1): the sf10 TPC-H gate proved
+# one-decade-sublinear can hide a decade-two cliff (q16's 22×), so the
+# worst ×10-ratio queries get a ×100 point too. Cold-to-cold single
+# runs: at ×100 a second timed run would double a ~20-min stage for a
+# ratio that cold numbers already expose, and the ×10 stage has
+# already warmed codegen for the same plans.
+DECADE2_SCALE = 100
+DECADE2_DIR = os.path.join(REPO_DIR, ".scaling", f"x{DECADE2_SCALE}")
+DECADE2_QUERIES = [
+    "simhash_md5_signatures", "winnowing_contamination_pairs",
+    "kmeans_cluster_sizes", "embedding_neardup",
+    "lsh_fixed_planes_buckets", "triangle_counts_part_graph",
+    "heavy_hitter_bigrams", "distinct_ngram_diversity",
+    "bigram_logprob_scores", "repeated_ngram_coverage",
+    "similarity_join_prefix_filter", "frequent_event_sequences",
+]
 
 # Per-key-domain offsets: replica i shifts each key by i * base, far
 # above any real key, so joins match only within a replica and total
@@ -94,12 +115,13 @@ QUERIES = [
 # by kmeans_cluster_sizes in this list.
 
 
-def generate_fixtures() -> None:
-    """Key-shifted ×SCALE replication of every table, via DuckDB."""
+def generate_fixtures(scale: int = SCALE, scaled_dir: str | None = None) -> None:
+    """Key-shifted ×scale replication of every table, via DuckDB."""
     import duckdb
 
-    os.makedirs(SCALED_DIR, exist_ok=True)
-    done_marker = os.path.join(SCALED_DIR, ".complete")
+    scaled_dir = scaled_dir or os.path.join(REPO_DIR, ".scaling", f"x{scale}")
+    os.makedirs(scaled_dir, exist_ok=True)
+    done_marker = os.path.join(scaled_dir, ".complete")
     if os.path.exists(done_marker):
         with open(done_marker) as fh:
             if fh.read().startswith(f"v{GEN_VERSION} "):
@@ -107,12 +129,12 @@ def generate_fixtures() -> None:
         # stale generator version: rebuild from scratch
         import shutil
 
-        shutil.rmtree(SCALED_DIR)
-        os.makedirs(SCALED_DIR, exist_ok=True)
+        shutil.rmtree(scaled_dir)
+        os.makedirs(scaled_dir, exist_ok=True)
     con = duckdb.connect()
     src = lambda t: f"read_parquet('{BASE_SF_DIR}/{t}.parquet')"  # noqa: E731
-    out = lambda t: os.path.join(SCALED_DIR, f"{t}.parquet")  # noqa: E731
-    rep = f"(SELECT UNNEST(generate_series(0, {SCALE - 1})) AS i) r"
+    out = lambda t: os.path.join(scaled_dir, f"{t}.parquet")  # noqa: E731
+    rep = f"(SELECT UNNEST(generate_series(0, {scale - 1})) AS i) r"
 
     copies = {
         # fixed dimensions: unchanged (25 nations / 5 regions at any SF)
@@ -192,17 +214,19 @@ def generate_fixtures() -> None:
         fh.write(f"v{GEN_VERSION} {time.time()}")
 
 
-def _time_queries(spark, specs, sf_dir: str) -> dict[str, tuple[float, float]]:
-    """(first_run, best_of_two) per query. For build-once operators
+def _time_queries(
+    spark, specs, sf_dir: str, n_runs: int = 2
+) -> dict[str, tuple[float, float]]:
+    """(first_run, best_of_n) per query. For build-once operators
     (minhash/neardup pairs tables) the FIRST run is the index build —
     the number that exposes candidate-generation scaling — and the
-    best-of-two is the steady-state read."""
+    best-of-n is the steady-state read."""
     t: dict[str, tuple[float, float]] = {}
     for spec in specs:
         print(f"[scaling] {sf_dir.rsplit('/', 1)[-1]} {spec.name} ...",
               file=sys.stderr, flush=True)
         times = []
-        for _ in range(2):  # 2nd run has codegen warm
+        for _ in range(n_runs):  # later runs have codegen warm
             t0 = time.perf_counter()
             # noop sink, not count(): a count() wrapper lets Catalyst
             # drop trailing sorts and prune output-only projections
@@ -218,7 +242,7 @@ def _time_queries(spark, specs, sf_dir: str) -> dict[str, tuple[float, float]]:
     return t
 
 
-def main() -> dict:
+def main(decade2: bool = False) -> dict:
     from burla_spark.plans.registry import all_specs
     from burla_spark.session import get_spark
 
@@ -241,16 +265,40 @@ def main() -> dict:
             # `ratio_cold` includes any build-once index construction.
             "ratio": round(s_best / max(b_best, 0.05), 2),
             "ratio_cold": round(s_cold / max(b_cold, 0.05), 2),
+            f"t{SCALE}_cold": s_cold,
         }
-    worst = max(queries.values(), key=lambda q: max(q["ratio"], q["ratio_cold"]))
-    return {
+    out = {
         "metric": "scaling_ratio",
         "scale": SCALE,
         "base_sf_dir": BASE_SF_DIR,
         "queries": queries,
-        "max_ratio": max(worst["ratio"], worst["ratio_cold"]),
+        "max_ratio": max(
+            max(q["ratio"], q["ratio_cold"]) for q in queries.values()
+        ),
         "n_queries": len(queries),
     }
+
+    if decade2:
+        generate_fixtures(DECADE2_SCALE, DECADE2_DIR)
+        specs2 = [s for s in all_specs() if s.name in set(DECADE2_QUERIES)]
+        d2 = _time_queries(spark, specs2, DECADE2_DIR, n_runs=1)
+        for name, (c100, _) in d2.items():
+            q = queries[name]
+            # cold-to-cold decade ratio ×10→×100: build-once operators
+            # pay their index build in BOTH numbers, so the ratio
+            # prices candidate-generation scaling, the thing decade two
+            # exists to expose. ≈10 is linear; the gate is one-sided.
+            q["t100"] = c100
+            q["ratio10_100"] = round(c100 / max(q[f"t{SCALE}_cold"], 0.05), 2)
+        d2_names = [n for n in queries if "ratio10_100" in queries[n]]
+        w2 = max(d2_names, key=lambda n: queries[n]["ratio10_100"])
+        out["decade2"] = {
+            "scale": DECADE2_SCALE,
+            "n_queries": len(d2_names),
+            "max_ratio10_100": queries[w2]["ratio10_100"],
+            "worst_query10_100": w2,
+        }
+    return out
 
 
 # Regression gate: the documented superlinear tails are data-shape-
@@ -264,15 +312,16 @@ if __name__ == "__main__":
     real_stdout = sys.stdout
     sys.stdout = sys.stderr
     try:
-        result = main()
+        result = main(decade2="--x100" in sys.argv)
     finally:
         sys.stdout = real_stdout
     print(json.dumps(result))
-    if result["max_ratio"] > GATE:
+    d2_max = result.get("decade2", {}).get("max_ratio10_100", 0)
+    if result["max_ratio"] > GATE or d2_max > GATE:
         print(
-            f"[scaling] GATE FAILED: max_ratio {result['max_ratio']} > "
-            f"{GATE} — a plan regressed superlinearly; see the 'queries' "
-            "map for the offender",
+            f"[scaling] GATE FAILED: max_ratio {result['max_ratio']} "
+            f"(decade2: {d2_max}) > {GATE} — a plan regressed "
+            "superlinearly; see the 'queries' map for the offender",
             file=sys.stderr,
         )
         sys.exit(1)
