@@ -696,6 +696,387 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# MinHash estimator-quality report (round 12) — the dedup twin of
+# ann_recall_report: on the VERIFIED near-dup pair table (which carries
+# exact Jaccard), re-derive each pair's signature-agreement estimate
+# (matching minhashes / 32) and report, per true-Jaccard band of 0.05,
+# the estimator's bias and error. This is the view that answers "are 32
+# hashes / 8 bands enough for this corpus" before scaling the index —
+# at 100 TB you tune the signature width on a slice with THIS table,
+# not by re-running dedup. Signatures are recomputed only for the docs
+# implicated in pairs (pair-table-bounded, not corpus-bounded); the
+# md5_affine family makes every number DuckDB-replayable.
+# ---------------------------------------------------------------------------
+def minhash_estimator_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from burla_spark.operators.dedup import (
+        MINHASH_AFFINE_P,
+        _affine_coeffs,
+        char_shingles,
+        md5_32bit_hash,
+    )
+    from burla_spark.plans.llm import _minhash_pairs
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .join(ids, "doc_id", "left_semi")
+    )
+
+    def perm(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_AFFINE_P)
+
+    coeffs = _affine_coeffs(32)
+    sigs = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(char_shingles(F.col("text"), 5), md5_32bit_hash)
+        ).alias("hs"),
+    ).select(
+        "doc_id",
+        F.array(
+            *[F.array_min(F.transform("hs", perm(a, b))) for a, b in coeffs]
+        ).alias("sig"),
+    )
+    est = (
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb")),
+            "id_b",
+        )
+        .select(
+            "jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v
+                )
+            )
+            .cast("long")
+            .alias("matches"),
+        )
+    )
+    err = F.abs(F.col("jaccard") - F.col("matches") / F.lit(32.0))
+    return (
+        est.withColumn(
+            "jaccard_band", F.floor(F.col("jaccard") * 20).cast("long")
+        )
+        .groupBy("jaccard_band")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            (F.round(F.avg("jaccard"), 6) + F.lit(0.0)).alias("mean_true"),
+            (
+                F.round(
+                    F.sum("matches").cast("double")
+                    / (F.lit(32.0) * F.count("*")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_est"),
+            (F.round(F.avg(err), 6) + F.lit(0.0)).alias("mean_abs_err"),
+            (F.round(F.max(err), 6) + F.lit(0.0)).alias("max_abs_err"),
+        )
+        .orderBy("jaccard_band")
+    )
+
+
+def _minhash_estimator_sql() -> str:
+    from burla_spark.plans.llm import _minhash_core_ctes
+
+    matches = " + ".join(
+        f"CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END" for j in range(32)
+    )
+    return f"""
+WITH {_minhash_core_ctes()},
+est AS (
+  SELECT p.jaccard, ({matches}) AS matches
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.id_a
+  JOIN sig b ON b.doc_id = p.id_b
+)
+SELECT CAST(FLOOR(jaccard * 20) AS BIGINT) AS jaccard_band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(jaccard), 6) + 0.0 AS mean_true,
+       ROUND(SUM(matches) / (32.0 * COUNT(*)), 6) + 0.0 AS mean_est,
+       ROUND(AVG(ABS(jaccard - matches / 32.0)), 6) + 0.0 AS mean_abs_err,
+       ROUND(MAX(ABS(jaccard - matches / 32.0)), 6) + 0.0 AS max_abs_err
+FROM est
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup token-savings report (round 12) — the ROI accounting a curation
+# team actually reads: per source, how many documents and TOKENS does
+# resolving the near-dup components remove (keep the component minimum,
+# drop the rest)? Joins the build-once exact component table against
+# per-doc token counts; at 100 TB both sides are doc_id-keyed (the
+# component table is pair-structure-sized, the token count is one
+# map-side projection), so the join shuffles ids + one long, not text.
+# ---------------------------------------------------------------------------
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from burla_spark.plans.llm import _ngram_components
+
+    comps = _ngram_components(spark, sf_dir)
+    removed = (
+        comps.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+        .withColumn("is_removed", F.lit(True))
+    )
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+    )
+    return (
+        t.join(removed, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("is_removed"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_removed"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum(F.when(F.col("is_removed"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_removed"),
+        )
+        .withColumn(
+            "pct_tokens_removed",
+            F.round(
+                F.col("tokens_removed").cast("double")
+                / F.col("tokens_total").cast("double"),
+                6,
+            )
+            + F.lit(0.0),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_token_savings_sql() -> str:
+    from burla_spark.plans.llm import DEDUP_COMPONENTS_EXACT_SQL
+
+    return rf"""
+WITH comp AS MATERIALIZED ({DEDUP_COMPONENTS_EXACT_SQL}),
+removed AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(r.doc_id) AS BIGINT) AS n_docs_removed,
+  CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_total,
+  CAST(COALESCE(SUM(CASE WHEN r.doc_id IS NOT NULL THEN t.n_tokens END), 0)
+       AS BIGINT) AS tokens_removed,
+  ROUND(CAST(COALESCE(SUM(CASE WHEN r.doc_id IS NOT NULL THEN t.n_tokens END),
+                      0) AS DOUBLE)
+        / SUM(t.n_tokens), 6) + 0.0 AS pct_tokens_removed
+FROM t LEFT JOIN removed r ON t.doc_id = r.doc_id
+GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Packing-efficiency curve (round 12) — the pad-vs-pack ROI view for
+# choosing a training context length: for each candidate length L,
+# every doc occupies ceil(n_tokens/L) padded sequences, and utilization
+# = real tokens / padded capacity. The curve (one row per L) is what a
+# pipeline reads before committing a context length; sequence_packing
+# then builds the chosen layout. One corpus scan, a 4-way literal
+# explode, integer arithmetic end-to-end.
+# ---------------------------------------------------------------------------
+_PACK_CTXS = (256, 512, 1024, 2048)
+
+
+def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias(
+                "n_tokens"
+            )
+        )
+    )
+    per = t.select(
+        "n_tokens",
+        F.explode(F.array(*[F.lit(c) for c in _PACK_CTXS])).alias("ctx_len"),
+    ).withColumn(
+        "n_seq", F.expr("(n_tokens + ctx_len - 1) div ctx_len")
+    )
+    return (
+        per.groupBy("ctx_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_seq") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_multi_seq_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_seq").cast("long").alias("n_sequences"),
+            (F.sum("n_seq") * F.first("ctx_len")).cast("long").alias(
+                "padded_tokens"
+            ),
+        )
+        .withColumn(
+            "utilization",
+            F.round(
+                F.col("total_tokens").cast("double")
+                / F.col("padded_tokens").cast("double"),
+                6,
+            )
+            + F.lit(0.0),
+        )
+        .select(
+            F.col("ctx_len").cast("long").alias("ctx_len"),
+            "n_docs",
+            "n_multi_seq_docs",
+            "total_tokens",
+            "n_sequences",
+            "padded_tokens",
+            "utilization",
+        )
+        .orderBy("ctx_len")
+    )
+
+
+PACKING_EFFICIENCY_SQL = rf"""
+WITH t AS (
+  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), per AS (
+  SELECT n_tokens, c.ctx_len,
+         (n_tokens + c.ctx_len - 1) // c.ctx_len AS n_seq
+  FROM t, (SELECT UNNEST({list(_PACK_CTXS)}) AS ctx_len) c
+)
+SELECT CAST(ctx_len AS BIGINT) AS ctx_len,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN n_seq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_multi_seq_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(n_seq) AS BIGINT) AS n_sequences,
+  CAST(SUM(n_seq) * ctx_len AS BIGINT) AS padded_tokens,
+  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / (SUM(n_seq) * ctx_len), 6) + 0.0
+    AS utilization
+FROM per
+GROUP BY ctx_len ORDER BY ctx_len
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ingest-rate anomaly report (round 12) — per event type, the 10-minute
+# arrival-rate profile with exact-integer variance: burst/outage
+# detection over an ingest feed. The z-score machinery is derived from
+# BIGINT (sum, sum-of-squares) aggregates so engine and oracle agree to
+# the bit before the final rounded doubles; buckets are epoch-aligned
+# integer microsecond division. Output is one row per event type
+# (bucket table stays internal), so the report is O(types).
+# ---------------------------------------------------------------------------
+def ingest_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    )
+    buckets = (
+        e.select(
+            "event_type", F.expr("unix_micros(ts) div 600000000").alias("b")
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    stats = buckets.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        F.max("c").cast("long").alias("peak_rate"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_buckets")
+    # population variance from exact integer sums: (ss - s^2/n) / n
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n_buckets")
+    ) / F.col("n_buckets")
+    joined = buckets.join(
+        stats.select("event_type", "n_buckets", "s", "ss", "peak_rate"),
+        "event_type",
+    ).withColumn(
+        "z",
+        F.when(
+            var > 0, (F.col("c") - mean) / F.sqrt(var)
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.first("n_buckets").alias("n_buckets"),
+            (F.round(F.first("s").cast("double") / F.first("n_buckets"), 6)
+             + F.lit(0.0)).alias("mean_rate"),
+            F.first("peak_rate").alias("peak_rate"),
+            F.sum(F.when(F.abs(F.col("z")) >= 3.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalous_buckets"),
+            (F.round(F.max("z"), 6) + F.lit(0.0)).alias("max_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+INGEST_RATE_ANOMALY_SQL = """
+WITH buckets AS (
+  SELECT event_type, epoch_us(ts) // 600000000 AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss,
+         CAST(MAX(c) AS BIGINT) AS peak_rate
+  FROM buckets GROUP BY 1
+), z AS (
+  SELECT b.event_type, s.n_buckets, s.s, s.peak_rate,
+         CASE WHEN (CAST(s.ss AS DOUBLE)
+                    - CAST(s.s AS DOUBLE) * s.s / s.n_buckets) / s.n_buckets
+                   > 0
+              THEN (b.c - CAST(s.s AS DOUBLE) / s.n_buckets)
+                   / sqrt((CAST(s.ss AS DOUBLE)
+                           - CAST(s.s AS DOUBLE) * s.s / s.n_buckets)
+                          / s.n_buckets)
+              ELSE 0.0 END AS z
+  FROM buckets b JOIN stats s ON b.event_type = s.event_type
+)
+SELECT event_type,
+       CAST(MIN(n_buckets) AS BIGINT) AS n_buckets,
+       ROUND(CAST(MIN(s) AS DOUBLE) / MIN(n_buckets), 6) + 0.0 AS mean_rate,
+       CAST(MIN(peak_rate) AS BIGINT) AS peak_rate,
+       CAST(SUM(CASE WHEN ABS(z) >= 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalous_buckets,
+       ROUND(MAX(z), 6) + 0.0 AS max_z
+FROM z
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 SPECS = [
     QuerySpec(
         "embedding_hygiene_report",
@@ -769,5 +1150,40 @@ SPECS = [
         oracle=DATA_QUALITY_SQL,
         tags=("quality", "agg", "scale"),
         doc="declarative constraint checks in one aggregate pass",
+    ),
+    QuerySpec(
+        "minhash_estimator_quality",
+        minhash_estimator_quality,
+        _minhash_estimator_sql(),
+        ("quality", "dedup", "evaluation"),
+        doc="MinHash signature-agreement estimate vs exact Jaccard per "
+        "0.05 band over the verified pair table — the signature-width "
+        "tuning view (dedup twin of ann_recall_report; round 12).",
+    ),
+    QuerySpec(
+        "dedup_token_savings",
+        dedup_token_savings,
+        _dedup_token_savings_sql(),
+        ("quality", "dedup", "governance"),
+        doc="Per-source docs and TOKENS removed by resolving the exact "
+        "near-dup components (keep component min) — the dedup ROI "
+        "accounting view (round 12).",
+    ),
+    QuerySpec(
+        "packing_efficiency_curve",
+        packing_efficiency_curve,
+        PACKING_EFFICIENCY_SQL,
+        ("quality", "training-prep"),
+        doc="Pad-vs-pack utilization per candidate context length "
+        "(integer sequence arithmetic; one scan + 4-way explode) — the "
+        "context-length ROI curve (round 12).",
+    ),
+    QuerySpec(
+        "ingest_rate_anomaly",
+        ingest_rate_anomaly,
+        INGEST_RATE_ANOMALY_SQL,
+        ("quality", "events", "monitoring"),
+        doc="Per-type 10-min arrival-rate profile with exact-integer "
+        "variance z-scores; anomalous-bucket counts + peak (round 12).",
     ),
 ]

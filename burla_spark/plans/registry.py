@@ -102,6 +102,9 @@ _DRIVER_PRIORITY = frozenset(
         "group_sample_rows", "weighted_sample_orders",
         "stratified_sample_stats", "source_frequency_cap",
         "importance_acceptance_sample", "incremental_dedup_new_docs",
+        # round-12 NEW operators — first-ever driver adjudication
+        "minhash_estimator_quality", "dedup_token_savings",
+        "packing_efficiency_curve", "ingest_rate_anomaly",
     }
 )
 

@@ -297,3 +297,101 @@ def test_embedding_hygiene_counts_each_defect_class(spark, tmp_path):
     assert a.n_nonfinite == 2 and a.n_zero_norm == 1 and a.n_admitted == 1
     assert abs(a.admit_rate - round(1 / 6, 6)) < 1e-9
     assert out["b"].n_admitted == 1 and out["b"].admit_rate == 1.0
+
+
+def test_minhash_estimator_tracks_true_jaccard(spark, sf_dir):
+    """Round 12: the estimator-quality report must show the signature-
+    agreement estimate tracking exact Jaccard — bounded mean absolute
+    error per band, bands confined to [threshold*20, 20], and the
+    accounting consistent (pair counts positive, means inside the
+    band's true-Jaccard range)."""
+    from burla_spark.plans.quality_queries import minhash_estimator_quality
+
+    rows = minhash_estimator_quality(spark, sf_dir).collect()
+    assert rows, "verified pairs exist at sf0.001"
+    for r in rows:
+        assert 10 <= r.jaccard_band <= 20
+        assert r.n_pairs > 0
+        assert 0.0 <= r.mean_est <= 1.0
+        # 32 hashes: binomial std ~= sqrt(j(1-j)/32) <= 0.09; the mean
+        # over a band must track well within a few sigma
+        assert r.mean_abs_err <= 0.15, r
+        assert r.max_abs_err <= 0.35, r
+
+
+def test_dedup_token_savings_accounting_balances(spark, tmp_path):
+    """Round 12: savings must equal the tokens of the non-keeper
+    component members, and sources without duplicates report zero."""
+    from burla_spark.plans.quality_queries import dedup_token_savings
+
+    dup = " ".join(f"d{j}" for j in range(20))
+    rows = [(1, "a", dup), (2, "a", dup), (3, "a", dup)]
+    rows += [(10, "b", " ".join(f"x{j}" for j in range(12)))]
+    out = {
+        r.source: r
+        for r in dedup_token_savings(
+            spark, _mk_docs_parquet(tmp_path, rows)
+        ).collect()
+    }
+    assert out["a"].n_docs == 3 and out["a"].n_docs_removed == 2
+    assert out["a"].tokens_total == 60 and out["a"].tokens_removed == 40
+    assert abs(out["a"].pct_tokens_removed - 2 / 3) < 1e-6
+    assert out["b"].n_docs_removed == 0 and out["b"].tokens_removed == 0
+
+
+def test_packing_utilization_non_increasing_in_ctx_len(spark, sf_dir):
+    """Round 12: padded capacity at context 2L is >= capacity at L for
+    every doc (rounding up to a multiple of a larger block), so the
+    utilization curve must be non-increasing across the doubling
+    lengths — and the sequence accounting must be exact."""
+    from burla_spark.plans.quality_queries import packing_efficiency_curve
+
+    rows = sorted(
+        packing_efficiency_curve(spark, sf_dir).collect(),
+        key=lambda r: r.ctx_len,
+    )
+    assert [r.ctx_len for r in rows] == [256, 512, 1024, 2048]
+    for r in rows:
+        assert r.padded_tokens == r.n_sequences * r.ctx_len
+        assert r.total_tokens <= r.padded_tokens
+    for a, b in zip(rows, rows[1:]):
+        assert a.total_tokens == b.total_tokens  # same corpus
+        assert b.utilization <= a.utilization + 1e-9
+
+
+def test_ingest_rate_anomaly_flags_injected_burst(spark, tmp_path):
+    """Round 12: a uniform 1-event-per-bucket feed with one 50-event
+    burst bucket must flag exactly that bucket (z >> 3) and nothing
+    else; a perfectly uniform type has zero variance and no flags."""
+    import pandas as pd
+
+    from burla_spark.plans.quality_queries import ingest_rate_anomaly
+
+    base = 1_700_000_000
+    ts, types = [], []
+    for b in range(40):  # uniform: one event per 10-min bucket
+        ts.append(base + b * 600)
+        types.append("steady")
+    for b in range(40):
+        n = 50 if b == 7 else 1  # burst in bucket 7
+        for k in range(n):
+            ts.append(base + b * 600 + k)
+            types.append("bursty")
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": range(len(ts)),
+            "ts": pd.to_datetime(ts, unit="s"),
+            "user_id": [1] * len(ts),
+            "event_type": types,
+            "value": [1.0] * len(ts),
+            "props": ["{}"] * len(ts),
+        }
+    ).to_parquet(d / "events.parquet")
+    out = {r.event_type: r for r in ingest_rate_anomaly(spark, str(d)).collect()}
+    assert out["steady"].n_anomalous_buckets == 0
+    assert out["steady"].max_z == 0.0  # zero variance -> z defined as 0
+    assert out["bursty"].n_anomalous_buckets == 1
+    assert out["bursty"].max_z > 3.0
+    assert out["bursty"].peak_rate == 50
