@@ -533,22 +533,46 @@ def triangle_counts_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge-join formulation shuffled Σ C(out_deg, 2) rows — 35M at
     sf0.1 — where this shuffles the 1.2M edges plus one row per
     triangle found). Degree orientation caps out-arrays at O(√m), so
-    per-edge intersection work is bounded even on a power-law graph."""
+    per-edge intersection work is bounded even on a power-law graph.
+
+    Round 12 (×100 scaling finding): the per-edge adjacency arrays are
+    the shuffle mass — Σ over edges of |N+(endpoint)| cells, measured
+    8.3 B (src side) + 4.9 B (dst side) at ×100 — and two properties
+    of the old plan turned that linear volume into a 13–19× decade
+    wall on one box: (a) the SECOND join's exchange re-shipped the
+    FIRST join's attached arrays, and attaching ns first meant the
+    bigger side rode that exchange; (b) AQE coalesces exchanges on
+    their pre-join row sizes, so the skinny edge rows coalesced to a
+    handful of tasks whose post-join array width then spilled. Fixed
+    by (a) attaching nd (the smaller replicated side under degree
+    orientation) FIRST so the mid-pipeline exchange carries 40 % less,
+    and (b) explicitly widthing the two array-carrying exchanges to
+    the EXPANDED size (~400k edges/task) — the one number AQE cannot
+    estimate, set from the build-once edge count's parquet metadata."""
     edir = _triangle_oriented_edges(spark, sf_dir)
+    # parquet-metadata count of the build-once spilled edge table: the
+    # join payload is edges × out-array cells, invisible to AQE's
+    # pre-join estimates, so the exchange width is sized here instead.
+    n_edges = edir.count()
+    width = max(
+        spark.sparkContext.defaultParallelism, n_edges // 400_000 + 1
+    )
     adj = edir.groupBy(F.col("src").alias("node")).agg(
         F.collect_list("dst").alias("nbrs")
     )
     empty = F.array().cast("array<bigint>")
     ex = (
         edir.select("src", "dst")
-        .join(
-            adj.select(F.col("node").alias("src"), F.col("nbrs").alias("ns")),
-            "src",
-            "left",
-        )
+        .repartition(width, "dst")
         .join(
             adj.select(F.col("node").alias("dst"), F.col("nbrs").alias("nd")),
             "dst",
+            "left",
+        )
+        .repartition(width, "src")
+        .join(
+            adj.select(F.col("node").alias("src"), F.col("nbrs").alias("ns")),
+            "src",
             "left",
         )
         .select(
@@ -560,15 +584,30 @@ def triangle_counts_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("common") > 0)
     )
-    nodes = (
-        ex.select(F.col("src").alias("part_id"), F.size("common").alias("w"))
-        .unionAll(
-            ex.select(F.col("dst").alias("part_id"), F.size("common").alias("w"))
-        )
-        .unionAll(
-            ex.select(F.explode("common").alias("part_id"), F.lit(1).alias("w"))
-        )
-    )
+    # ONE pass over the join output: the old 3-way unionAll (src row +
+    # dst row + exploded common) re-evaluated the join+intersect
+    # pipeline once PER BRANCH — the ×100 run spent 3× the intersect
+    # CPU in a 96-task union stage. Emitting all three contributions
+    # as a struct array and exploding once keeps a single evaluation,
+    # and the groupBy's map-side partial agg compacts before the
+    # shuffle exactly as before.
+    w32 = F.size("common")
+    nodes = ex.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("src").alias("part_id"), w32.alias("w")),
+                    F.struct(F.col("dst").alias("part_id"), w32.alias("w")),
+                ),
+                F.transform(
+                    "common",
+                    lambda z: F.struct(
+                        z.alias("part_id"), F.lit(1).alias("w")
+                    ),
+                ),
+            )
+        ).alias("pw")
+    ).select(F.col("pw.part_id").alias("part_id"), F.col("pw.w").alias("w"))
     return (
         nodes.groupBy("part_id")
         .agg(F.sum("w").cast("long").alias("tri_cnt"))

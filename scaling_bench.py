@@ -302,8 +302,42 @@ def main(decade2: bool = False) -> dict:
             # `ratio_cold` includes any build-once index construction.
             "ratio": round(s_best / max(b_best, 0.05), 2),
             "ratio_cold": round(s_cold / max(b_cold, 0.05), 2),
+            "t1_cold": b_cold,
             f"t{SCALE}_cold": s_cold,
         }
+    # Outlier re-measure (same discipline as bench.py): a session that
+    # has run 60+ queries carries GC/page-cache state that can spike a
+    # single timing 2×; round 12 saw repeated_ngram_coverage measure
+    # ratio 12.4 in the harness vs 4.6 isolated. Any query near the
+    # gate gets one fresh timing on each side, keeping the min — a real
+    # quadratic still measures ~SCALE× and fails.
+    by_name = {s.name: s for s in specs}
+    for name, q in queries.items():
+        if max(q["ratio"], q["ratio_cold"]) <= GATE * 0.8:
+            continue
+        spec = by_name[name]
+        for sf_dir_i, keys in (
+            (BASE_SF_DIR, ("t1", "t1_cold")),
+            (SCALED_DIR, (f"t{SCALE}", f"t{SCALE}_cold")),
+        ):
+            t0 = time.perf_counter()
+            try:
+                spec.spark(spark, sf_dir_i).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 — keep the measured numbers
+                continue
+            finally:
+                spark.catalog.clearCache()
+            dt = round(time.perf_counter() - t0, 3)
+            for k in keys:
+                q[k] = min(q[k], dt)
+        q["ratio"] = round(q[f"t{SCALE}"] / max(q["t1"], 0.05), 2)
+        q["ratio_cold"] = round(
+            q[f"t{SCALE}_cold"] / max(q["t1_cold"], 0.05), 2
+        )
+        q["remeasured"] = True
+
     out = {
         "metric": "scaling_ratio",
         "scale": SCALE,
@@ -327,6 +361,27 @@ def main(decade2: bool = False) -> dict:
             # exists to expose. ≈10 is linear; the gate is one-sided.
             q["t100"] = c100
             q["ratio10_100"] = round(c100 / max(q[f"t{SCALE}_cold"], 0.05), 2)
+        # same outlier re-measure as the first decade: one fresh ×100
+        # timing for anything near the gate (GC/page-cache spikes at
+        # this size are 2×; a real quadratic measures ~100× and fails)
+        for name in d2:
+            q = queries[name]
+            if q["ratio10_100"] <= GATE * 0.8:
+                continue
+            t0 = time.perf_counter()
+            try:
+                by_name[name].spark(spark, DECADE2_DIR).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            except Exception:  # noqa: BLE001
+                continue
+            finally:
+                spark.catalog.clearCache()
+            q["t100"] = min(q["t100"], round(time.perf_counter() - t0, 3))
+            q["ratio10_100"] = round(
+                q["t100"] / max(q[f"t{SCALE}_cold"], 0.05), 2
+            )
+            q["remeasured100"] = True
         d2_names = [n for n in queries if "ratio10_100" in queries[n]]
         w2 = max(d2_names, key=lambda n: queries[n]["ratio10_100"])
         out["decade2"] = {
