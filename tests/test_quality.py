@@ -382,7 +382,9 @@ def test_ingest_rate_anomaly_flags_injected_burst(spark, tmp_path):
     pd.DataFrame(
         {
             "event_id": range(len(ts)),
-            "ts": pd.to_datetime(ts, unit="s"),
+            # datetime64[us]: pandas defaults to NANOS, which Spark's
+            # vectorized parquet reader rejects outright
+            "ts": pd.to_datetime(ts, unit="s").astype("datetime64[us]"),
             "user_id": [1] * len(ts),
             "event_type": types,
             "value": [1.0] * len(ts),
