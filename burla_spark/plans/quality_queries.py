@@ -733,12 +733,25 @@ def minhash_estimator_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_AFFINE_P)
 
     coeffs = _affine_coeffs(32)
-    sigs = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(char_shingles(F.col("text"), 5), md5_32bit_hash)
-        ).alias("hs"),
-    ).select(
+    # merge hashed shingles PER doc_id (explode + distinct + regroup)
+    # exactly like the oracle's GROUP BY doc_id over unnested hashes —
+    # a corpus with duplicated doc_id rows (the dup degradation mode)
+    # must yield ONE signature per id on both engines. The shuffle is
+    # bounded by pair-implicated docs × shingles, not the corpus.
+    merged = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(char_shingles(F.col("text"), 5), md5_32bit_hash)
+                )
+            ).alias("x"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("x").alias("hs"))
+    )
+    sigs = merged.select(
         "doc_id",
         F.array(
             *[F.array_min(F.transform("hs", perm(a, b))) for a, b in coeffs]
