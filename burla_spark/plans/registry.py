@@ -105,6 +105,9 @@ _DRIVER_PRIORITY = frozenset(
         # round-12 NEW operators — first-ever driver adjudication
         "minhash_estimator_quality", "dedup_token_savings",
         "packing_efficiency_curve", "ingest_rate_anomaly",
+        # engine changed: single-pass contributions + widthed exchanges
+        # (the x100 decade-two fix)
+        "triangle_counts_part_graph",
     }
 )
 
