@@ -596,7 +596,17 @@ def build_pq_index(
         if len(codebooks[0]) == 0:
             # pinned mode on an empty corpus (pinned books are data-
             # derived) → same empty-index path as the trained fit, so
-            # the encode UDF is never handed a zero-codeword argmin
+            # the encode UDF is never handed a zero-codeword argmin.
+            # Enforce the precondition (ADVICE r12): zero-codeword
+            # books with a NON-empty corpus would silently emit empty
+            # code arrays and wrong pq_topk results — fail loudly
+            # instead. limit(1).count() is a bounded probe.
+            if c.limit(1).count() > 0:
+                raise ValueError(
+                    "build_pq_index: pinned codebooks have zero "
+                    "codewords but the corpus is non-empty — pinned "
+                    "books must be derived from the same corpus"
+                )
             empty = c.withColumn(
                 "__code", F.array().cast("array<smallint>")
             ).select("neighbor_id", "__code")

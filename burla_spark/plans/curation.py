@@ -492,6 +492,141 @@ ORDER BY s.doc_id
 
 
 # ---------------------------------------------------------------------------
+# exact-substring dedup as a REMOVAL action (the cleaned corpus)
+# ---------------------------------------------------------------------------
+def dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication as the removal ACTION (Lee et al.
+    2022 §3, ExactSubstr): emit the CLEANED corpus — every token
+    covered by a corpus-repeated 8-gram excised, the survivors
+    re-joined in order — plus per-doc accounting whose
+    ``removed_tokens`` ties out exactly to repeated_ngram_coverage's
+    ``covered_tokens`` (same repeated-gram set, same interval union;
+    the coverage spec prices the removal, this one performs it).
+
+    100 TB shape: the gram explode and the repeated-gram semi-join are
+    shared with repeated_ngram_coverage (gram-keyed shuffle — the
+    repeated set is corpus-sized, never broadcast). The NEW work is
+    hit-sized, not corpus-sized: covered positions are an 8-way
+    explode of the HITS (hits << tokens) aggregated doc-keyed via
+    collect_set, then ONE doc-keyed join back to the corpus; the
+    splice itself is a map-side higher-order function
+    (array_except over the position sequence → transform → join),
+    so no corpus-wide token shuffle ever happens."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = d.select(
+        "doc_id", F.split(F.col("text"), " ", -1).alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.col("n_tokens") >= 8,
+                F.expr(
+                    "transform(sequence(1, n_tokens - 7),"
+                    " i -> array_join(slice(toks, i, 8), ' '))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("start", "gram"),
+    )
+    repeated = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(repeated, "gram", "left_semi").select("doc_id", "start")
+    # collect_set dedupes overlapping-span positions — the interval
+    # union, as a position set (sorted for a deterministic array)
+    cov = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(7))
+            ).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("cov"))
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .withColumn(
+            "cov", F.coalesce("cov", F.expr("cast(array() as array<int>)"))
+        )
+        .withColumn(
+            # survivors in original order: array_except preserves the
+            # order of its first argument (verified Spark 4.x)
+            "text_clean",
+            F.array_join(
+                F.expr(
+                    "transform(array_except(sequence(0, n_tokens - 1), cov),"
+                    " i -> element_at(toks, i + 1))"
+                ),
+                " ",
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.size("cov").cast("long").alias("removed_tokens"),
+            (F.col("n_tokens") - F.size("cov")).cast("long").alias(
+                "kept_tokens"
+            ),
+            F.length("text_clean").cast("long").alias("clean_chars"),
+            "text_clean",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Oracle note: the splice is PER-ROW (list_filter over each base row's
+# own token list), NOT a per-doc_id token re-aggregation — a grouped
+# string_agg reconstruction silently merges duplicate-doc_id rows
+# (dup-ingest battery) and collapses all NULL-doc_id rows into one
+# group (nullkey battery), while the Spark side fans out / keeps them
+# per input row. Mirrors the operator: join the covered-position LIST
+# back, then rebuild each row independently.
+DEDUP_EXCISE_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id, i - 1 AS start, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM base, LATERAL (SELECT UNNEST(generate_series(1, len(toks) - 7)) AS i)
+), repeated AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.start FROM grams g JOIN repeated USING (gram)
+), cov AS (
+  SELECT DISTINCT h.doc_id, h.start + j.j AS pos
+  FROM hits h, LATERAL (SELECT UNNEST(generate_series(0, 7)) AS j) j
+), covlist AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS cov FROM cov GROUP BY doc_id
+), built AS (
+  SELECT b.doc_id,
+         len(b.toks) AS n_tokens,
+         COALESCE(len(c.cov), 0) AS removed_tokens,
+         array_to_string(
+           list_transform(
+             list_filter(range(len(b.toks)),
+                         i -> NOT list_contains(COALESCE(c.cov, []), i)),
+             i -> b.toks[i + 1]),
+           ' ') AS text_clean
+  FROM base b LEFT JOIN covlist c USING (doc_id)
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(removed_tokens AS BIGINT) AS removed_tokens,
+       CAST(n_tokens - removed_tokens AS BIGINT) AS kept_tokens,
+       -- DuckDB array_to_string([]) is NULL where Spark array_join
+       -- is '' — a fully-excised doc must read as empty, not NULL
+       CAST(length(COALESCE(text_clean, '')) AS BIGINT) AS clean_chars,
+       COALESCE(text_clean, '') AS text_clean
+FROM built
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Z-order clustering keys
 # ---------------------------------------------------------------------------
 def _morton_expr(a: str, b: str, bits: int = 16) -> str:
@@ -1186,6 +1321,13 @@ SPECS: list[QuerySpec] = [
         REPEATED_COVERAGE_SQL,
         ("dedup", "text", "llm"),
         doc="exact substring-dedup removal accounting (interval union)",
+    ),
+    QuerySpec(
+        "dedup_excise_spans",
+        dedup_excise_spans,
+        DEDUP_EXCISE_SQL,
+        ("dedup", "text", "llm", "action"),
+        doc="exact substring-dedup REMOVAL: cleaned corpus + accounting",
     ),
     QuerySpec(
         "zorder_clustered_layout",

@@ -71,13 +71,18 @@ assert len(logs) == 16, f"live logs across executors: {len(logs)}"
 # (b) per-input logs arrive MID-job: by the time the first result is
 #     consumed, at least one executor log has already crossed the
 #     socket while the slow input is still running.
+# Round 13 (ADVICE r12): both assertions are timing-dependent under a
+# loaded box (executor startup skew, delayed socket flush), so the
+# slow input sleeps 10 s — far above any startup skew — and the
+# mid-job log assertion POLLS while input 0 is still provably running
+# instead of asserting immediately after the first yield.
 import time as _tmx
 
 logs2 = []
 
 def _slow0(x):
     if x == 0:
-        _tmx.sleep(4)
+        _tmx.sleep(10)
     print("mark %%d" %% x)
     return x
 
@@ -88,6 +93,9 @@ gen2 = remote_parallel_map(
 it = iter(gen2)
 first = next(it)
 assert first != 0, "completion order: slow input 0 must not yield first"
+_deadline = _tmx.monotonic() + 8  # < the 10 s sleep: still mid-job
+while not logs2 and _tmx.monotonic() < _deadline:
+    _tmx.sleep(0.05)
 assert len(logs2) >= 1, "live log must arrive before the job drains"
 rest = [first] + list(it)
 assert sorted(rest) == list(range(16)), "generator drain"

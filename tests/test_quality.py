@@ -397,3 +397,45 @@ def test_ingest_rate_anomaly_flags_injected_burst(spark, tmp_path):
     assert out["bursty"].n_anomalous_buckets == 1
     assert out["bursty"].max_z > 3.0
     assert out["bursty"].peak_rate == 50
+
+
+def test_dedup_excise_ties_out_to_coverage(spark, sf_dir):
+    """The removal ACTION and the removal ACCOUNTING must agree
+    (VERDICT r12 #1): dedup_excise_spans.removed_tokens is the same
+    interval union repeated_ngram_coverage prices as covered_tokens —
+    a drift between them would mean the engine removes text it did
+    not account for (or vice versa). Also: the splice itself is
+    internally consistent (kept + removed = total; a doc with zero
+    removals keeps its exact original text)."""
+    from burla_spark.plans.curation import (
+        dedup_excise_spans,
+        repeated_ngram_coverage,
+    )
+
+    excised = dedup_excise_spans(spark, sf_dir)
+    coverage = repeated_ngram_coverage(spark, sf_dir)
+    joined = excised.alias("e").join(
+        coverage.alias("c"), "doc_id", "inner"
+    )
+    assert joined.count() == excised.count() == coverage.count()
+    assert (
+        joined.filter(F.col("e.removed_tokens") != F.col("c.covered_tokens"))
+        .count()
+        == 0
+    ), "excise removal must equal the coverage interval union"
+    assert (
+        excised.filter(
+            F.col("removed_tokens") + F.col("kept_tokens") != F.col("n_tokens")
+        ).count()
+        == 0
+    )
+    # zero-removal docs round-trip byte-identically
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    untouched = (
+        excised.filter(F.col("removed_tokens") == 0)
+        .join(docs, "doc_id")
+        .filter(F.col("text_clean") != F.col("text"))
+    )
+    assert untouched.count() == 0
