@@ -2833,6 +2833,143 @@ ORDER BY doc_id, frame_no
 """
 
 
+# ---------------------------------------------------------------------------
+# perceptual image near-dup (round 13, VERDICT r12 #2): multimodal
+# DEDUP, the §2.C family's missing action — training pipelines dedup
+# images too, and until now the multimodal surface was analysis-only.
+# ---------------------------------------------------------------------------
+def image_dhash_neardup(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
+    """Perceptual image near-duplicate pairs: deterministic 18×16 PNG
+    payloads are generated per document (pixels closed-form in a
+    56-bit seed + variant), then REAL stdlib-codec round-tripped —
+    encode_png → decode_rgb → nearest-resize to the canonical 9×8
+    grid → integer gray → 64-bit dHash as 4×16-bit bands
+    (operators/multimodal.image_dhash_bands) — and paired by the
+    banded Hamming self-join (hamming_neardup_pairs, max_hamming=3,
+    pigeonhole-complete at 4 bands).
+
+    Fixture: each group of 4 doc_ids shares the group LEADER's
+    md5(text)-derived 60-bit seed (8 seed bytes spread across pixel
+    columns ≈56 bits of image entropy — cross-group hashes differ by
+    ≥7 bits empirically and structural collisions are ~n²/2^56, so
+    near-dup pair structure stays LINEAR at any scale, including the
+    key-shifted scaling replicas whose leader texts are disjoint by
+    construction); variants v=1..3 perturb one source pixel, flipping
+    ≤2 dHash bits vs the leader. The DuckDB oracle replays the closed
+    form and brute-forces ALL pairs at hamming ≤ 3 — parity therefore
+    also PROVES the banded candidate generation loses nothing.
+
+    100 TB shape: payload generation, decode, and hashing are one
+    fused map stage (image bytes never ship — 4 small ints per image
+    leave the executor); candidates shuffle on (band, value), never
+    all-pairs; production runs cap band buckets (max_bucket, same
+    contract as minhash_dedup_pairs) because a fixed 64-bit hash is a
+    fixed-capacity index — the scaling harness times that config."""
+    import pandas as pd
+
+    from burla_spark.operators import multimodal as mm
+    from burla_spark.operators.dedup import md5_60bit_hash
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    members = d.select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("v"),
+        (F.col("doc_id") - F.col("doc_id") % 4).alias("leader_id"),
+    ).distinct()
+    leaders = d.select(
+        F.col("doc_id").alias("leader_id"), md5_60bit_hash(F.col("text")).alias("seed")
+    ).distinct()
+    seeded = members.join(leaders, "leader_id").select("doc_id", "v", "seed")
+
+    def gen(batches):
+        import numpy as np
+
+        from burla_spark.operators import imagecodec as ic
+
+        H, W = 16, 18
+        yy, xx, cc = np.meshgrid(
+            np.arange(H, dtype=np.int64),
+            np.arange(W, dtype=np.int64),
+            np.arange(3, dtype=np.int64),
+            indexing="ij",
+        )
+        base = xx * 31 + yy * 17 + cc * 7
+        shifts = (8 * ((xx // 2) % 8)).astype(np.int64)
+        for b in batches:
+            payloads = []
+            for v, seed in zip(b["v"], b["seed"]):
+                px = base + ((np.int64(seed) >> shifts) & 255)
+                if v >= 1:
+                    px = px.copy()
+                    px[2 * (int(v) - 1), 2, :] += 128
+                payloads.append(ic.encode_png((px % 256).astype(np.uint8)))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    blobs = seeded.mapInPandas(gen, "doc_id long, payload binary")
+    sigs = mm.image_dhash_bands(blobs, "doc_id", "payload")
+    return mm.hamming_neardup_pairs(
+        sigs, "doc_id", "bands", max_hamming=3, max_bucket=max_bucket
+    ).orderBy("id_a", "id_b")
+
+
+def _dhash_gray_sql(sy: str, sx: str) -> str:
+    """Closed-form resized-gray expression (DuckDB) for source pixel
+    (sy, sx) — must mirror image_dhash_neardup's generator exactly:
+    px(c) = (sx*31 + sy*17 + c*7 + seed_byte + pert) % 256,
+    gray = (r + g + b) // 3."""
+    b = f"((seed >> (8 * ((({sx}) // 2) % 8))) & 255)"
+    p = (
+        f"(CASE WHEN v >= 1 AND ({sy}) = 2 * (v - 1) AND ({sx}) = 2"
+        " THEN 128 ELSE 0 END)"
+    )
+    base = f"(({sx}) * 31 + ({sy}) * 17 + {b} + {p})"
+    return (
+        f"((({base}) % 256 + ({base} + 7) % 256 + ({base} + 14) % 256) // 3)"
+    )
+
+
+# brute-force all-pairs verify at hamming ≤ 3: parity with the banded
+# Spark plan proves candidate generation is lossless (pigeonhole).
+IMAGE_DHASH_SQL = f"""
+WITH members AS (
+  SELECT DISTINCT doc_id, doc_id % 4 AS v, doc_id - doc_id % 4 AS leader_id
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), leaders AS (
+  SELECT DISTINCT doc_id AS leader_id,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS seed
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), seeded AS (
+  SELECT m.doc_id, m.v, l.seed FROM members m JOIN leaders l USING (leader_id)
+), grid AS (
+  SELECT s.doc_id, s.v, s.seed, i.i, i.i // 8 AS y, i.i % 8 AS x
+  FROM seeded s, LATERAL (SELECT UNNEST(generate_series(0, 63)) AS i) i
+), bits AS (
+  SELECT doc_id, i // 16 AS k,
+         CASE WHEN {_dhash_gray_sql('2 * y', '2 * x')}
+                 > {_dhash_gray_sql('2 * y', '2 * x + 2')}
+              THEN (1 << (i % 16)) ELSE 0 END AS bw
+  FROM grid
+), bands AS (
+  SELECT doc_id, k, CAST(SUM(bw) AS BIGINT) AS bv FROM bits GROUP BY doc_id, k
+), sig AS (
+  SELECT doc_id, list(bv ORDER BY k) AS bands FROM bands GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.bands[1], b.bands[1]))
+            + bit_count(xor(a.bands[2], b.bands[2]))
+            + bit_count(xor(a.bands[3], b.bands[3]))
+            + bit_count(xor(a.bands[4], b.bands[4])) AS BIGINT) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+ORDER BY id_a, id_b
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_SQL, ("dedup",)),
     QuerySpec(
@@ -2981,6 +3118,15 @@ SPECS: list[QuerySpec] = [
         doc="video→frames 1→N mapInPandas expansion reduced to "
         "byte-true per-frame evidence (count + md5) — the stride "
         "arithmetic replayed exactly by the oracle (round 11).",
+    ),
+    QuerySpec(
+        "image_dhash_neardup",
+        image_dhash_neardup,
+        IMAGE_DHASH_SQL,
+        ("multimodal", "dedup", "lsh"),
+        doc="perceptual image near-dup: real codec round-trip → dHash "
+        "→ banded Hamming self-join; brute-force oracle proves the "
+        "banding lossless at hamming ≤ 3 (round 13).",
     ),
     QuerySpec("token_pieces_stats", token_pieces_stats, TOKEN_PIECES_SQL, ("text",)),
     QuerySpec(

@@ -79,10 +79,27 @@ def _production_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _production_image_neardup(spark, sf_dir):
+    """image_dhash_neardup in its PRODUCTION configuration — band
+    buckets capped (max_bucket=64). The registry spec runs uncapped so
+    the brute-force DuckDB oracle stays exact, but a fixed 64-bit
+    perceptual hash is a fixed-capacity index: random 16-bit band
+    collisions grow ~n²/2^16, the same fixed-capacity failure mode the
+    ×100 gate caught in embedding_neardup's pinned plane count. The
+    cap bounds candidates to bands × n × max_bucket — linear — which
+    is the config a 100 TB image-dedup run would use."""
+    from burla_spark.plans.llm import image_dhash_neardup
+
+    return image_dhash_neardup(spark, sf_dir, max_bucket=64)
+
+
 # name -> production-config callable used IN PLACE of the registry spec
 # for scaling runs (oracle-pinned adjudication knobs are correctness
 # artifacts, not capacity configs; the harness times the scale path).
-SCALING_OVERRIDES = {"embedding_neardup": _production_neardup}
+SCALING_OVERRIDES = {
+    "embedding_neardup": _production_neardup,
+    "image_dhash_neardup": _production_image_neardup,
+}
 
 # Per-key-domain offsets: replica i shifts each key by i * base, far
 # above any real key, so joins match only within a replica and total
@@ -125,6 +142,10 @@ QUERIES = [
     # checkpoint range-join work is a geometric sum ≈ 2·n_docs, so
     # both must scale linearly despite the O(log n) checkpoint spine.
     "heaps_vocab_growth", "ngram_novelty_decay",
+    # round-13 addition: perceptual image near-dup (decode + hash are
+    # the linear bulk; the banded self-join must stay bucket-bounded —
+    # timed in production config, max_bucket=64, via SCALING_OVERRIDES)
+    "image_dhash_neardup",
 ]
 # Deliberately excluded: interval_overlap_join — replicating a FIXED
 # time window multiplies temporal density, and interval-overlap OUTPUT

@@ -139,3 +139,70 @@ def test_unrecognized_payload_falls_back_deterministically(spark):
     df = spark.createDataFrame([(1, payload)], "blob_id long, payload binary")
     r = mm.extract_features(df).collect()[0]
     assert (r.width, r.height) == (16 + 7 % 64, 16 + 3 % 64)
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup (round 13): dHash bands + banded Hamming join
+# ---------------------------------------------------------------------------
+def _png(seed: int, flip: bool = False) -> bytes:
+    import numpy as np
+
+    from burla_spark.operators import imagecodec as ic
+
+    px = np.fromfunction(
+        lambda y, x, c: (x * 31 + y * 17 + c * 7 + seed) % 256, (16, 18, 3)
+    ).astype(np.int64)
+    if flip:
+        px[0, 2, :] += 128  # one source pixel → ≤2 dHash bits
+    return ic.encode_png((px % 256).astype(np.uint8))
+
+
+def test_dhash_identical_images_hamming_zero(spark):
+    df = spark.createDataFrame(
+        [(1, _png(5)), (2, _png(5)), (3, _png(200))],
+        "doc_id long, payload binary",
+    )
+    sigs = mm.image_dhash_bands(df)
+    rows = {r.doc_id: r.bands for r in sigs.collect()}
+    assert rows[1] == rows[2] != rows[3]
+    assert all(len(b) == 4 and all(0 <= v < 65536 for v in b) for b in rows.values())
+    pairs = mm.hamming_neardup_pairs(sigs, max_hamming=3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got.get((1, 2)) == 0
+
+
+def test_dhash_perturbed_variant_is_neardup(spark):
+    df = spark.createDataFrame(
+        [(1, _png(9)), (2, _png(9, flip=True))], "doc_id long, payload binary"
+    )
+    pairs = mm.hamming_neardup_pairs(mm.image_dhash_bands(df), max_hamming=3).collect()
+    assert len(pairs) == 1 and 0 <= pairs[0].hamming <= 2
+
+
+def test_dhash_undecodable_payload_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, b"junk-bytes"), (2, _png(3)), (3, None)],
+        "doc_id long, payload binary",
+    )
+    sigs = mm.image_dhash_bands(df)
+    assert sigs.filter("bands IS NOT NULL").count() == 1
+    assert mm.hamming_neardup_pairs(sigs).count() == 0
+
+
+def test_hamming_band_join_pigeonhole_complete(spark):
+    # 3 flipped bits spread over 3 DIFFERENT bands: the 4th band is
+    # untouched, so the banded candidate rule must still pair them.
+    a = [0b1010, 0b1100, 0b0011, 0b0101]
+    b = [a[0] ^ 1, a[1] ^ 2, a[2] ^ 4, a[3]]
+    sigs = spark.createDataFrame([(1, a), (2, b)], "doc_id long, bands array<int>")
+    pairs = mm.hamming_neardup_pairs(sigs, max_hamming=3).collect()
+    assert len(pairs) == 1 and pairs[0].hamming == 3
+
+
+def test_hamming_band_join_max_bucket_cap(spark):
+    # ids 1..9 all share band values entirely; with a bucket cap of 4
+    # every band bucket (size 9) is dropped → no candidates at all.
+    rows = [(i, [7, 8, 9, 10]) for i in range(1, 10)]
+    sigs = spark.createDataFrame(rows, "doc_id long, bands array<int>")
+    assert mm.hamming_neardup_pairs(sigs, max_hamming=3).count() == 36
+    assert mm.hamming_neardup_pairs(sigs, max_hamming=3, max_bucket=4).count() == 0
