@@ -756,6 +756,106 @@ FROM ranked GROUP BY source ORDER BY source
 """
 
 
+def domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation (round 13, VERDICT r12 #8): common-crawl
+    pipelines cap and dedup by REGISTRABLE DOMAIN, not source label —
+    ``www.example.com``, ``cdn.example.com:8080`` and
+    ``https://user@EXAMPLE.com./page`` are one publisher. Deterministic
+    URL-ish strings are synthesized per doc (closed form in doc_id +
+    source, exercising scheme/userinfo/port/case/trailing-dot/query/
+    fragment and a multi-label ``co.uk`` suffix), canonicalized by the
+    REAL operator pair (operators/urls.canonical_host →
+    registrable_domain — pure JVM string ops), then frequency-capped
+    per domain with the same deterministic affine-hash rank the
+    source-level cap uses. The oracle constructs each variant's host
+    closed-form, so parity proves the canonicalizer strips every
+    component correctly.
+
+    100 TB shape: canonicalization is map-side codegen (no UDF); the
+    rank is a per-domain window (shuffle on domain — the natural
+    partitioning; a skewed mega-domain is exactly what gets capped and
+    AQE splits its partition); accounting is a map-side combine."""
+    from burla_spark.operators.urls import canonical_host, registrable_domain
+
+    cap = 2
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    )
+    site = F.concat(F.col("source"), (F.col("doc_id") % 7).cast("string"))
+    v = F.col("doc_id") % 6
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://WWW."), site, F.lit(".com/path/page?q="), F.col("doc_id").cast("string")))
+        .when(v == 1, F.concat(F.lit("http://cdn."), site, F.lit(".com:8080/assets/img.png")))
+        .when(v == 2, F.concat(F.lit("https://user:pw@www."), site, F.lit(".CO.UK/profile")))
+        .when(v == 3, F.concat(site, F.lit(".com.")))
+        .when(v == 4, F.concat(F.lit("https://api."), site, F.lit(".co.uk?q=1")))
+        .otherwise(F.concat(F.lit("http://"), site, F.lit(".COM#frag")))
+    )
+    host = canonical_host(url)
+    parsed = d.select(
+        "doc_id",
+        host.alias("host"),
+        registrable_domain(host).alias("domain"),
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.asc(_affine_hash(F.col("doc_id"))), F.asc("doc_id")
+    )
+    ranked = parsed.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.sum(F.when(F.col("rk") <= cap, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rk") > cap, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.min(F.when(F.col("rk") <= cap, F.col("doc_id")))
+            .cast("long")
+            .alias("first_kept_doc"),
+        )
+        .orderBy("domain")
+    )
+
+
+# the oracle builds each variant's canonical host CLOSED-FORM (what a
+# correct canonicalizer must produce), so a Spark-side stripping bug —
+# port kept, case kept, userinfo leaking into the host — hash-fails.
+DOMAIN_FREQUENCY_CAP_SQL = f"""
+WITH parsed AS (
+  SELECT doc_id,
+    CASE doc_id % 6
+      WHEN 0 THEN 'www.' || lower(source || CAST(doc_id % 7 AS VARCHAR)) || '.com'
+      WHEN 1 THEN 'cdn.' || lower(source || CAST(doc_id % 7 AS VARCHAR)) || '.com'
+      WHEN 2 THEN 'www.' || lower(source || CAST(doc_id % 7 AS VARCHAR)) || '.co.uk'
+      WHEN 3 THEN lower(source || CAST(doc_id % 7 AS VARCHAR)) || '.com'
+      WHEN 4 THEN 'api.' || lower(source || CAST(doc_id % 7 AS VARCHAR)) || '.co.uk'
+      ELSE lower(source || CAST(doc_id % 7 AS VARCHAR)) || '.com'
+    END AS host,
+    CASE WHEN doc_id % 6 IN (2, 4)
+         THEN lower(source || CAST(doc_id % 7 AS VARCHAR)) || '.co.uk'
+         ELSE lower(source || CAST(doc_id % 7 AS VARCHAR)) || '.com'
+    END AS domain
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+), ranked AS (
+  SELECT doc_id, host, domain,
+    ROW_NUMBER() OVER (
+      PARTITION BY domain
+      ORDER BY {_affine_hash_sql("doc_id")}, doc_id) AS rk
+  FROM parsed
+)
+SELECT domain,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+  CAST(SUM(CASE WHEN rk <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN rk > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  CAST(MIN(CASE WHEN rk <= 2 THEN doc_id END) AS BIGINT) AS first_kept_doc
+FROM ranked GROUP BY domain ORDER BY domain
+"""
+
+
 def importance_acceptance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probability-proportional acceptance sampling — the corpus
     reweighting move (DCLM/quality-resampling style): keep doc i iff
@@ -1328,6 +1428,14 @@ SPECS: list[QuerySpec] = [
         DEDUP_EXCISE_SQL,
         ("dedup", "text", "llm", "action"),
         doc="exact substring-dedup REMOVAL: cleaned corpus + accounting",
+    ),
+    QuerySpec(
+        "domain_frequency_cap",
+        domain_frequency_cap,
+        DOMAIN_FREQUENCY_CAP_SQL,
+        ("curation", "text", "llm"),
+        doc="URL canonicalization + registrable-domain frequency cap "
+        "(oracle hosts are closed-form: parity proves the stripper)",
     ),
     QuerySpec(
         "zorder_clustered_layout",

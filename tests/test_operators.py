@@ -911,3 +911,40 @@ def test_pq_pinned_empty_corpus_matches_sibling_builders(spark):
         q, empty, "vec_id", "vec_id", "embedding", "embedding", k=5, index=idx
     )
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (round 13)
+# ---------------------------------------------------------------------------
+def test_canonical_host_and_registrable_domain(spark):
+    from burla_spark.operators.urls import canonical_host, registrable_domain
+
+    cases = [
+        ("https://WWW.Example.COM/path?q=1#f", "www.example.com", "example.com"),
+        ("http://cdn.example.com:8080/a.png", "cdn.example.com", "example.com"),
+        ("https://user:pw@www.Example.CO.UK/x", "www.example.co.uk", "example.co.uk"),
+        ("example.com.", "example.com", "example.com"),
+        ("EXAMPLE.com...", "example.com", "example.com"),
+        ("https://api.shop.example.com.au?q=1", "api.shop.example.com.au", "example.com.au"),
+        ("http://example.COM#frag", "example.com", "example.com"),
+        ("localhost", "localhost", "localhost"),
+        ("https://example.com", "example.com", "example.com"),
+        ("ftp://mirror.example.org:21/pub", "mirror.example.org", "example.org"),
+        ("sub.host.co.jp/path", "sub.host.co.jp", "host.co.jp"),
+        ("  https://padded.example.net/  ", "padded.example.net", "example.net"),
+        (None, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)], "i long, url string"
+    )
+    h = canonical_host(F.col("url"))
+    got = {
+        r.i: (r.host, r.domain)
+        for r in df.select(
+            "i", h.alias("host"), registrable_domain(h).alias("domain")
+        ).collect()
+    }
+    for i, (url, want_host, want_domain) in enumerate(cases):
+        assert got[i] == (want_host, want_domain), (
+            f"url={url!r}: got {got[i]}, want {(want_host, want_domain)}"
+        )
