@@ -162,15 +162,15 @@ def main() -> dict:
     # round records whether RPM dispatch stays near-linear AT the
     # reference's "millions of inputs" headline scale (VERDICT r11 #2:
     # the third decade is the claim itself, not an extrapolation).
+    def _driver_rss_mb() -> float:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    return round(int(line.split()[1]) / 1024, 1)
+        return 0.0
+
     try:
         from burla_spark import remote_parallel_map
-
-        def _driver_rss_mb() -> float:
-            with open("/proc/self/status") as fh:
-                for line in fh:
-                    if line.startswith("VmRSS:"):
-                        return round(int(line.split()[1]) / 1024, 1)
-            return 0.0
 
         remote_parallel_map(lambda x: x * 2, range(100), spark=spark)  # warm
         for n_inputs in (5000, 100_000, 1_000_000):
@@ -194,6 +194,77 @@ def main() -> dict:
                 )
     except Exception as exc:  # noqa: BLE001
         errors["rpm_inputs"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    # round 13 (VERDICT r12 #4): the points above measure the COLLECT
+    # path only; the completion-ordered generator stream and the
+    # journaled detach path have different constants (driver TCP
+    # fan-in; journal file count/size) — measure each across a decade
+    # (generator 100k/1M) or at the 100k point (process detach, which
+    # pays a fixed own-driver JVM boot).
+    try:
+        from burla_spark import remote_parallel_map
+
+        for n_inputs in (100_000, 1_000_000):
+            rss0 = _driver_rss_mb()
+            t0 = time.perf_counter()
+            seen = 0
+            for _ in remote_parallel_map(
+                lambda x: x * 2, range(n_inputs), spark=spark, generator=True
+            ):
+                seen += 1
+            secs = round(time.perf_counter() - t0, 3)
+            assert seen == n_inputs
+            warm[f"rpm_gen_{n_inputs}_inputs"] = secs
+            cold[f"rpm_gen_{n_inputs}_inputs"] = secs
+            if n_inputs == 1_000_000:
+                build_s["rpm_gen_1000000_driver_rss_delta_mb"] = round(
+                    _driver_rss_mb() - rss0, 1
+                )
+    except Exception as exc:  # noqa: BLE001
+        errors["rpm_gen_inputs"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    try:
+        import os as _os
+        import time as _time
+
+        from burla_spark import jobs as _jobs
+        from burla_spark import remote_parallel_map
+
+        rss0 = _driver_rss_mb()
+        t0 = time.perf_counter()
+        job = remote_parallel_map(
+            lambda x: x * 2, range(100_000), spark=spark, detach="process"
+        )
+        # journal footprint evidence: the per-task partial acks are
+        # cleaned up at finish, so sample the PEAK while running
+        jdir = _os.path.join(_jobs._journal_dir(spark), job.job_id)
+        peak_bytes, peak_files = 0, 0
+        deadline = _time.monotonic() + 600
+        while job.status() == "running":
+            nb, nf = 0, 0
+            for root, _, files in _os.walk(jdir):
+                for f in files:
+                    try:
+                        nb += _os.path.getsize(_os.path.join(root, f))
+                        nf += 1
+                    except OSError:
+                        pass
+            peak_bytes, peak_files = max(peak_bytes, nb), max(peak_files, nf)
+            if _time.monotonic() > deadline:
+                raise TimeoutError("detach-process job still running")
+            _time.sleep(0.5)
+        res = job.result(timeout=60)
+        secs = round(time.perf_counter() - t0, 3)
+        assert len(res) == 100_000
+        warm["rpm_detach_process_100000_inputs"] = secs
+        cold["rpm_detach_process_100000_inputs"] = secs
+        build_s["rpm_detach_journal_peak_mb"] = round(peak_bytes / 1e6, 2)
+        build_s["rpm_detach_journal_peak_files"] = peak_files
+        build_s["rpm_detach_submitter_rss_delta_mb"] = round(
+            _driver_rss_mb() - rss0, 1
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["rpm_detach_process"] = f"{type(exc).__name__}: {exc}"[:300]
 
     return {
         "metric": "total_query_wall_seconds",

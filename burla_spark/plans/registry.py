@@ -84,30 +84,18 @@ def all_specs() -> list[QuerySpec]:
     return specs
 
 
-# Round-12 rotation (VERDICT r11 #8: every spec whose engine or oracle
+# Round-13 rotation (VERDICT r12 #6: every spec whose engine or oracle
 # changed this round front-loads into the driver's 50-slot sample).
 _DRIVER_PRIORITY = frozenset(
     {
-        # first-ever oracle this round: ngram8 dictionary-coder
-        # adjudication mode closed the last no_oracle ledger row
-        "compression_ratio_scores",
-        # engine+oracle changed: frame evidence reduced to md5-of-hex
-        "multimodal_frame_sample",
-        # engine changed: optional feed-carried ingest-rank column
-        "heaps_vocab_growth", "ngram_novelty_decay",
-        # engine changed: single-batch replay assertion
-        "stream_burst_throttle",
-        # engine+oracle changed: overflow-safe modmul affine hash
-        "split_leakage_audit", "train_test_split_stats",
-        "group_sample_rows", "weighted_sample_orders",
-        "stratified_sample_stats", "source_frequency_cap",
-        "importance_acceptance_sample", "incremental_dedup_new_docs",
-        # round-12 NEW operators — first-ever driver adjudication
-        "minhash_estimator_quality", "dedup_token_savings",
-        "packing_efficiency_curve", "ingest_rate_anomaly",
-        # engine changed: single-pass contributions + widthed exchanges
-        # (the x100 decade-two fix)
-        "triangle_counts_part_graph",
+        # round-13 NEW operators — first-ever driver adjudication
+        "dedup_excise_spans",  # exact-substring dedup REMOVAL action
+        "image_dhash_neardup",  # perceptual image near-dup (dHash+LSH)
+        "domain_frequency_cap",  # URL canonicalization + domain cap
+        # tie-out partner of dedup_excise_spans (unchanged engine, but
+        # the accounting equality is the round's headline claim — keep
+        # both sides of it in the same driver sample)
+        "repeated_ngram_coverage",
     }
 )
 

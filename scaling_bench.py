@@ -53,6 +53,15 @@ DECADE2_QUERIES = [
     "heavy_hitter_bigrams", "distinct_ngram_diversity",
     "bigram_logprob_scores", "repeated_ngram_coverage",
     "similarity_join_prefix_filter", "frequent_event_sequences",
+    # round 13 (VERDICT r12 #3): the next ×10-ratio tier gets its ×100
+    # point too — decade-one ratios 2.9–5.8, the band where the q16 /
+    # triangle cliffs hid before their second decades were measured.
+    "gopher_repetition_filters", "dedup_components_exact",
+    "oov_rate_by_source", "epoch_batch_shuffle", "bm25_scores",
+    "curriculum_length_phases", "q21_sole_failing_supplier",
+    "minhash_dedup_pairs", "pagerank_fixed_point",
+    # new this round, banded-candidate proof at the second decade
+    "image_dhash_neardup",
 ]
 
 
