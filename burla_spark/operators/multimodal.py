@@ -307,8 +307,14 @@ def hamming_neardup_pairs(
     100 TB shape: the self-join shuffles on (band_idx, band_value) —
     bucket-sized, never all-pairs; the two verify join-backs are
     id-keyed; output is pairs + exact hamming."""
-    s = sigs.filter(F.col(bands_col).isNotNull()).select(
-        F.col(id_col).alias("__id"), F.col(bands_col).alias("__bands")
+    # sigs feeds FOUR plan branches (both sides of the band self-join +
+    # both verify join-backs) and upstream is typically a decode/hash
+    # UDF — persist so it computes once (Catalyst reuses exchanges, not
+    # projections; the round-12 triangle cliff was exactly this).
+    s = (
+        sigs.filter(F.col(bands_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), F.col(bands_col).alias("__bands"))
+        .persist()
     )
     exploded = s.select(
         "__id", F.posexplode("__bands").alias("__k", "__bv")
