@@ -760,45 +760,7 @@ def prefix_filter_jaccard_join(
     Unlike minhash_lsh_pairs (probabilistic recall) this is the exact
     tier: recall 1.0 by construction.
     """
-    g = docs.select(F.col(id_col).alias("pid"), F.col(grams_col).alias("grams"))
-    # distinct (pid, gram): a replayed/duplicated doc row must not
-    # double its grams in the collected set (array sizes would lie to
-    # the Jaccard) nor double-count document frequency
-    ex = g.select("pid", F.explode("grams").alias("gram")).distinct()
-    freq = ex.groupBy("gram").agg(F.count("*").alias("df_cnt"))
-    ranked = (
-        ex.join(freq, "gram")
-        .groupBy("pid")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("df_cnt", "gram"))).alias("sg")
-        )
-        .select(
-            "pid",
-            F.transform("sg", lambda s: s["gram"]).alias("grams"),
-            F.size("sg").alias("n"),
-        )
-    )
-    pre = ranked.select(
-        "pid",
-        "n",
-        F.explode(
-            F.expr(
-                f"slice(grams, 1, size(grams) - cast(ceil({threshold} * size(grams)) as int) + 1)"
-            )
-        ).alias("gram"),
-    )
-    a, b = pre.alias("a"), pre.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.pid") < F.col("b.pid"))
-            & (F.col("b.n").cast("double") >= F.col("a.n") * threshold)
-            & (F.col("a.n").cast("double") >= F.col("b.n") * threshold),
-        )
-        .select(F.col("a.pid").alias("id_a"), F.col("b.pid").alias("id_b"))
-        .distinct()
-    )
+    cand, ranked = _prefix_filter_candidates(docs, id_col, grams_col, threshold)
     ga = ranked.select(F.col("pid").alias("id_a"), F.col("grams").alias("ga"))
     gb = ranked.select(F.col("pid").alias("id_b"), F.col("grams").alias("gb"))
     return (
@@ -811,3 +773,77 @@ def prefix_filter_jaccard_join(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _prefix_filter_candidates(
+    docs: DataFrame,
+    id_col: str,
+    grams_col: str,
+    threshold: float,
+    block_cols: tuple[str, ...] = (),
+) -> "tuple[DataFrame, DataFrame]":
+    """The candidate stage of the AllPairs/PPJoin family, reusable by
+    any exact set-similarity operator: returns ``(cand, ranked)`` —
+    ``cand`` = DISTINCT (id_a, id_b) pairs PROVABLY containing every
+    pair with Jaccard >= threshold (prefix completeness: under any
+    global total order, two sets with J >= t must share one of their
+    first ``|g| - ceil(t*|g|) + 1`` grams), ``ranked`` = (pid, grams
+    rarest-first, n) for callers that verify on the ranked sets.
+
+    ``block_cols`` adds extra equi-join keys (e.g. a source label or a
+    length band) when the caller's pair DEFINITION requires them —
+    candidates then need the prefix gram AND every block column to
+    match. Completeness is unaffected: a qualifying pair shares its
+    own block values by definition.
+
+    100 TB shape: one explode + gram-keyed df-count aggregate, one
+    join back, map-side array sort, then an equi-join ON RARE GRAMS
+    (+ block keys) only — bucket sizes ride the df long tail, never a
+    block-squared comparison."""
+    keep = [F.col(c) for c in block_cols]
+    g = docs.select(
+        F.col(id_col).alias("pid"), F.col(grams_col).alias("grams"), *keep
+    )
+    # distinct (pid, gram): a replayed/duplicated doc row must not
+    # double its grams in the collected set (array sizes would lie to
+    # the Jaccard) nor double-count document frequency
+    ex = g.select("pid", F.explode("grams").alias("gram"), *keep).distinct()
+    freq = ex.groupBy("gram").agg(F.count("*").alias("df_cnt"))
+    ranked = (
+        ex.join(freq, "gram")
+        .groupBy("pid", *block_cols)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df_cnt", "gram"))).alias("sg")
+        )
+        .select(
+            "pid",
+            *block_cols,
+            F.transform("sg", lambda s: s["gram"]).alias("grams"),
+            F.size("sg").alias("n"),
+        )
+    )
+    pre = ranked.select(
+        "pid",
+        "n",
+        *keep,
+        F.explode(
+            F.expr(
+                f"slice(grams, 1, size(grams) - cast(ceil({threshold} * size(grams)) as int) + 1)"
+            )
+        ).alias("gram"),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    join_cond = (
+        (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.pid") < F.col("b.pid"))
+        & (F.col("b.n").cast("double") >= F.col("a.n") * threshold)
+        & (F.col("a.n").cast("double") >= F.col("b.n") * threshold)
+    )
+    for c in block_cols:
+        join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, join_cond)
+        .select(F.col("a.pid").alias("id_a"), F.col("b.pid").alias("id_b"))
+        .distinct()
+    )
+    return cand, ranked.select("pid", "grams", "n")

@@ -86,9 +86,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ngram_jaccard_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard >= 0.4 among docs sharing a block of
-    (source, gram-count band of 8). Near-dups have near-equal lengths,
-    so banding bounds the pairwise work; the unblocked scale path is
-    minhash_dedup_pairs.
+    (source, gram-count band of 8).
+
+    Round 13 (×100 decade-two finding): the original candidate stage
+    was a self-join on the block key alone — block SIZES grow with the
+    corpus (source labels and length bands are low-cardinality), so
+    within-block comparisons grow QUADRATICALLY; the extended ×100
+    gate measured the build at 343 s against a 9.3 s ×10 point
+    (ratio ~37, the ngram twin of the q16/triangle cliffs). Candidates
+    now come from the lossless AllPairs prefix filter
+    (dedup._prefix_filter_candidates) with (source, band) as extra
+    block keys: every qualifying pair still shares a rare prefix gram,
+    so buckets ride the gram-df long tail instead of the block square,
+    and the verify joins the candidate ids back to the RAW per-row
+    gram table — output rows (including duplicate-ingest fan-out
+    multiplicity) are byte-identical to the blocked join's.
 
     The Jaccard itself runs on xxhash64'd grams (8-byte set ops instead
     of string set ops — same value modulo 2^-64 collisions; the oracle
@@ -105,18 +117,18 @@ def _ngram_jaccard_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("grams", lambda s: F.xxhash64(s)).alias("grams"),
         F.expr("size(grams) div 8").alias("band"),
     )
-    l, r = g.alias("l"), g.alias("r")
+    cand, _ = dd._prefix_filter_candidates(
+        g, "doc_id", "grams", 0.4, block_cols=("source", "band")
+    )
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("__ga"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("__gb"))
     return (
-        l.join(
-            r,
-            (F.col("l.source") == F.col("r.source"))
-            & (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
         .select(
-            F.col("l.doc_id").alias("id_a"),
-            F.col("r.doc_id").alias("id_b"),
-            dd.jaccard(F.col("l.grams"), F.col("r.grams")).alias("jaccard"),
+            "id_a",
+            "id_b",
+            dd.jaccard(F.col("__ga"), F.col("__gb")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.4)
     )

@@ -96,6 +96,13 @@ _DRIVER_PRIORITY = frozenset(
         # the accounting equality is the round's headline claim — keep
         # both sides of it in the same driver sample)
         "repeated_ngram_coverage",
+        # engine changed: ngram pair candidates now come from the
+        # lossless prefix filter, not the block self-join (the ×100
+        # decade-two cliff fix) — re-green the pair table and every
+        # spec built on it
+        "ngram_jaccard_pairs", "dedup_components_exact",
+        "cross_source_dup_matrix", "split_leakage_audit",
+        "dedup_threshold_sweep",
     }
 )
 

@@ -151,10 +151,13 @@ QUERIES = [
     # checkpoint range-join work is a geometric sum ≈ 2·n_docs, so
     # both must scale linearly despite the O(log n) checkpoint spine.
     "heaps_vocab_growth", "ngram_novelty_decay",
-    # round-13 addition: perceptual image near-dup (decode + hash are
+    # round-13 additions: perceptual image near-dup (decode + hash are
     # the linear bulk; the banded self-join must stay bucket-bounded —
-    # timed in production config, max_bucket=64, via SCALING_OVERRIDES)
-    "image_dhash_neardup",
+    # timed in production config, max_bucket=64, via SCALING_OVERRIDES);
+    # the substring-dedup REMOVAL action (gram explode + hit-sized
+    # splice — must track repeated_ngram_coverage's curve); the domain
+    # cap (string canonicalization + per-domain window).
+    "image_dhash_neardup", "dedup_excise_spans", "domain_frequency_cap",
 ]
 # Deliberately excluded: interval_overlap_join — replicating a FIXED
 # time window multiplies temporal density, and interval-overlap OUTPUT
