@@ -354,3 +354,56 @@ def hamming_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
     )
+
+
+def audio_energy_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    pcm_col: str = "pcm",
+    window: int = 256,
+    n_windows: int = 65,
+) -> DataFrame:
+    """Acoustic fingerprint over raw 16-bit little-endian PCM (the
+    chromaprint-style recipe, reduced to its integer core): decode the
+    byte payload to int16 samples, split into ``n_windows`` fixed
+    windows, exact integer energy per window (sum of squares — BIGINT,
+    no float drift), one bit per consecutive-window energy comparison
+    (``E[w] > E[w-1]``), packed as four 16-bit band ints —
+    band-compatible with :func:`hamming_neardup_pairs`, which gives
+    audio near-dup the same banded self-join the image tier uses.
+
+    Payloads shorter than ``window*n_windows*2`` bytes or NULL get
+    NULL bands (callers filter). Decode and fingerprint never leave
+    the executor — 4 small ints per clip ship."""
+    if n_windows - 1 != DHASH_N_BANDS * DHASH_BAND_BITS:
+        raise ValueError("fingerprint needs n_windows-1 == 64 bits")
+    from pyspark.sql.functions import pandas_udf
+
+    need = window * n_windows * 2
+
+    @pandas_udf("array<int>")
+    def fp(payloads: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for p in payloads:
+            if p is None or len(p) < need:
+                out.append(None)
+                continue
+            s = np.frombuffer(bytes(p)[:need], dtype="<i2").astype(np.int64)
+            e = (s.reshape(n_windows, window) ** 2).sum(axis=1)
+            bits = e[1:] > e[:-1]
+            out.append(
+                [
+                    int(
+                        (
+                            bits[k * DHASH_BAND_BITS : (k + 1) * DHASH_BAND_BITS]
+                            << np.arange(DHASH_BAND_BITS)
+                        ).sum()
+                    )
+                    for k in range(DHASH_N_BANDS)
+                ]
+            )
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), fp(F.col(pcm_col)).alias("bands"))

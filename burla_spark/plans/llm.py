@@ -2928,6 +2928,128 @@ def image_dhash_neardup(
     ).orderBy("id_a", "id_b")
 
 
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs — the §2.C multimodal family's AUDIO
+    tier (images got theirs in image_dhash_neardup): deterministic raw
+    16-bit LE PCM clips are generated per document (samples closed-form
+    in a 56-bit seed + variant), REALLY decoded from bytes
+    (np.frombuffer int16), reduced to 65 exact integer window energies
+    (sum of squares — BIGINT, no float anywhere), fingerprinted by
+    consecutive-energy comparisons into 4×16-bit bands
+    (operators/multimodal.audio_energy_fingerprint), and paired by the
+    SAME banded Hamming self-join the image tier uses
+    (hamming_neardup_pairs, max_hamming=3, pigeonhole-complete).
+
+    Fixture: groups of 4 docs share the leader's md5(text) seed (8
+    seed bytes cycle across windows — cross-group fingerprints differ
+    by ≥5 bits empirically, near-dup structure linear at any scale for
+    the same reason as the image fixture); variants v=1..3 add a +50
+    DC offset to one window, shifting that window's energy and
+    flipping ≤2 comparison bits. The DuckDB oracle replays the sample
+    closed form, recomputes every window energy as an exact integer
+    SUM, and brute-forces all pairs at hamming ≤ 3 — parity again
+    doubles as a banding-losslessness proof.
+
+    100 TB shape: PCM synthesis, decode, and fingerprint are one fused
+    map stage (33 KB of samples per clip never ship — 4 ints do);
+    candidates shuffle on (band, value); production caps band buckets
+    exactly like the image tier (fixed 64-bit fingerprints are
+    fixed-capacity indexes)."""
+    import pandas as pd
+
+    from burla_spark.operators import multimodal as mm
+    from burla_spark.operators.dedup import md5_60bit_hash
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    members = d.select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("v"),
+        (F.col("doc_id") - F.col("doc_id") % 4).alias("leader_id"),
+    ).distinct()
+    leaders = d.select(
+        F.col("doc_id").alias("leader_id"), md5_60bit_hash(F.col("text")).alias("seed")
+    ).distinct()
+    seeded = members.join(leaders, "leader_id").select("doc_id", "v", "seed")
+
+    def gen(batches):
+        import numpy as np
+
+        W, NW = 256, 65
+        i = np.arange(W * NW, dtype=np.int64)
+        shifts = (8 * ((i // W) % 8)).astype(np.int64)
+        for b in batches:
+            payloads = []
+            for v, seed in zip(b["v"], b["seed"]):
+                bb = (np.int64(seed) >> shifts) & 255
+                s = (i * 7 + bb * 13) % 251 - 125
+                if v >= 1:
+                    w = 2 * (int(v) - 1)
+                    s = s.copy()
+                    s[w * W : (w + 1) * W] += 50
+                payloads.append(s.astype("<i2").tobytes())
+            yield pd.DataFrame({"doc_id": b["doc_id"], "pcm": payloads})
+
+    clips = seeded.mapInPandas(gen, "doc_id long, pcm binary")
+    sigs = mm.audio_energy_fingerprint(clips, "doc_id", "pcm")
+    return mm.hamming_neardup_pairs(
+        sigs, "doc_id", "bands", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+def _audio_energy_sql(w: str) -> str:
+    """Closed-form window-energy expression (DuckDB) for window ``w``
+    — must mirror audio_fingerprint_neardup's generator exactly:
+    s(i) = (i*7 + byte(w)*13) % 251 - 125 (+50 DC on the perturbed
+    window), E(w) = SUM over the window's 256 samples of s²."""
+    b = f"((seed >> (8 * (({w}) % 8))) & 255)"
+    s = (
+        f"((({w}) * 256 + j.j) * 7 + {b} * 13) % 251 - 125"
+        f" + (CASE WHEN v >= 1 AND ({w}) = 2 * (v - 1) THEN 50 ELSE 0 END)"
+    )
+    return (
+        f"(SELECT SUM(({s}) * ({s}))"
+        " FROM (SELECT UNNEST(generate_series(0, 255)) AS j) j)"
+    )
+
+
+AUDIO_FP_SQL = f"""
+WITH members AS (
+  SELECT DISTINCT doc_id, doc_id % 4 AS v, doc_id - doc_id % 4 AS leader_id
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), leaders AS (
+  SELECT DISTINCT doc_id AS leader_id,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS seed
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), seeded AS (
+  SELECT m.doc_id, m.v, l.seed FROM members m JOIN leaders l USING (leader_id)
+), energies AS (
+  SELECT s.doc_id, w.w, {_audio_energy_sql('w.w')} AS e
+  FROM seeded s, LATERAL (SELECT UNNEST(generate_series(0, 64)) AS w) w
+), bits AS (
+  SELECT a.doc_id, (a.w - 1) // 16 AS k,
+         CASE WHEN a.e > p.e THEN (1 << ((a.w - 1) % 16)) ELSE 0 END AS bw
+  FROM energies a JOIN energies p
+    ON a.doc_id = p.doc_id AND p.w = a.w - 1
+  WHERE a.w >= 1
+), bands AS (
+  SELECT doc_id, k, CAST(SUM(bw) AS BIGINT) AS bv FROM bits GROUP BY doc_id, k
+), sig AS (
+  SELECT doc_id, list(bv ORDER BY k) AS bands FROM bands GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.bands[1], b.bands[1]))
+            + bit_count(xor(a.bands[2], b.bands[2]))
+            + bit_count(xor(a.bands[3], b.bands[3]))
+            + bit_count(xor(a.bands[4], b.bands[4])) AS BIGINT) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def _dhash_gray_sql(sy: str, sx: str) -> str:
     """Closed-form resized-gray expression (DuckDB) for source pixel
     (sy, sx) — must mirror image_dhash_neardup's generator exactly:
@@ -3139,6 +3261,15 @@ SPECS: list[QuerySpec] = [
         doc="perceptual image near-dup: real codec round-trip → dHash "
         "→ banded Hamming self-join; brute-force oracle proves the "
         "banding lossless at hamming ≤ 3 (round 13).",
+    ),
+    QuerySpec(
+        "audio_fingerprint_neardup",
+        audio_fingerprint_neardup,
+        AUDIO_FP_SQL,
+        ("multimodal", "dedup", "lsh", "audio"),
+        doc="audio near-dup: real int16 PCM decode → exact integer "
+        "window energies → comparison-bit fingerprint → the same "
+        "banded Hamming join; brute-force oracle (round 13).",
     ),
     QuerySpec("token_pieces_stats", token_pieces_stats, TOKEN_PIECES_SQL, ("text",)),
     QuerySpec(

@@ -91,6 +91,7 @@ _DRIVER_PRIORITY = frozenset(
         # round-13 NEW operators — first-ever driver adjudication
         "dedup_excise_spans",  # exact-substring dedup REMOVAL action
         "image_dhash_neardup",  # perceptual image near-dup (dHash+LSH)
+        "audio_fingerprint_neardup",  # PCM energy-fingerprint near-dup
         "domain_frequency_cap",  # URL canonicalization + domain cap
         # tie-out partner of dedup_excise_spans (unchanged engine, but
         # the accounting equality is the round's headline claim — keep

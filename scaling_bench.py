@@ -158,6 +158,10 @@ QUERIES = [
     # splice — must track repeated_ngram_coverage's curve); the domain
     # cap (string canonicalization + per-domain window).
     "image_dhash_neardup", "dedup_excise_spans", "domain_frequency_cap",
+    # audio tier of the multimodal near-dup family: PCM synthesis +
+    # int16 decode + window energies are the linear bulk; the banded
+    # join is shared with (and decade-2-covered by) the image tier.
+    "audio_fingerprint_neardup",
 ]
 # Deliberately excluded: interval_overlap_join — replicating a FIXED
 # time window multiplies temporal density, and interval-overlap OUTPUT

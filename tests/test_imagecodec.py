@@ -206,3 +206,39 @@ def test_hamming_band_join_max_bucket_cap(spark):
     sigs = spark.createDataFrame(rows, "doc_id long, bands array<int>")
     assert mm.hamming_neardup_pairs(sigs, max_hamming=3).count() == 36
     assert mm.hamming_neardup_pairs(sigs, max_hamming=3, max_bucket=4).count() == 0
+
+
+def _pcm(seed: int, dc_window: int | None = None) -> bytes:
+    import numpy as np
+
+    i = np.arange(256 * 65, dtype=np.int64)
+    s = (i * 7 + seed * 13) % 251 - 125
+    if dc_window is not None:
+        s = s.copy()
+        s[dc_window * 256 : (dc_window + 1) * 256] += 50
+    return s.astype("<i2").tobytes()
+
+
+def test_audio_fingerprint_identical_and_shifted(spark):
+    df = spark.createDataFrame(
+        [(1, _pcm(9)), (2, _pcm(9)), (3, _pcm(9, dc_window=2)), (4, _pcm(77))],
+        "doc_id long, pcm binary",
+    )
+    sigs = mm.audio_energy_fingerprint(df)
+    rows = {r.doc_id: r.bands for r in sigs.collect()}
+    assert rows[1] == rows[2]
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.hamming_neardup_pairs(sigs, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs and 1 <= pairs[(1, 3)] <= 2  # one window shifted
+
+
+def test_audio_fingerprint_short_or_null_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, b"\x01\x02" * 100), (2, None), (3, _pcm(5))],
+        "doc_id long, pcm binary",
+    )
+    sigs = mm.audio_energy_fingerprint(df)
+    assert sigs.filter("bands IS NOT NULL").count() == 1
