@@ -341,7 +341,7 @@ def hamming_neardup_pairs(
     )
     sa = s.select(F.col("__id").alias("id_a"), F.col("__bands").alias("__ba"))
     sb = s.select(F.col("__id").alias("id_b"), F.col("__bands").alias("__bb"))
-    return (
+    out = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -354,6 +354,16 @@ def hamming_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
     )
+    # spill-then-release (the minhash_lsh_pairs discipline): the pair
+    # table is the build-once artifact; materializing it here lets the
+    # signature persist be RELEASED before returning, so long-lived
+    # sessions never accumulate pinned RDDs from this operator (the
+    # r3 minhash leak class — asserted by the cache-release tests).
+    from burla_spark.operators.dedup import _spill_to_temp_parquet
+
+    spilled = _spill_to_temp_parquet(out, "hamming_pairs")
+    s.unpersist()
+    return spilled
 
 
 def audio_energy_fingerprint(
