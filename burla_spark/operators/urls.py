@@ -83,3 +83,82 @@ def registrable_domain(
         .when((n >= 3) & last2.isin(*suffixes), last3)
         .otherwise(last2)
     )
+
+
+# query parameters that identify a CLICK, not a page — stripped by the
+# canonicalizer (the common-crawl URL-dedup convention). Prefix match.
+TRACKING_PARAM_PREFIXES: tuple[str, ...] = (
+    "utm_", "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref_src",
+)
+
+
+def canonical_url(
+    url: Column,
+    tracking_prefixes: tuple[str, ...] = TRACKING_PARAM_PREFIXES,
+) -> Column:
+    """Full URL canonicalization for exact URL-level dedup: lowercase
+    scheme + host (path stays case-SENSITIVE), userinfo stripped,
+    default ports dropped (http:80 / https:443 — a non-default port is
+    identity and survives), fragment dropped, tracking query params
+    (``utm_*``, ``fbclid``, ...) removed, remaining params SORTED so
+    ``?b=2&a=1`` and ``?a=1&b=2`` collide, empty path normalized to
+    ``/``. Scheme-less inputs default to http. Pure JVM string/array
+    expressions — codegen, no UDF, replayable by a SQL oracle.
+    NULL in → NULL out."""
+    u = F.trim(url)
+    has_scheme = u.contains("://")
+    scheme = F.when(
+        has_scheme, F.lower(F.substring_index(u, "://", 1))
+    ).otherwise(F.lit("http"))
+    rest = F.when(has_scheme, F.substring_index(u, "://", -1)).otherwise(u)
+    nofrag = F.substring_index(rest, "#", 1)
+    authpath = F.substring_index(nofrag, "?", 1)
+    query = F.when(
+        nofrag.contains("?"), F.substring_index(nofrag, "?", -1)
+    ).otherwise(F.lit(""))
+    auth = F.substring_index(authpath, "/", 1)
+    path = F.substring(authpath, F.length(auth) + 1, F.lit(2**31 - 1))
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
+    noduser = F.when(
+        auth.contains("@"), F.substring_index(auth, "@", -1)
+    ).otherwise(auth)
+    host = F.lower(
+        F.regexp_replace(F.substring_index(noduser, ":", 1), r"\.+$", "")
+    )
+    port = F.when(
+        noduser.contains(":"), F.substring_index(noduser, ":", -1)
+    ).otherwise(F.lit(""))
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&", -1),
+            lambda p: (F.length(p) > 0) & ~_any_prefix(p, tracking_prefixes),
+        )
+    )
+    q2 = F.array_join(params, "&")
+    return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            port_part,
+            path,
+            F.when(F.length(q2) > 0, F.concat(F.lit("?"), q2)).otherwise(
+                F.lit("")
+            ),
+        )
+    )
+
+
+def _any_prefix(p: Column, prefixes: tuple[str, ...]) -> Column:
+    """OR-fold of startswith checks (helper for canonical_url's param
+    filter lambda)."""
+    out = F.lit(False)
+    for pre in prefixes:
+        out = out | p.startswith(pre)
+    return out

@@ -856,6 +856,70 @@ FROM ranked GROUP BY domain ORDER BY domain
 """
 
 
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact URL-level dedup via FULL canonicalization (round 13,
+    companion to domain_frequency_cap): the same page crawled as
+    ``https://SITE.COM/p?b=2&a=1``, ``…:443/p?a=1&b=2``,
+    ``…/p?a=1&utm_source=x&b=2#frag``, ``u:p@site.com./p…`` and
+    ``…?a=1&b=2&gclid=…`` must collapse to ONE canonical URL (host
+    case, default port, userinfo, trailing dot, fragment, tracking
+    params, and query-param ORDER all normalized; path case and
+    non-default ports preserved — they are identity). Five such
+    variants are synthesized per doc group; the REAL operator
+    (operators/urls.canonical_url, pure JVM string/array expressions)
+    collapses them and the spec emits per-canonical-URL dedup
+    accounting. The oracle constructs the canonical form CLOSED-FORM,
+    so parity proves every normalization step.
+
+    100 TB shape: canonicalization is map-side codegen; the group-by
+    shuffles on the canonical string — the natural dedup key."""
+    from burla_spark.operators.urls import canonical_url
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    )
+    g = F.expr("doc_id div 5").cast("string")
+    site = F.concat(F.col("source"), F.expr("(doc_id div 5) % 9").cast("string"))
+    page = F.concat(F.lit("/page/"), g)
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), F.upper(site), F.lit(".COM"), page, F.lit("?b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("https://"), site, F.lit(".com:443"), page, F.lit("?a=1&b=2")))
+        .when(v == 2, F.concat(F.lit("https://"), site, F.lit(".com"), page, F.lit("?a=1&utm_source=x&b=2#frag")))
+        .when(v == 3, F.concat(F.lit("https://u:p@"), site, F.lit(".com."), page, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(F.lit("https://"), site, F.lit(".com"), page, F.lit("?a=1&b=2&gclid=123")))
+    )
+    return (
+        d.select("doc_id", canonical_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            (F.count("*") - 1).cast("long").alias("n_dup_rows"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+# closed-form canonical URLs: a Spark-side normalization bug (port
+# kept, params unsorted, tracking param surviving, fragment leaking)
+# produces a different group key and hash-fails.
+URL_CANONICAL_DEDUP_SQL = """
+WITH parsed AS (
+  SELECT doc_id,
+         'https://' || lower(source || CAST((doc_id // 5) % 9 AS VARCHAR))
+         || '.com/page/' || CAST(doc_id // 5 AS VARCHAR)
+         || '?a=1&b=2' AS canonical_url
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dup_rows,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM parsed GROUP BY canonical_url ORDER BY canonical_url
+"""
+
+
 def importance_acceptance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probability-proportional acceptance sampling — the corpus
     reweighting move (DCLM/quality-resampling style): keep doc i iff
@@ -1436,6 +1500,14 @@ SPECS: list[QuerySpec] = [
         ("curation", "text", "llm"),
         doc="URL canonicalization + registrable-domain frequency cap "
         "(oracle hosts are closed-form: parity proves the stripper)",
+    ),
+    QuerySpec(
+        "url_canonical_dedup",
+        url_canonical_dedup,
+        URL_CANONICAL_DEDUP_SQL,
+        ("curation", "dedup", "llm"),
+        doc="exact URL dedup via full canonicalization (case/port/"
+        "userinfo/fragment/tracking/param-order); closed-form oracle",
     ),
     QuerySpec(
         "zorder_clustered_layout",

@@ -93,6 +93,7 @@ _DRIVER_PRIORITY = frozenset(
         "image_dhash_neardup",  # perceptual image near-dup (dHash+LSH)
         "audio_fingerprint_neardup",  # PCM energy-fingerprint near-dup
         "domain_frequency_cap",  # URL canonicalization + domain cap
+        "url_canonical_dedup",  # full-URL canonicalization dedup
         # tie-out partner of dedup_excise_spans (unchanged engine, but
         # the accounting equality is the round's headline claim — keep
         # both sides of it in the same driver sample)

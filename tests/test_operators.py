@@ -948,3 +948,30 @@ def test_canonical_host_and_registrable_domain(spark):
         assert got[i] == (want_host, want_domain), (
             f"url={url!r}: got {got[i]}, want {(want_host, want_domain)}"
         )
+
+
+def test_canonical_url_normalization(spark):
+    from burla_spark.operators.urls import canonical_url
+
+    cases = [
+        ("https://Site.COM/Page?b=2&a=1", "https://site.com/Page?a=1&b=2"),
+        ("https://site.com:443/p?a=1&b=2", "https://site.com/p?a=1&b=2"),
+        ("http://site.com:80/p", "http://site.com/p"),
+        ("http://site.com:8080/p", "http://site.com:8080/p"),
+        ("https://site.com/p?a=1&utm_source=x&b=2#frag", "https://site.com/p?a=1&b=2"),
+        ("https://u:pw@site.com./p?gclid=9", "https://site.com/p"),
+        ("site.com", "http://site.com/"),
+        ("HTTPS://site.com", "https://site.com/"),
+        ("https://site.com/p?utm_a=1&utm_b=2", "https://site.com/p"),
+        ("https://site.com/a/b/c?z=1&y=2&x=3", "https://site.com/a/b/c?x=3&y=2&z=1"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: r.cu
+        for r in df.select("i", canonical_url(F.col("url")).alias("cu")).collect()
+    }
+    for i, (url, want) in enumerate(cases):
+        assert got[i] == want, f"url={url!r}: got {got[i]!r}, want {want!r}"
