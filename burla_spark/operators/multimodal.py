@@ -417,3 +417,62 @@ def audio_energy_fingerprint(
         return pd.Series(out)
 
     return df.select(F.col(id_col), fp(F.col(pcm_col)).alias("bands"))
+
+
+def video_temporal_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frames_col: str = "frames",
+    frame_bytes: int = 256,
+    n_frames: int = 65,
+) -> DataFrame:
+    """Temporal fingerprint over a raw video frame buffer (the video
+    tier of the multimodal near-dup family; images: image_dhash_bands,
+    audio: audio_energy_fingerprint — all three share
+    :func:`hamming_neardup_pairs`): the payload is ``n_frames``
+    consecutive 8-bit gray planes of ``frame_bytes`` pixels each;
+    decode to a frame matrix, exact integer pixel-sum per frame (the
+    luminance signal — BIGINT, no float), one bit per consecutive-
+    frame comparison (``S[f] > S[f-1]``), packed as four 16-bit band
+    ints. Scene cuts and brightness ramps survive re-encoding; that is
+    what makes temporal signatures the standard video near-dup key.
+
+    Payloads shorter than ``frame_bytes*n_frames`` or NULL get NULL
+    bands (callers filter). Frames never leave the executor — 4 small
+    ints per clip ship."""
+    if n_frames - 1 != DHASH_N_BANDS * DHASH_BAND_BITS:
+        raise ValueError("fingerprint needs n_frames-1 == 64 bits")
+    from pyspark.sql.functions import pandas_udf
+
+    need = frame_bytes * n_frames
+
+    @pandas_udf("array<int>")
+    def fp(payloads: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for p in payloads:
+            if p is None or len(p) < need:
+                out.append(None)
+                continue
+            a = (
+                np.frombuffer(bytes(p)[:need], dtype=np.uint8)
+                .astype(np.int64)
+                .reshape(n_frames, frame_bytes)
+            )
+            s = a.sum(axis=1)
+            bits = s[1:] > s[:-1]
+            out.append(
+                [
+                    int(
+                        (
+                            bits[k * DHASH_BAND_BITS : (k + 1) * DHASH_BAND_BITS]
+                            << np.arange(DHASH_BAND_BITS)
+                        ).sum()
+                    )
+                    for k in range(DHASH_N_BANDS)
+                ]
+            )
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), fp(F.col(frames_col)).alias("bands"))

@@ -3050,6 +3050,128 @@ ORDER BY id_a, id_b
 """
 
 
+def video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs — the third and final modality of
+    the multimodal near-dup matrix (images: image_dhash_neardup,
+    audio: audio_fingerprint_neardup; all three share
+    hamming_neardup_pairs' banded self-join). Deterministic raw clips
+    — 65 consecutive 8-bit gray 16×16 frame planes — are generated
+    per document (pixels closed-form in a 56-bit seed + variant),
+    REALLY decoded from bytes (np.frombuffer uint8 → frame matrix),
+    reduced to exact integer per-frame luminance sums, and
+    fingerprinted by consecutive-frame comparisons into 4×16-bit
+    bands (operators/multimodal.video_temporal_fingerprint).
+
+    Fixture: groups of 4 docs share the leader's md5(text) seed (one
+    seed byte per frame, cycling over 8 — cross-group fingerprints
+    differ by ≥4 bits empirically at sf0.01, structure linear at any
+    scale); variants v=1..3 brighten one frame (+30 mod 256), shifting
+    its sum and flipping ≤2 comparison bits. The DuckDB oracle replays
+    the pixel closed form, recomputes every frame sum as an exact
+    integer, and brute-forces all pairs at hamming ≤ 3.
+
+    100 TB shape: clip synthesis, decode, and fingerprint are one
+    fused map stage (16.6 KB of frames per clip never ship — 4 ints
+    do); candidates shuffle on (band, value); production caps band
+    buckets exactly like the image/audio tiers."""
+    import pandas as pd
+
+    from burla_spark.operators import multimodal as mm
+    from burla_spark.operators.dedup import md5_60bit_hash
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    members = d.select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("v"),
+        (F.col("doc_id") - F.col("doc_id") % 4).alias("leader_id"),
+    ).distinct()
+    leaders = d.select(
+        F.col("doc_id").alias("leader_id"), md5_60bit_hash(F.col("text")).alias("seed")
+    ).distinct()
+    seeded = members.join(leaders, "leader_id").select("doc_id", "v", "seed")
+
+    def gen(batches):
+        import numpy as np
+
+        H = W = 16
+        NF, FRAME = 65, H * W
+        f = np.arange(NF, dtype=np.int64)[:, None]
+        i = np.arange(FRAME, dtype=np.int64)[None, :]
+        y, x = i // W, i % W
+        base = x * 3 + y * 5 + f * 11
+        shifts = (8 * (f % 8)).astype(np.int64)
+        for b in batches:
+            payloads = []
+            for v, seed in zip(b["v"], b["seed"]):
+                p = (base + ((np.int64(seed) >> shifts) & 255)) % 256
+                if v >= 1:
+                    w = 2 * (int(v) - 1)
+                    p = p.copy()
+                    p[w] = (p[w] + 30) % 256
+                payloads.append(p.astype(np.uint8).tobytes())
+            yield pd.DataFrame({"doc_id": b["doc_id"], "frames": payloads})
+
+    clips = seeded.mapInPandas(gen, "doc_id long, frames binary")
+    sigs = mm.video_temporal_fingerprint(clips, "doc_id", "frames")
+    return mm.hamming_neardup_pairs(
+        sigs, "doc_id", "bands", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+def _video_frame_sum_sql(f: str) -> str:
+    """Closed-form frame luminance-sum expression (DuckDB) for frame
+    ``f`` — mirrors video_fingerprint_neardup's generator exactly:
+    p(f,y,x) = (x*3 + y*5 + f*11 + byte(f)) % 256, +30 (mod 256) on
+    the perturbed frame, S(f) = SUM over the 256 pixels."""
+    b = f"((seed >> (8 * (({f}) % 8))) & 255)"
+    base = f"((i.i % 16) * 3 + (i.i // 16) * 5 + ({f}) * 11 + {b}) % 256"
+    s = (
+        f"(CASE WHEN v >= 1 AND ({f}) = 2 * (v - 1)"
+        f" THEN ({base} + 30) % 256 ELSE {base} END)"
+    )
+    return (
+        f"(SELECT SUM({s})"
+        " FROM (SELECT UNNEST(generate_series(0, 255)) AS i) i)"
+    )
+
+
+VIDEO_FP_SQL = f"""
+WITH members AS (
+  SELECT DISTINCT doc_id, doc_id % 4 AS v, doc_id - doc_id % 4 AS leader_id
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), leaders AS (
+  SELECT DISTINCT doc_id AS leader_id,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS seed
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), seeded AS (
+  SELECT m.doc_id, m.v, l.seed FROM members m JOIN leaders l USING (leader_id)
+), sums AS (
+  SELECT s.doc_id, w.w, {_video_frame_sum_sql('w.w')} AS fs
+  FROM seeded s, LATERAL (SELECT UNNEST(generate_series(0, 64)) AS w) w
+), bits AS (
+  SELECT a.doc_id, (a.w - 1) // 16 AS k,
+         CASE WHEN a.fs > p.fs THEN (1 << ((a.w - 1) % 16)) ELSE 0 END AS bw
+  FROM sums a JOIN sums p ON a.doc_id = p.doc_id AND p.w = a.w - 1
+  WHERE a.w >= 1
+), bands AS (
+  SELECT doc_id, k, CAST(SUM(bw) AS BIGINT) AS bv FROM bits GROUP BY doc_id, k
+), sig AS (
+  SELECT doc_id, list(bv ORDER BY k) AS bands FROM bands GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.bands[1], b.bands[1]))
+            + bit_count(xor(a.bands[2], b.bands[2]))
+            + bit_count(xor(a.bands[3], b.bands[3]))
+            + bit_count(xor(a.bands[4], b.bands[4])) AS BIGINT) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def _dhash_gray_sql(sy: str, sx: str) -> str:
     """Closed-form resized-gray expression (DuckDB) for source pixel
     (sy, sx) — must mirror image_dhash_neardup's generator exactly:
@@ -3270,6 +3392,15 @@ SPECS: list[QuerySpec] = [
         doc="audio near-dup: real int16 PCM decode → exact integer "
         "window energies → comparison-bit fingerprint → the same "
         "banded Hamming join; brute-force oracle (round 13).",
+    ),
+    QuerySpec(
+        "video_fingerprint_neardup",
+        video_fingerprint_neardup,
+        VIDEO_FP_SQL,
+        ("multimodal", "dedup", "lsh", "video"),
+        doc="video near-dup: raw gray frame-plane decode → exact "
+        "integer per-frame luminance sums → temporal comparison "
+        "fingerprint → the shared banded Hamming join (round 13).",
     ),
     QuerySpec("token_pieces_stats", token_pieces_stats, TOKEN_PIECES_SQL, ("text",)),
     QuerySpec(

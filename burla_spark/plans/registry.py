@@ -94,6 +94,7 @@ _DRIVER_PRIORITY = frozenset(
         "audio_fingerprint_neardup",  # PCM energy-fingerprint near-dup
         "domain_frequency_cap",  # URL canonicalization + domain cap
         "url_canonical_dedup",  # full-URL canonicalization dedup
+        "video_fingerprint_neardup",  # temporal fingerprint near-dup
         # tie-out partner of dedup_excise_spans (unchanged engine, but
         # the accounting equality is the round's headline claim — keep
         # both sides of it in the same driver sample)

@@ -161,7 +161,7 @@ QUERIES = [
     # audio tier of the multimodal near-dup family: PCM synthesis +
     # int16 decode + window energies are the linear bulk; the banded
     # join is shared with (and decade-2-covered by) the image tier.
-    "audio_fingerprint_neardup",
+    "audio_fingerprint_neardup", "video_fingerprint_neardup",
 ]
 # Deliberately excluded: interval_overlap_join — replicating a FIXED
 # time window multiplies temporal density, and interval-overlap OUTPUT

@@ -242,3 +242,39 @@ def test_audio_fingerprint_short_or_null_dropped(spark):
     )
     sigs = mm.audio_energy_fingerprint(df)
     assert sigs.filter("bands IS NOT NULL").count() == 1
+
+
+def _clip(seed: int, bright_frame: int | None = None) -> bytes:
+    import numpy as np
+
+    f = np.arange(65, dtype=np.int64)[:, None]
+    i = np.arange(256, dtype=np.int64)[None, :]
+    p = ((i % 16) * 3 + (i // 16) * 5 + f * 11 + seed) % 256
+    if bright_frame is not None:
+        p = p.copy()
+        p[bright_frame] = (p[bright_frame] + 30) % 256
+    return p.astype(np.uint8).tobytes()
+
+
+def test_video_fingerprint_identical_and_brightened(spark):
+    df = spark.createDataFrame(
+        [(1, _clip(4)), (2, _clip(4)), (3, _clip(4, bright_frame=6)), (4, _clip(200))],
+        "doc_id long, frames binary",
+    )
+    sigs = mm.video_temporal_fingerprint(df)
+    rows = {r.doc_id: r.bands for r in sigs.collect()}
+    assert rows[1] == rows[2]
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.hamming_neardup_pairs(sigs, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs and 1 <= pairs[(1, 3)] <= 2
+
+
+def test_video_fingerprint_short_or_null_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, b"\x00" * 100), (2, None), (3, _clip(9))],
+        "doc_id long, frames binary",
+    )
+    assert mm.video_temporal_fingerprint(df).filter("bands IS NOT NULL").count() == 1
