@@ -793,8 +793,15 @@ def _prefix_filter_candidates(
     ``block_cols`` adds extra equi-join keys (e.g. a source label or a
     length band) when the caller's pair DEFINITION requires them —
     candidates then need the prefix gram AND every block column to
-    match. Completeness is unaffected: a qualifying pair shares its
-    own block values by definition.
+    match, and ``cand`` carries the matched block values so the caller
+    can re-apply the equality in its verify join-back (ADVICE r13: a
+    doc_id ingested under conflicting block values must not produce
+    cross-block row pairs). Completeness is unaffected: a qualifying
+    pair shares its own block values by definition. Contract residual:
+    duplicate rows of one id WITHIN a block must be exact replicas —
+    grams are set-merged per (id, *block_cols), which is exact for
+    replicas (the explode is distinct) but would blend genuinely
+    different texts under the same (id, block).
 
     100 TB shape: one explode + gram-keyed df-count aggregate, one
     join back, map-side array sort, then an equi-join ON RARE GRAMS
@@ -843,7 +850,11 @@ def _prefix_filter_candidates(
         join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     cand = (
         a.join(b, join_cond)
-        .select(F.col("a.pid").alias("id_a"), F.col("b.pid").alias("id_b"))
+        .select(
+            F.col("a.pid").alias("id_a"),
+            F.col("b.pid").alias("id_b"),
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+        )
         .distinct()
     )
     return cand, ranked.select("pid", "grams", "n")

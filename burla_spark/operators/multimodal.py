@@ -361,8 +361,13 @@ def hamming_neardup_pairs(
     # r3 minhash leak class — asserted by the cache-release tests).
     from burla_spark.operators.dedup import _spill_to_temp_parquet
 
-    spilled = _spill_to_temp_parquet(out, "hamming_pairs")
-    s.unpersist()
+    # try/finally (ADVICE r13): a failed spill write must still release
+    # the signature persist, or it stays pinned for the session — the
+    # exact leak class this discipline exists to prevent.
+    try:
+        spilled = _spill_to_temp_parquet(out, "hamming_pairs")
+    finally:
+        s.unpersist()
     return spilled
 
 

@@ -40,16 +40,25 @@ MULTI_LABEL_SUFFIXES: tuple[str, ...] = (
 )
 
 
+def _after_first(s: Column, sep: str) -> Column:
+    """Everything after the FIRST occurrence of ``sep`` (caller must
+    guard on ``s.contains(sep)``). ``substring_index(s, sep, -1)``
+    cuts at the LAST occurrence — wrong for URLs whose query embeds
+    another URL (``?next=https://evil.com/``) or a literal ``?``
+    (legal per RFC 3986), both common in real crawl data (ADVICE
+    r13)."""
+    return s.substr(F.locate(sep, s) + len(sep), F.length(s))
+
+
 def canonical_host(url: Column) -> Column:
     """Lowercased bare hostname of a URL-ish string: strips scheme
-    (anything before ``://``), userinfo (through ``@``), port
+    (anything before the FIRST ``://`` — an embedded absolute URL in
+    the query must not win), userinfo (through ``@``), port
     (after ``:``), path / query / fragment (after ``/`` ``?`` ``#``),
     and trailing dots. Scheme-less inputs (``example.com/page``) work
     too. NULL in → NULL out."""
     u = F.trim(url)
-    after = F.when(
-        u.contains("://"), F.substring_index(u, "://", -1)
-    ).otherwise(u)
+    after = F.when(u.contains("://"), _after_first(u, "://")).otherwise(u)
     auth = F.substring_index(
         F.substring_index(F.substring_index(after, "/", 1), "?", 1), "#", 1
     )
@@ -92,6 +101,69 @@ TRACKING_PARAM_PREFIXES: tuple[str, ...] = (
 )
 
 
+def pct_normalize(s: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, as pure JVM
+    string/array expressions (split + indexed transform + conv/char —
+    no UDF): hex digits of every ``%XY`` triplet are UPPERCASED
+    (``%2f`` → ``%2F``), and triplets encoding UNRESERVED characters
+    (ALPHA / DIGIT / ``-`` ``.`` ``_`` ``~``) are DECODED
+    (``%7E`` → ``~``, ``%61`` → ``a``) — the two equivalences every
+    conforming URL producer may emit freely, so a dedup key must fold
+    them. Reserved characters stay encoded (``%2F`` is NOT a path
+    ``/``). Malformed ``%`` sequences pass through untouched.
+
+    Decoding can only produce unreserved characters, never ``&`` ``=``
+    ``/`` ``?`` — so normalizing a whole path or query string before
+    splitting it on those delimiters is safe."""
+    parts = F.split(s, "%", -1)
+
+    def fix(p: Column, i: Column) -> Column:
+        code = F.upper(p.substr(F.lit(1), F.lit(2)))
+        rest = p.substr(F.lit(3), F.length(p))
+        n = F.conv(code, 16, 10).cast("int")
+        unreserved = (
+            n.between(48, 57)   # 0-9
+            | n.between(65, 90)  # A-Z
+            | n.between(97, 122)  # a-z
+            | n.isin(45, 46, 95, 126)  # - . _ ~
+        )
+        return (
+            F.when(i == 0, p)  # text before the first '%'
+            .when(~code.rlike("^[0-9A-F]{2}$"), F.concat(F.lit("%"), p))
+            .when(unreserved, F.concat(F.char(n), rest))
+            .otherwise(F.concat(F.lit("%"), code, rest))
+        )
+
+    return F.array_join(F.transform(parts, fix), "")
+
+
+def idn_fold_host(host: Column) -> Column:
+    """IDN host folding (production helper, NOT in any oracled spec —
+    no SQL engine replays punycode): Unicode hostnames fold to their
+    IDNA ASCII form (``münchen.de`` → ``xn--mnchen-3ya.de``) so a
+    crawl that saw both spellings dedups them; ASCII hosts pass
+    through lowercased. Vectorized Arrow-batched UDF over the stdlib
+    ``idna`` codec; hosts the codec rejects fall back to plain
+    lowercase (never NULL a row for a weird host)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def fold(hosts):  # type: ignore[no-untyped-def]
+        def one(h):
+            if h is None:
+                return None
+            try:
+                # the stdlib codec passes all-ASCII labels through
+                # byte-for-byte — lowercase explicitly for a stable key
+                return h.encode("idna").decode("ascii").lower()
+            except (UnicodeError, ValueError):
+                return h.lower()
+
+        return hosts.map(one)
+
+    return fold(host)
+
+
 def canonical_url(
     url: Column,
     tracking_prefixes: tuple[str, ...] = TRACKING_PARAM_PREFIXES,
@@ -99,26 +171,33 @@ def canonical_url(
     """Full URL canonicalization for exact URL-level dedup: lowercase
     scheme + host (path stays case-SENSITIVE), userinfo stripped,
     default ports dropped (http:80 / https:443 — a non-default port is
-    identity and survives), fragment dropped, tracking query params
-    (``utm_*``, ``fbclid``, ...) removed, remaining params SORTED so
-    ``?b=2&a=1`` and ``?a=1&b=2`` collide, empty path normalized to
-    ``/``. Scheme-less inputs default to http. Pure JVM string/array
-    expressions — codegen, no UDF, replayable by a SQL oracle.
+    identity and survives), fragment dropped, percent-encoding
+    normalized in path and query (:func:`pct_normalize` — hex
+    uppercased, unreserved chars decoded, so ``/p%61ge`` and ``/page``
+    collide), tracking query params (``utm_*``, ``fbclid``, ...)
+    removed, remaining params SORTED so ``?b=2&a=1`` and ``?a=1&b=2``
+    collide, empty path normalized to ``/``. Scheme-less inputs
+    default to http. The scheme splits at the FIRST ``://`` and the
+    query at the FIRST ``?`` (ADVICE r13 — embedded absolute URLs and
+    literal ``?`` in queries are common in crawls). Pure JVM
+    string/array expressions — no UDF, replayable by a SQL oracle.
     NULL in → NULL out."""
     u = F.trim(url)
     has_scheme = u.contains("://")
     scheme = F.when(
         has_scheme, F.lower(F.substring_index(u, "://", 1))
     ).otherwise(F.lit("http"))
-    rest = F.when(has_scheme, F.substring_index(u, "://", -1)).otherwise(u)
+    rest = F.when(has_scheme, _after_first(u, "://")).otherwise(u)
     nofrag = F.substring_index(rest, "#", 1)
     authpath = F.substring_index(nofrag, "?", 1)
     query = F.when(
-        nofrag.contains("?"), F.substring_index(nofrag, "?", -1)
+        nofrag.contains("?"), pct_normalize(_after_first(nofrag, "?"))
     ).otherwise(F.lit(""))
     auth = F.substring_index(authpath, "/", 1)
     path = F.substring(authpath, F.length(auth) + 1, F.lit(2**31 - 1))
-    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(
+        pct_normalize(path)
+    )
     noduser = F.when(
         auth.contains("@"), F.substring_index(auth, "@", -1)
     ).otherwise(auth)

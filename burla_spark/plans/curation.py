@@ -784,7 +784,11 @@ def domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     site = F.concat(F.col("source"), (F.col("doc_id") % 7).cast("string"))
     v = F.col("doc_id") % 6
     url = (
-        F.when(v == 0, F.concat(F.lit("https://WWW."), site, F.lit(".com/path/page?q="), F.col("doc_id").cast("string")))
+        # v=0 embeds an absolute URL in the query (the redirect/next
+        # param shape common in real crawls — ADVICE r13): the
+        # canonicalizer must keep the FIRST '://' split, or the host
+        # resolves to evil.example and the oracle hash-fails.
+        F.when(v == 0, F.concat(F.lit("https://WWW."), site, F.lit(".com/path/page?q="), F.col("doc_id").cast("string"), F.lit("&next=https://evil.example/x")))
         .when(v == 1, F.concat(F.lit("http://cdn."), site, F.lit(".com:8080/assets/img.png")))
         .when(v == 2, F.concat(F.lit("https://user:pw@www."), site, F.lit(".CO.UK/profile")))
         .when(v == 3, F.concat(site, F.lit(".com.")))
@@ -860,11 +864,13 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact URL-level dedup via FULL canonicalization (round 13,
     companion to domain_frequency_cap): the same page crawled as
     ``https://SITE.COM/p?b=2&a=1``, ``…:443/p?a=1&b=2``,
-    ``…/p?a=1&utm_source=x&b=2#frag``, ``u:p@site.com./p…`` and
-    ``…?a=1&b=2&gclid=…`` must collapse to ONE canonical URL (host
-    case, default port, userinfo, trailing dot, fragment, tracking
-    params, and query-param ORDER all normalized; path case and
-    non-default ports preserved — they are identity). Five such
+    ``…/p?a=1&utm_source=x&b=2#frag``, ``u:p@site.com./p…``,
+    ``…?a=1&b=2&gclid=…``, ``…/p%61ge/…`` (percent-encoded unreserved
+    char in the path, round 14) and ``…?%62=2&a=1`` (percent-encoded
+    param name) must collapse to ONE canonical URL (host case, default
+    port, userinfo, trailing dot, fragment, tracking params,
+    percent-encoding, and query-param ORDER all normalized; path case
+    and non-default ports preserved — they are identity). Seven such
     variants are synthesized per doc group; the REAL operator
     (operators/urls.canonical_url, pure JVM string/array expressions)
     collapses them and the spec emits per-canonical-URL dedup
@@ -878,16 +884,20 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("source").isNotNull()
     )
-    g = F.expr("doc_id div 5").cast("string")
-    site = F.concat(F.col("source"), F.expr("(doc_id div 5) % 9").cast("string"))
+    g = F.expr("doc_id div 7").cast("string")
+    site = F.concat(F.col("source"), F.expr("(doc_id div 7) % 9").cast("string"))
     page = F.concat(F.lit("/page/"), g)
-    v = F.col("doc_id") % 5
+    v = F.col("doc_id") % 7
     url = (
         F.when(v == 0, F.concat(F.lit("https://"), F.upper(site), F.lit(".COM"), page, F.lit("?b=2&a=1")))
         .when(v == 1, F.concat(F.lit("https://"), site, F.lit(".com:443"), page, F.lit("?a=1&b=2")))
         .when(v == 2, F.concat(F.lit("https://"), site, F.lit(".com"), page, F.lit("?a=1&utm_source=x&b=2#frag")))
         .when(v == 3, F.concat(F.lit("https://u:p@"), site, F.lit(".com."), page, F.lit("?b=2&a=1")))
-        .otherwise(F.concat(F.lit("https://"), site, F.lit(".com"), page, F.lit("?a=1&b=2&gclid=123")))
+        .when(v == 4, F.concat(F.lit("https://"), site, F.lit(".com"), page, F.lit("?a=1&b=2&gclid=123")))
+        # round 14: percent-encoded unreserved chars — '/p%61ge/' is
+        # '/page/' and '?%62=2' is '?b=2' after RFC 3986 normalization
+        .when(v == 5, F.concat(F.lit("https://"), site, F.lit(".com/p%61ge/"), g, F.lit("?a=1&b=2")))
+        .otherwise(F.concat(F.lit("https://"), site, F.lit(".com"), page, F.lit("?%62=2&a=1")))
     )
     return (
         d.select("doc_id", canonical_url(url).alias("canonical_url"))
@@ -902,13 +912,14 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # closed-form canonical URLs: a Spark-side normalization bug (port
-# kept, params unsorted, tracking param surviving, fragment leaking)
-# produces a different group key and hash-fails.
+# kept, params unsorted, tracking param surviving, fragment leaking,
+# percent-triplet undecoded) produces a different group key and
+# hash-fails.
 URL_CANONICAL_DEDUP_SQL = """
 WITH parsed AS (
   SELECT doc_id,
-         'https://' || lower(source || CAST((doc_id // 5) % 9 AS VARCHAR))
-         || '.com/page/' || CAST(doc_id // 5 AS VARCHAR)
+         'https://' || lower(source || CAST((doc_id // 7) % 9 AS VARCHAR))
+         || '.com/page/' || CAST(doc_id // 7 AS VARCHAR)
          || '?a=1&b=2' AS canonical_url
   FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
 )

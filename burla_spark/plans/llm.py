@@ -120,11 +120,21 @@ def _ngram_jaccard_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand, _ = dd._prefix_filter_candidates(
         g, "doc_id", "grams", 0.4, block_cols=("source", "band")
     )
-    ga = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("__ga"))
-    gb = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("__gb"))
+    # verify joins re-apply the (source, band) equality cand matched on
+    # (ADVICE r13): without it, a doc_id ingested under a conflicting
+    # source would fan out into cross-block row pairs the original
+    # blocked join never produced.
+    ga = g.select(
+        F.col("doc_id").alias("id_a"), "source", "band",
+        F.col("grams").alias("__ga"),
+    )
+    gb = g.select(
+        F.col("doc_id").alias("id_b"), "source", "band",
+        F.col("grams").alias("__gb"),
+    )
     return (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
+        cand.join(ga, ["id_a", "source", "band"])
+        .join(gb, ["id_b", "source", "band"])
         .select(
             "id_a",
             "id_b",
@@ -2928,7 +2938,9 @@ def image_dhash_neardup(
     ).orderBy("id_a", "id_b")
 
 
-def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def audio_fingerprint_neardup(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
     """Audio near-duplicate pairs — the §2.C multimodal family's AUDIO
     tier (images got theirs in image_dhash_neardup): deterministic raw
     16-bit LE PCM clips are generated per document (samples closed-form
@@ -2994,7 +3006,7 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = seeded.mapInPandas(gen, "doc_id long, pcm binary")
     sigs = mm.audio_energy_fingerprint(clips, "doc_id", "pcm")
     return mm.hamming_neardup_pairs(
-        sigs, "doc_id", "bands", max_hamming=3
+        sigs, "doc_id", "bands", max_hamming=3, max_bucket=max_bucket
     ).orderBy("id_a", "id_b")
 
 
@@ -3050,7 +3062,9 @@ ORDER BY id_a, id_b
 """
 
 
-def video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def video_fingerprint_neardup(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
     """Video near-duplicate pairs — the third and final modality of
     the multimodal near-dup matrix (images: image_dhash_neardup,
     audio: audio_fingerprint_neardup; all three share
@@ -3116,7 +3130,7 @@ def video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = seeded.mapInPandas(gen, "doc_id long, frames binary")
     sigs = mm.video_temporal_fingerprint(clips, "doc_id", "frames")
     return mm.hamming_neardup_pairs(
-        sigs, "doc_id", "bands", max_hamming=3
+        sigs, "doc_id", "bands", max_hamming=3, max_bucket=max_bucket
     ).orderBy("id_a", "id_b")
 
 

@@ -102,12 +102,31 @@ def _production_image_neardup(spark, sf_dir):
     return image_dhash_neardup(spark, sf_dir, max_bucket=64)
 
 
+def _production_audio_neardup(spark, sf_dir):
+    """audio_fingerprint_neardup with band buckets capped — cap parity
+    with the image tier (VERDICT r13 #4): the fixed-capacity-index
+    argument applies to every 64-bit fingerprint identically."""
+    from burla_spark.plans.llm import audio_fingerprint_neardup
+
+    return audio_fingerprint_neardup(spark, sf_dir, max_bucket=64)
+
+
+def _production_video_neardup(spark, sf_dir):
+    """video_fingerprint_neardup with band buckets capped — cap parity
+    with the image tier (VERDICT r13 #4)."""
+    from burla_spark.plans.llm import video_fingerprint_neardup
+
+    return video_fingerprint_neardup(spark, sf_dir, max_bucket=64)
+
+
 # name -> production-config callable used IN PLACE of the registry spec
 # for scaling runs (oracle-pinned adjudication knobs are correctness
 # artifacts, not capacity configs; the harness times the scale path).
 SCALING_OVERRIDES = {
     "embedding_neardup": _production_neardup,
     "image_dhash_neardup": _production_image_neardup,
+    "audio_fingerprint_neardup": _production_audio_neardup,
+    "video_fingerprint_neardup": _production_video_neardup,
 }
 
 # Per-key-domain offsets: replica i shifts each key by i * base, far
@@ -158,9 +177,12 @@ QUERIES = [
     # splice — must track repeated_ngram_coverage's curve); the domain
     # cap (string canonicalization + per-domain window).
     "image_dhash_neardup", "dedup_excise_spans", "domain_frequency_cap",
-    # audio tier of the multimodal near-dup family: PCM synthesis +
-    # int16 decode + window energies are the linear bulk; the banded
+    # audio/video tiers of the multimodal near-dup family: PCM/frame
+    # synthesis + decode + fingerprint are the linear bulk; the banded
     # join is shared with (and decade-2-covered by) the image tier.
+    # Round 14 (VERDICT r13 #4): both timed in the CAPPED production
+    # config (max_bucket=64, SCALING_OVERRIDES) — cap parity with the
+    # image tier.
     "audio_fingerprint_neardup", "video_fingerprint_neardup",
 ]
 # Deliberately excluded: interval_overlap_join — replicating a FIXED
@@ -398,6 +420,7 @@ def main(decade2: bool = False) -> dict:
     for name, q in queries.items():
         if max(q["ratio"], q["ratio_cold"]) <= GATE * 0.8:
             continue
+        iso: dict[str, float] = {}
         for sf_dir_i, keys in (
             (BASE_SF_DIR, ("t1", "t1_cold")),
             (SCALED_DIR, (f"t{SCALE}", f"t{SCALE}_cold")),
@@ -405,22 +428,33 @@ def main(decade2: bool = False) -> dict:
             dt = _isolated_cold_time(name, sf_dir_i)
             if dt is None:
                 continue
+            iso[keys[0]] = dt
             for k in keys:
                 q[k] = min(q[k], dt)
         q["ratio"] = round(q[f"t{SCALE}"] / max(q["t1"], 0.05), 2)
         q["ratio_cold"] = round(
             q[f"t{SCALE}_cold"] / max(q["t1_cold"], 0.05), 2
         )
+        # isolated-to-isolated ratio — both sides in fresh processes,
+        # so neither number carries session GC/page-cache state. When
+        # present this IS the query's headline ratio (VERDICT r13 #3:
+        # publish the isolated number, not the session-noise artifact
+        # the gate would otherwise need slack for).
+        if "t1" in iso and f"t{SCALE}" in iso:
+            q["ratio_isolated"] = round(
+                iso[f"t{SCALE}"] / max(iso["t1"], 0.05), 2
+            )
         q["remeasured"] = True
+
+    def _headline(q: dict) -> float:
+        return q.get("ratio_isolated", max(q["ratio"], q["ratio_cold"]))
 
     out = {
         "metric": "scaling_ratio",
         "scale": SCALE,
         "base_sf_dir": BASE_SF_DIR,
         "queries": queries,
-        "max_ratio": max(
-            max(q["ratio"], q["ratio_cold"]) for q in queries.values()
-        ),
+        "max_ratio": max(_headline(q) for q in queries.values()),
         "n_queries": len(queries),
     }
 
@@ -465,17 +499,17 @@ def main(decade2: bool = False) -> dict:
 
 
 # Regression gate. LINEAR is ratio == scale by definition, so the
-# alarm must sit ABOVE linear: a compute-dominated linear query (the
-# triangle intersect runs ~80M cells/s at BOTH sizes) measures ratio
-# ≈ 10.0–10.5 warm, and denominator noise on a ~1.5 s t1 flips a
-# strict ==scale gate (round 13 measured 11.67 on a plan whose
-# fresh-process COLD ratio is 2.4). Gate = scale × 1.5: real
-# quadratics measure several× scale (q16 22×, triangle-unionAll 25×,
-# ngram-block 37× — all caught) and fail unambiguously; the pytest
-# wrapper's contract (test_scaling_curve MAX_RATIO_SLACK=2.5) has
-# said "linear ≡ scale, alarm needs slack" since round 6. Override
-# via BURLA_SCALING_GATE.
-GATE = float(os.environ.get("BURLA_SCALING_GATE", "15"))
+# alarm must sit ABOVE linear — but only a little: any entry within
+# 20% of the gate is auto-re-measured PROCESS-ISOLATED on both sides
+# and its isolated-to-isolated ratio becomes the headline (see the
+# remeasure loop), so the gate no longer needs to absorb session
+# GC/page-cache noise (round 13 measured 11.67 warm on a plan whose
+# fresh-process ratio is 2.4 — the isolated number is now what the
+# gate sees). Gate = scale × 1.2 (VERDICT r13 #3, tightened back from
+# the round-13 ×1.5): real quadratics measure several× scale (q16
+# 22×, triangle-unionAll 25×, ngram-block 37× — all caught) and fail
+# unambiguously even isolated. Override via BURLA_SCALING_GATE.
+GATE = float(os.environ.get("BURLA_SCALING_GATE", "12"))
 
 if __name__ == "__main__":
     real_stdout = sys.stdout

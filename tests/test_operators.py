@@ -932,6 +932,14 @@ def test_canonical_host_and_registrable_domain(spark):
         ("ftp://mirror.example.org:21/pub", "mirror.example.org", "example.org"),
         ("sub.host.co.jp/path", "sub.host.co.jp", "host.co.jp"),
         ("  https://padded.example.net/  ", "padded.example.net", "example.net"),
+        # ADVICE r13: an embedded absolute URL in the query must not
+        # win the scheme split — strip at the FIRST '://'
+        (
+            "https://a.example/login?next=https://evil.example/",
+            "a.example",
+            "a.example",
+        ),
+        ("http://b.example/r?u=http://x.test/p&v=1", "b.example", "b.example"),
         (None, None, None),
     ]
     df = spark.createDataFrame(
@@ -964,6 +972,27 @@ def test_canonical_url_normalization(spark):
         ("HTTPS://site.com", "https://site.com/"),
         ("https://site.com/p?utm_a=1&utm_b=2", "https://site.com/p"),
         ("https://site.com/a/b/c?z=1&y=2&x=3", "https://site.com/a/b/c?x=3&y=2&z=1"),
+        # ADVICE r13: scheme splits at the FIRST '://' — an embedded
+        # absolute URL in the query must not hijack the host...
+        (
+            "https://a.com/login?next=https://evil.com/",
+            "https://a.com/login?next=https://evil.com/",
+        ),
+        # ...and the query is everything after the FIRST '?' — a
+        # literal '?' inside the query (legal per RFC 3986) must not
+        # drop the middle segment
+        ("https://site.com/p?q=what?&b=2", "https://site.com/p?b=2&q=what?"),
+        # percent-encoding normalization (round 14): unreserved decode
+        ("https://site.com/p%61ge?a=1", "https://site.com/page?a=1"),
+        ("https://site.com/%7Euser/", "https://site.com/~user/"),
+        ("https://site.com/%7euser/", "https://site.com/~user/"),
+        # reserved stays encoded, hex uppercased
+        ("https://site.com/a%2fb?k=%2c", "https://site.com/a%2Fb?k=%2C"),
+        # decoded params sort and tracking-filter post-normalization
+        ("https://site.com/p?%62=2&a=1", "https://site.com/p?a=1&b=2"),
+        ("https://site.com/p?a=1&%75tm_source=x", "https://site.com/p?a=1"),
+        # malformed '%' passes through
+        ("https://site.com/100%?a=1", "https://site.com/100%?a=1"),
         (None, None),
     ]
     df = spark.createDataFrame(
@@ -975,3 +1004,43 @@ def test_canonical_url_normalization(spark):
     }
     for i, (url, want) in enumerate(cases):
         assert got[i] == want, f"url={url!r}: got {got[i]!r}, want {want!r}"
+
+
+def test_pct_normalize_and_idn_fold(spark):
+    from burla_spark.operators.urls import idn_fold_host, pct_normalize
+
+    pct_cases = [
+        ("%7e%7E%61%41", "~~aA"),      # unreserved decode, both hex cases
+        ("%2f%3a%3F", "%2F%3A%3F"),    # reserved: uppercase, keep encoded
+        ("a%zzb%", "a%zzb%"),          # malformed: untouched
+        ("no-escapes", "no-escapes"),
+        ("", ""),
+        ("%", "%"),
+        ("%%41", "%A"),                 # '%' then a valid triplet
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(pct_cases)], "i long, s string"
+    )
+    got = {
+        r.i: r.o for r in df.select("i", pct_normalize(F.col("s")).alias("o")).collect()
+    }
+    for i, (s, want) in enumerate(pct_cases):
+        assert got[i] == want, f"pct {s!r}: got {got[i]!r}, want {want!r}"
+
+    idn_cases = [
+        ("münchen.de", "xn--mnchen-3ya.de"),
+        ("bücher.example", "xn--bcher-kva.example"),
+        ("EXAMPLE.com", "example.com"),       # ASCII folds to lowercase
+        ("xn--mnchen-3ya.de", "xn--mnchen-3ya.de"),  # already punycode
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(idn_cases)], "i long, h string"
+    )
+    got = {
+        r.i: r.o
+        for r in df.select("i", idn_fold_host(F.col("h")).alias("o")).collect()
+    }
+    for i, (s, want) in enumerate(idn_cases):
+        assert got[i] == want, f"idn {s!r}: got {got[i]!r}, want {want!r}"
