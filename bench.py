@@ -79,8 +79,18 @@ def main() -> dict:
             "pagerank_edges": scale_ops.pagerank_fixed_point,
             "triangle_edges": scale_ops.triangle_counts_part_graph,
             "bpe_vocab": semantic.bpe_train_merges,
-            # depends on the ngram_pairs spill — must stay last
+            # round 14: modality pair tables + blob/index artifacts —
+            # build-once indexing jobs, same contract as the pairs
+            # tables above (the registry queries then read them)
+            "image_pairs": llm.image_dhash_neardup,
+            "audio_pairs": llm.audio_fingerprint_neardup,
+            "video_pairs": llm.video_fingerprint_neardup,
+            "image_blob_table": llm._image_blobs_scanned,
+            "hamming_index": llm._hamming_index,
+            # depends on the ngram_pairs spill — must stay last (and
+            # crossmodal on the three modality pair builds above)
             "ngram_components": llm._ngram_components,
+            "crossmodal_components": llm.crossmodal_dup_components,
         }
 
         t_wall = time.perf_counter()
@@ -230,39 +240,48 @@ def main() -> dict:
         from burla_spark import jobs as _jobs
         from burla_spark import remote_parallel_map
 
-        rss0 = _driver_rss_mb()
-        t0 = time.perf_counter()
-        job = remote_parallel_map(
-            lambda x: x * 2, range(100_000), spark=spark, detach="process"
-        )
-        # journal footprint evidence: the per-task partial acks are
-        # cleaned up at finish, so sample the PEAK while running
-        jdir = _os.path.join(_jobs._journal_dir(spark), job.job_id)
-        peak_bytes, peak_files = 0, 0
-        deadline = _time.monotonic() + 600
-        while job.status() == "running":
-            nb, nf = 0, 0
-            for root, _, files in _os.walk(jdir):
-                for f in files:
-                    try:
-                        nb += _os.path.getsize(_os.path.join(root, f))
-                        nf += 1
-                    except OSError:
-                        pass
-            peak_bytes, peak_files = max(peak_bytes, nb), max(peak_files, nf)
-            if _time.monotonic() > deadline:
-                raise TimeoutError("detach-process job still running")
-            _time.sleep(0.5)
-        res = job.result(timeout=60)
-        secs = round(time.perf_counter() - t0, 3)
-        assert len(res) == 100_000
-        warm["rpm_detach_process_100000_inputs"] = secs
-        cold["rpm_detach_process_100000_inputs"] = secs
-        build_s["rpm_detach_journal_peak_mb"] = round(peak_bytes / 1e6, 2)
-        build_s["rpm_detach_journal_peak_files"] = peak_files
-        build_s["rpm_detach_submitter_rss_delta_mb"] = round(
-            _driver_rss_mb() - rss0, 1
-        )
+        # two points a decade apart (round 14, VERDICT r13 #8): the
+        # 100k point is JVM-boot dominated; the 1M point measures the
+        # journal's marginal cost — its peak size/file count is the
+        # linearity evidence, not an argument.
+        for n_inputs in (100_000, 1_000_000):
+            rss0 = _driver_rss_mb()
+            t0 = time.perf_counter()
+            job = remote_parallel_map(
+                lambda x: x * 2, range(n_inputs), spark=spark, detach="process"
+            )
+            # journal footprint evidence: the per-task partial acks are
+            # cleaned up at finish, so sample the PEAK while running
+            jdir = _os.path.join(_jobs._journal_dir(spark), job.job_id)
+            peak_bytes, peak_files = 0, 0
+            deadline = _time.monotonic() + 600
+            while job.status() == "running":
+                nb, nf = 0, 0
+                for root, _, files in _os.walk(jdir):
+                    for f in files:
+                        try:
+                            nb += _os.path.getsize(_os.path.join(root, f))
+                            nf += 1
+                        except OSError:
+                            pass
+                peak_bytes, peak_files = max(peak_bytes, nb), max(peak_files, nf)
+                if _time.monotonic() > deadline:
+                    raise TimeoutError("detach-process job still running")
+                _time.sleep(0.5)
+            res = job.result(timeout=120)
+            secs = round(time.perf_counter() - t0, 3)
+            assert len(res) == n_inputs
+            del res
+            warm[f"rpm_detach_process_{n_inputs}_inputs"] = secs
+            cold[f"rpm_detach_process_{n_inputs}_inputs"] = secs
+            suffix = "" if n_inputs == 100_000 else f"_{n_inputs}"
+            build_s[f"rpm_detach_journal_peak_mb{suffix}"] = round(
+                peak_bytes / 1e6, 2
+            )
+            build_s[f"rpm_detach_journal_peak_files{suffix}"] = peak_files
+            build_s[f"rpm_detach_submitter_rss_delta_mb{suffix}"] = round(
+                _driver_rss_mb() - rss0, 1
+            )
     except Exception as exc:  # noqa: BLE001
         errors["rpm_detach_process"] = f"{type(exc).__name__}: {exc}"[:300]
 

@@ -371,6 +371,127 @@ def hamming_neardup_pairs(
     return spilled
 
 
+def hamming_neardup_incremental(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands_col: str = "bands",
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental banded Hamming near-dup — the production ingest
+    shape (VERDICT r13 #2): a NEW batch of signatures joins against a
+    PERSISTED signature index (the artifact a prior full run — or the
+    previous ingest — wrote), emitting every near-dup pair with at
+    least one new side. The old corpus is never re-hashed: the index
+    side is whatever scan ``index_sigs`` is (in production a bucketed
+    parquet/table read), and only its (band, value) postings that
+    collide with the NEW batch's bands flow into the join.
+
+    Candidates: new-vs-index pairs sharing a (band_idx, band_value),
+    plus the new-vs-new banded self-join — together pigeonhole-
+    complete for ``max_hamming <= n_bands - 1`` over all pairs with a
+    new member, exactly as the full join is. Verify is an exact
+    popcount over per-band XOR, reading band arrays from the two
+    signature frames (signature READS, not payload re-hashes).
+
+    ``max_bucket`` caps combined (index + new) band buckets, same
+    fixed-capacity contract as :func:`hamming_neardup_pairs`.
+
+    Output: (id_a, id_b, hamming, pair_type) with id_a < id_b and
+    pair_type ∈ {'new_base', 'new_new'}. Contract: new ids are
+    disjoint from index ids (the ingest split guarantees it; an id on
+    both sides would pair with itself and is dropped by the id
+    inequality).
+
+    100 TB shape: the daily batch is orders of magnitude smaller than
+    the corpus, so the expensive side of every shuffle is the batch;
+    the index contributes only the collided postings. The updated
+    index is ``index_sigs UNION new_sigs`` — an append, not a
+    rebuild."""
+    n = (
+        new_sigs.filter(F.col(bands_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), F.col(bands_col).alias("__bands"))
+        .persist()
+    )
+    idx = index_sigs.filter(F.col(bands_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(bands_col).alias("__bands")
+    )
+    en = n.select("__id", F.posexplode("__bands").alias("__k", "__bv"))
+    ei = idx.select("__id", F.posexplode("__bands").alias("__k", "__bv"))
+    if max_bucket is not None:
+        sizes = (
+            en.unionByName(ei)
+            .groupBy("__k", "__bv")
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
+        en = en.join(sizes, ["__k", "__bv"])
+        ei = ei.join(sizes, ["__k", "__bv"])
+    a, b = en.alias("a"), ei.alias("b")
+    cand_nb = (
+        a.join(
+            b,
+            (F.col("a.__k") == F.col("b.__k"))
+            & (F.col("a.__bv") == F.col("b.__bv"))
+            & (F.col("a.__id") != F.col("b.__id")),
+        )
+        .select(
+            F.least("a.__id", "b.__id").alias("id_a"),
+            F.greatest("a.__id", "b.__id").alias("id_b"),
+            F.lit("new_base").alias("pair_type"),
+        )
+        .distinct()
+    )
+    a2, b2 = en.alias("a"), en.alias("b")
+    cand_nn = (
+        a2.join(
+            b2,
+            (F.col("a.__k") == F.col("b.__k"))
+            & (F.col("a.__bv") == F.col("b.__bv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.lit("new_new").alias("pair_type"),
+        )
+        .distinct()
+    )
+    cand = cand_nb.unionByName(cand_nn)
+    # verify reads band arrays from BOTH signature frames (a pair's
+    # sides can live in either): union once, join back per side.
+    u = idx.unionByName(n)
+    sa = u.select(F.col("__id").alias("id_a"), F.col("__bands").alias("__ba"))
+    sb = u.select(F.col("__id").alias("id_b"), F.col("__bands").alias("__bb"))
+    out = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming",
+            F.expr(
+                "aggregate(zip_with(__ba, __bb, (x, y) -> bit_count(x ^ y)),"
+                " 0L, (acc, e) -> acc + e)"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("hamming").cast("long").alias("hamming"),
+            "pair_type",
+        )
+    )
+    from burla_spark.operators.dedup import _spill_to_temp_parquet
+
+    try:
+        spilled = _spill_to_temp_parquet(out, "hamming_incr_pairs")
+    finally:
+        n.unpersist()
+    return spilled
+
+
 def audio_energy_fingerprint(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -84,28 +84,30 @@ def all_specs() -> list[QuerySpec]:
     return specs
 
 
-# Round-13 rotation (VERDICT r12 #6: every spec whose engine or oracle
-# changed this round front-loads into the driver's 50-slot sample).
+# Round-14 rotation (VERDICT r12 #6 discipline: every spec whose
+# engine or oracle changed this round front-loads into the driver's
+# 50-slot sample).
 _DRIVER_PRIORITY = frozenset(
     {
-        # round-13 NEW operators — first-ever driver adjudication
-        "dedup_excise_spans",  # exact-substring dedup REMOVAL action
-        "image_dhash_neardup",  # perceptual image near-dup (dHash+LSH)
-        "audio_fingerprint_neardup",  # PCM energy-fingerprint near-dup
-        "domain_frequency_cap",  # URL canonicalization + domain cap
-        "url_canonical_dedup",  # full-URL canonicalization dedup
-        "video_fingerprint_neardup",  # temporal fingerprint near-dup
-        # tie-out partner of dedup_excise_spans (unchanged engine, but
-        # the accounting equality is the round's headline claim — keep
-        # both sides of it in the same driver sample)
-        "repeated_ngram_coverage",
-        # engine changed: ngram pair candidates now come from the
-        # lossless prefix filter, not the block self-join (the ×100
-        # decade-two cliff fix) — re-green the pair table and every
-        # spec built on it
+        # round-14 NEW operators — first-ever driver adjudication
+        "crossmodal_dup_components",  # 4-modality dup adjudication table
+        "incremental_hamming_neardup",  # batch-vs-persisted-index near-dup
+        "image_dhash_neardup_scanned",  # parquet BinaryType round-trip
+        # oracle/fixture changed: URL canonicalizer hardened (first-://
+        # split, first-? query, percent-encoding normalization; the
+        # dedup fixture grew two percent-encoded variants and the
+        # domain-cap fixture an embedded-redirect query)
+        "url_canonical_dedup", "domain_frequency_cap",
+        # engine changed: prefix-filter candidates now carry (source,
+        # band) through the verify join (ADVICE r13) — re-green the
+        # pair table and every spec built on it
         "ngram_jaccard_pairs", "dedup_components_exact",
         "cross_source_dup_matrix", "split_leakage_audit",
         "dedup_threshold_sweep",
+        # engine changed: modality pair tables now session-cached
+        # (build-once artifact contract) — re-green all three
+        "image_dhash_neardup", "audio_fingerprint_neardup",
+        "video_fingerprint_neardup",
     }
 )
 

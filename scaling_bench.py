@@ -184,6 +184,12 @@ QUERIES = [
     # config (max_bucket=64, SCALING_OVERRIDES) — cap parity with the
     # image tier.
     "audio_fingerprint_neardup", "video_fingerprint_neardup",
+    # round 14: the cross-modal components spec (union of the four
+    # pair tables + pointer-doubling — pays all four builds cold, the
+    # components pass is edge-count-bounded) and the incremental
+    # Hamming tier (blob table + index build cold; the steady state is
+    # the daily-batch join, which must stay batch-sized).
+    "crossmodal_dup_components", "incremental_hamming_neardup",
 ]
 # Deliberately excluded: interval_overlap_join — replicating a FIXED
 # time window multiplies temporal density, and interval-overlap OUTPUT

@@ -1044,3 +1044,108 @@ def test_pct_normalize_and_idn_fold(spark):
     }
     for i, (s, want) in enumerate(idn_cases):
         assert got[i] == want, f"idn {s!r}: got {got[i]!r}, want {want!r}"
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary round-trip + incremental Hamming near-dup (round 14)
+# ---------------------------------------------------------------------------
+def test_scanned_blob_neardup_plan_reads_parquet(spark, sf_dir):
+    """VERDICT r13 #5: the scanned variant's signature plan must START
+    from a real parquet scan of the BinaryType blob table — no in-plan
+    regeneration (MapInPandas) anywhere above it."""
+    from burla_spark.operators import multimodal as mm
+    from burla_spark.plans import llm
+
+    blobs = llm._image_blobs_scanned(spark, sf_dir)
+    sigs = mm.image_dhash_bands(blobs, "doc_id", "payload")
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "burla_spark_image_blobs" in plan, plan
+    assert "FileScan parquet" in plan, plan
+    assert "ArrowEvalPython" in plan, plan  # the dHash UDF
+    assert "MapInPandas" not in plan, plan  # no regeneration
+
+
+def test_incremental_hamming_never_rehashes_base(spark, sf_dir):
+    """VERDICT r13 ordered #2's plan assertion: the incremental run
+    hashes ONLY the new batch (the is_new filter sits BELOW the dHash
+    UDF, so base payloads never reach Python), and the index side is a
+    pure parquet scan of the persisted signature artifact — scanned,
+    not rebuilt."""
+    from pyspark.sql import functions as F
+
+    from burla_spark.operators import multimodal as mm
+    from burla_spark.plans import llm
+    from burla_spark.plans.mlprep import _HASH_MOD, _affine_hash
+
+    new = llm._image_blobs_scanned(spark, sf_dir).filter(
+        _affine_hash(F.col("doc_id")) < F.lit(_HASH_MOD // 5)
+    )
+    new_sigs = mm.image_dhash_bands(new, "doc_id", "payload")
+    plan = new_sigs._jdf.queryExecution().executedPlan().toString()
+    # tree root prints first: the UDF must appear ABOVE the filter —
+    # the filter runs before the hash, so only the batch is hashed
+    assert "ArrowEvalPython" in plan, plan
+    assert plan.index("ArrowEvalPython") < plan.index("Filter"), plan
+
+    idx = llm._hamming_index(spark, sf_dir)
+    idx_plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "burla_spark_hamming_index" in idx_plan, idx_plan
+    assert "ArrowEvalPython" not in idx_plan, idx_plan  # no re-hash
+    assert "MapInPandas" not in idx_plan, idx_plan      # no regeneration
+
+    # the index artifact is built once per corpus: a second spec run
+    # reuses the cached handle instead of rebuilding
+    llm.incremental_hamming_neardup(spark, sf_dir).count()
+    idx2 = llm._hamming_index(spark, sf_dir)
+    assert idx2 is idx
+
+
+def test_incremental_hamming_matches_full_join(spark, sf_dir):
+    """The incremental pairs restricted to new-touching membership
+    must equal the FULL join's pairs restricted the same way — the
+    index shortcut loses nothing (and adds nothing)."""
+    from pyspark.sql import functions as F
+
+    from burla_spark.plans import llm
+    from burla_spark.plans.mlprep import _HASH_MOD, _affine_hash
+
+    full = llm.image_dhash_neardup(spark, sf_dir)
+    is_new = lambda c: _affine_hash(F.col(c)) < F.lit(_HASH_MOD // 5)  # noqa: E731
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in full.filter(is_new("id_a") | is_new("id_b")).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in llm.incremental_hamming_neardup(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_crossmodal_components_consistent_with_inputs(spark, sf_dir):
+    """crossmodal accounting ties out to its four input pair tables:
+    every evidenced node appears, modalities match per-doc incident
+    evidence, and components merge exactly the union edge set."""
+    from burla_spark.plans import llm
+
+    pair_sets = {
+        "text": llm.ngram_jaccard_pairs(spark, sf_dir),
+        "image": llm.image_dhash_neardup(spark, sf_dir),
+        "audio": llm.audio_fingerprint_neardup(spark, sf_dir),
+        "video": llm.video_fingerprint_neardup(spark, sf_dir),
+    }
+    want_mods: dict[int, set] = {}
+    for m, df in pair_sets.items():
+        for r in df.select("id_a", "id_b").collect():
+            want_mods.setdefault(r.id_a, set()).add(m)
+            want_mods.setdefault(r.id_b, set()).add(m)
+    rows = llm.crossmodal_dup_components(spark, sf_dir).collect()
+    got_mods = {r.node: set(r.modalities.split(",")) for r in rows}
+    assert got_mods == want_mods
+    for r in rows:
+        assert r.n_signals == len(got_mods[r.node])
+    # components: two nodes sharing any edge share a component
+    comp = {r.node: r.component for r in rows}
+    for m, df in pair_sets.items():
+        for r in df.select("id_a", "id_b").limit(500).collect():
+            assert comp[r.id_a] == comp[r.id_b], (m, r)
