@@ -3503,6 +3503,33 @@ def crossmodal_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crossmodal_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component rollup of the cross-modal adjudication table —
+    the review queue a curation team actually triages: one row per
+    duplicate component with its size, the union of modalities that
+    evidenced it, and how many members carry MULTIPLE independent
+    signals (the high-confidence core). Reads the build-once
+    cross-modal table (:func:`crossmodal_dup_components`) — pure
+    aggregate, one shuffle on component."""
+    cc = crossmodal_dup_components(spark, sf_dir)
+    return (
+        cc.withColumn("mods", F.split("modalities", ","))
+        .groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.array_join(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("mods")))),
+                ",",
+            ).alias("modalities"),
+            F.sum(F.when(F.col("n_signals") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_multi_signal"),
+            F.min("node").cast("long").alias("keep_id"),
+        )
+        .orderBy("component")
+    )
+
+
 CROSSMODAL_DUP_SQL = f"""
 WITH RECURSIVE text_pairs AS (
   SELECT id_a, id_b FROM ({NGRAM_JACCARD_SQL}) t
@@ -3540,6 +3567,31 @@ WITH RECURSIVE text_pairs AS (
 SELECT c.node, c.component, m.modalities, m.n_signals
 FROM comp c JOIN mods m USING (node)
 ORDER BY node
+"""
+
+
+CROSSMODAL_SUMMARY_SQL = f"""
+WITH base AS (
+  SELECT * FROM ({CROSSMODAL_DUP_SQL}) t
+), memb AS (
+  SELECT component,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(CASE WHEN n_signals >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_multi_signal,
+         CAST(MIN(node) AS BIGINT) AS keep_id
+  FROM base GROUP BY component
+), modu AS (
+  SELECT component,
+         array_to_string(list_sort(list(DISTINCT m)), ',') AS modalities
+  FROM (
+    SELECT component, UNNEST(string_split(modalities, ',')) AS m FROM base
+  ) e
+  GROUP BY component
+)
+SELECT memb.component, memb.n_members, modu.modalities,
+       memb.n_multi_signal, memb.keep_id
+FROM memb JOIN modu USING (component)
+ORDER BY component
 """
 
 
@@ -3746,6 +3798,15 @@ SPECS: list[QuerySpec] = [
         doc="union of the four modality near-dup pair tables resolved "
         "into transitive components with per-doc modality evidence — "
         "the cross-modal dup adjudication table (round 14).",
+    ),
+    QuerySpec(
+        "crossmodal_dup_summary",
+        crossmodal_dup_summary,
+        CROSSMODAL_SUMMARY_SQL,
+        ("multimodal", "dedup", "graph"),
+        doc="per-component rollup of the cross-modal table: size, "
+        "modality union, multi-signal member count, canonical keep "
+        "id — the triage queue (round 14).",
     ),
     QuerySpec("token_pieces_stats", token_pieces_stats, TOKEN_PIECES_SQL, ("text",)),
     QuerySpec(

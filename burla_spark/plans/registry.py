@@ -91,6 +91,7 @@ _DRIVER_PRIORITY = frozenset(
     {
         # round-14 NEW operators — first-ever driver adjudication
         "crossmodal_dup_components",  # 4-modality dup adjudication table
+        "crossmodal_dup_summary",  # per-component triage rollup
         "incremental_hamming_neardup",  # batch-vs-persisted-index near-dup
         "image_dhash_neardup_scanned",  # parquet BinaryType round-trip
         # oracle/fixture changed: URL canonicalizer hardened (first-://
