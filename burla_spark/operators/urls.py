@@ -50,23 +50,54 @@ def _after_first(s: Column, sep: str) -> Column:
     return s.substr(F.locate(sep, s) + len(sep), F.length(s))
 
 
+def _bind(col: Column, f) -> Column:
+    """Bind ``col`` as a lambda variable and apply ``f`` to it —
+    ``get(transform(array(col), f), 0)``. Column expressions are
+    TREES: every re-reference of a Python variable duplicates its
+    whole subtree, so a chain like url → rest → nofrag → path/query
+    (each step referencing the previous 2-3 times) grows the
+    expression exponentially — at round-14 measurement the un-bound
+    canonical_url spent ~10 s of a 5000-ROW query in optimizer/
+    codegen alone. A higher-order-function lambda variable is bound
+    once and referenced by attribute, keeping the tree linear; the
+    array wrap is one element and stays JVM-side."""
+    return F.get(F.transform(F.array(col), f), 0)
+
+
 def canonical_host(url: Column) -> Column:
     """Lowercased bare hostname of a URL-ish string: strips scheme
     (anything before the FIRST ``://`` — an embedded absolute URL in
     the query must not win), userinfo (through ``@``), port
     (after ``:``), path / query / fragment (after ``/`` ``?`` ``#``),
     and trailing dots. Scheme-less inputs (``example.com/page``) work
-    too. NULL in → NULL out."""
-    u = F.trim(url)
-    after = F.when(u.contains("://"), _after_first(u, "://")).otherwise(u)
-    auth = F.substring_index(
-        F.substring_index(F.substring_index(after, "/", 1), "?", 1), "#", 1
+    too. NULL in → NULL out. Intermediates are lambda-bound
+    (:func:`_bind`) so the expression tree stays linear when this
+    feeds further derivations (registrable_domain, caps)."""
+
+    def strip_auth(auth: Column) -> Column:
+        bare = F.when(
+            auth.contains("@"), F.substring_index(auth, "@", -1)
+        ).otherwise(auth)
+        host = F.substring_index(bare, ":", 1)
+        return F.lower(F.regexp_replace(host, r"\.+$", ""))
+
+    def from_rest(after: Column) -> Column:
+        return _bind(
+            F.substring_index(
+                F.substring_index(F.substring_index(after, "/", 1), "?", 1),
+                "#",
+                1,
+            ),
+            strip_auth,
+        )
+
+    return _bind(
+        F.trim(url),
+        lambda u: _bind(
+            F.when(u.contains("://"), _after_first(u, "://")).otherwise(u),
+            from_rest,
+        ),
     )
-    auth = F.when(
-        auth.contains("@"), F.substring_index(auth, "@", -1)
-    ).otherwise(auth)
-    host = F.substring_index(auth, ":", 1)
-    return F.lower(F.regexp_replace(host, r"\.+$", ""))
 
 
 def registrable_domain(
@@ -77,20 +108,29 @@ def registrable_domain(
     public suffix. Single-label hosts (``localhost``) pass through.
     F.get (0-based, NULL out of range) keeps short hosts total —
     no ANSI out-of-bounds errors."""
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    l1 = F.get(labels, n - 1)
-    l2 = F.get(labels, n - 2)
-    l3 = F.get(labels, n - 3)
-    last2 = F.concat_ws(".", l2, l1)
-    last3 = F.concat_ws(".", l3, l2, l1)
-    return (
-        # concat_ws skips NULLs, so a NULL host would otherwise fall
-        # through to '' — keep NULL in → NULL out
-        F.when(host.isNull(), F.lit(None).cast("string"))
-        .when(n <= 1, host)
-        .when((n >= 3) & last2.isin(*suffixes), last3)
-        .otherwise(last2)
+
+    def from_labels(x: Column) -> Column:
+        h, labels = x["h"], x["l"]
+        n = F.size(labels)
+        l1 = F.get(labels, n - 1)
+        l2 = F.get(labels, n - 2)
+        l3 = F.get(labels, n - 3)
+        last2 = F.concat_ws(".", l2, l1)
+        last3 = F.concat_ws(".", l3, l2, l1)
+        return (
+            # concat_ws skips NULLs, so a NULL host would otherwise
+            # fall through to '' — keep NULL in → NULL out
+            F.when(h.isNull(), F.lit(None).cast("string"))
+            .when(n <= 1, h)
+            .when((n >= 3) & last2.isin(*suffixes), last3)
+            .otherwise(last2)
+        )
+
+    return _bind(
+        host,
+        lambda h: _bind(
+            F.struct(h.alias("h"), F.split(h, r"\.").alias("l")), from_labels
+        ),
     )
 
 
@@ -114,8 +154,11 @@ def pct_normalize(s: Column) -> Column:
 
     Decoding can only produce unreserved characters, never ``&`` ``=``
     ``/`` ``?`` — so normalizing a whole path or query string before
-    splitting it on those delimiters is safe."""
-    parts = F.split(s, "%", -1)
+    splitting it on those delimiters is safe.
+
+    Fast path: strings with no ``%`` (the overwhelming majority of
+    real crawl URLs) pass through untouched — the split/transform
+    machinery only runs on rows that contain an escape."""
 
     def fix(p: Column, i: Column) -> Column:
         code = F.upper(p.substr(F.lit(1), F.lit(2)))
@@ -134,7 +177,12 @@ def pct_normalize(s: Column) -> Column:
             .otherwise(F.concat(F.lit("%"), code, rest))
         )
 
-    return F.array_join(F.transform(parts, fix), "")
+    return _bind(
+        s,
+        lambda ss: F.when(~ss.contains("%"), ss).otherwise(
+            F.array_join(F.transform(F.split(ss, "%", -1), fix), "")
+        ),
+    )
 
 
 def idn_fold_host(host: Column) -> Column:
@@ -181,56 +229,108 @@ def canonical_url(
     query at the FIRST ``?`` (ADVICE r13 — embedded absolute URLs and
     literal ``?`` in queries are common in crawls). Pure JVM
     string/array expressions — no UDF, replayable by a SQL oracle.
-    NULL in → NULL out."""
-    u = F.trim(url)
-    has_scheme = u.contains("://")
-    scheme = F.when(
-        has_scheme, F.lower(F.substring_index(u, "://", 1))
-    ).otherwise(F.lit("http"))
-    rest = F.when(has_scheme, _after_first(u, "://")).otherwise(u)
-    nofrag = F.substring_index(rest, "#", 1)
-    authpath = F.substring_index(nofrag, "?", 1)
-    query = F.when(
-        nofrag.contains("?"), pct_normalize(_after_first(nofrag, "?"))
-    ).otherwise(F.lit(""))
-    auth = F.substring_index(authpath, "/", 1)
-    path = F.substring(authpath, F.length(auth) + 1, F.lit(2**31 - 1))
-    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(
-        pct_normalize(path)
-    )
-    noduser = F.when(
-        auth.contains("@"), F.substring_index(auth, "@", -1)
-    ).otherwise(auth)
-    host = F.lower(
-        F.regexp_replace(F.substring_index(noduser, ":", 1), r"\.+$", "")
-    )
-    port = F.when(
-        noduser.contains(":"), F.substring_index(noduser, ":", -1)
-    ).otherwise(F.lit(""))
-    default_port = ((scheme == "http") & (port == "80")) | (
-        (scheme == "https") & (port == "443")
-    )
-    port_part = F.when(
-        (port == "") | default_port, F.lit("")
-    ).otherwise(F.concat(F.lit(":"), port))
-    params = F.array_sort(
-        F.filter(
-            F.split(query, "&", -1),
-            lambda p: (F.length(p) > 0) & ~_any_prefix(p, tracking_prefixes),
-        )
-    )
-    q2 = F.array_join(params, "&")
-    return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(
-        F.concat(
-            scheme,
+    NULL in → NULL out.
+
+    Every derivation stage is lambda-bound (:func:`_bind`): the
+    url → rest → nofrag → authpath → auth chain references each
+    predecessor 2-3 times, so naive Column composition duplicates
+    subtrees exponentially (measured: ~10 s of optimizer/codegen on a
+    5000-row fixture before binding; milliseconds after)."""
+
+    def assemble(x: Column) -> Column:
+        return F.concat(
+            x["s"],
             F.lit("://"),
-            host,
-            port_part,
-            path,
-            F.when(F.length(q2) > 0, F.concat(F.lit("?"), q2)).otherwise(
-                F.lit("")
-            ),
+            x["h"],
+            x["pp"],
+            x["p"],
+            F.when(
+                F.length(x["q2"]) > 0, F.concat(F.lit("?"), x["q2"])
+            ).otherwise(F.lit("")),
         )
+
+    def with_noduser(x: Column) -> Column:
+        scheme, noduser, path, query = x["s"], x["nd"], x["p"], x["q"]
+        host = F.lower(
+            F.regexp_replace(F.substring_index(noduser, ":", 1), r"\.+$", "")
+        )
+        port = F.when(
+            noduser.contains(":"), F.substring_index(noduser, ":", -1)
+        ).otherwise(F.lit(""))
+        default_port = ((scheme == "http") & (port == "80")) | (
+            (scheme == "https") & (port == "443")
+        )
+        port_part = F.when(
+            (port == "") | default_port, F.lit("")
+        ).otherwise(F.concat(F.lit(":"), port))
+        params = F.array_sort(
+            F.filter(
+                F.split(query, "&", -1),
+                lambda p: (F.length(p) > 0)
+                & ~_any_prefix(p, tracking_prefixes),
+            )
+        )
+        return _bind(
+            F.struct(
+                scheme.alias("s"),
+                host.alias("h"),
+                port_part.alias("pp"),
+                path.alias("p"),
+                F.array_join(params, "&").alias("q2"),
+            ),
+            assemble,
+        )
+
+    def with_auth(x: Column) -> Column:
+        scheme, auth, authpath, query = x["s"], x["a"], x["ap"], x["q"]
+        raw_path = F.substring(authpath, F.length(auth) + 1, F.lit(2**31 - 1))
+        path = F.when(F.length(raw_path) == 0, F.lit("/")).otherwise(
+            pct_normalize(raw_path)
+        )
+        noduser = F.when(
+            auth.contains("@"), F.substring_index(auth, "@", -1)
+        ).otherwise(auth)
+        return _bind(
+            F.struct(
+                scheme.alias("s"),
+                noduser.alias("nd"),
+                path.alias("p"),
+                query.alias("q"),
+            ),
+            with_noduser,
+        )
+
+    def with_nofrag(x: Column) -> Column:
+        scheme, nofrag = x["s"], x["n"]
+        authpath = F.substring_index(nofrag, "?", 1)
+        query = F.when(
+            nofrag.contains("?"), pct_normalize(_after_first(nofrag, "?"))
+        ).otherwise(F.lit(""))
+        return _bind(
+            F.struct(
+                scheme.alias("s"),
+                F.substring_index(authpath, "/", 1).alias("a"),
+                authpath.alias("ap"),
+                query.alias("q"),
+            ),
+            with_auth,
+        )
+
+    def with_u(u: Column) -> Column:
+        has_scheme = u.contains("://")
+        scheme = F.when(
+            has_scheme, F.lower(F.substring_index(u, "://", 1))
+        ).otherwise(F.lit("http"))
+        rest = F.when(has_scheme, _after_first(u, "://")).otherwise(u)
+        return _bind(
+            F.struct(
+                scheme.alias("s"), F.substring_index(rest, "#", 1).alias("n")
+            ),
+            with_nofrag,
+        )
+
+    return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(
+        _bind(F.trim(url), with_u)
     )
 
 
