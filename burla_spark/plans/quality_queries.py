@@ -336,6 +336,73 @@ ORDER BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# l-diversity audit (round 14): k-anonymity's required companion — a
+# cell can be k-large yet leak the sensitive attribute anyway if every
+# member shares one value (the homogeneity attack). Per quasi-
+# identifier cell, over a fixed banded sensitive attribute (account-
+# balance tier): distinct-l (how many sensitive values appear) and the
+# modal count (how concentrated the cell is); risky = l < 3. All
+# exact integers on a deterministic CASE banding, so the oracle is a
+# literal replay. 100 TB shape: two stacked aggregations that share
+# the (cell, sensitive) grouping — ONE shuffle on the finer key, then
+# a map-side-combinable rollup to cells; output bounded by the
+# quasi-identifier domain, never the table.
+# ---------------------------------------------------------------------------
+L_DIVERSITY_L = 3
+_ACCTBAL_BANDS_SQL = (
+    "CASE WHEN c_acctbal < 0 THEN 'debt' "
+    "WHEN c_acctbal < 3000 THEN 'low' "
+    "WHEN c_acctbal < 7000 THEN 'mid' "
+    "ELSE 'high' END"
+)
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    fine = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(_ACCTBAL_BANDS_SQL).alias("sens"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "sens")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        fine.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_members"),
+            F.count("*").cast("long").alias("l_distinct"),
+            F.max("cnt").cast("long").alias("modal_count"),
+        )
+        .withColumn(
+            "risky",
+            (F.col("l_distinct") < L_DIVERSITY_L).cast("boolean"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+L_DIVERSITY_SQL = f"""
+WITH fine AS (
+  SELECT c_nationkey, c_mktsegment,
+         {_ACCTBAL_BANDS_SQL} AS sens,
+         COUNT(*) AS cnt
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(SUM(cnt) AS BIGINT) AS n_members,
+       CAST(COUNT(*) AS BIGINT) AS l_distinct,
+       CAST(MAX(cnt) AS BIGINT) AS modal_count,
+       COUNT(*) < {L_DIVERSITY_L} AS risky
+FROM fine
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cross-source duplication matrix (round 11): the dedup ACCOUNTING
 # view a curation team actually reads — for each (source, source)
 # pair, how many verified near-dup pairs cross it and how similar they
@@ -1133,6 +1200,15 @@ SPECS = [
         ("quality", "governance"),
         doc="Quasi-identifier cell sizes with a k<5 re-identification "
         "flag — release-gate governance check (round 11).",
+    ),
+    QuerySpec(
+        "l_diversity_audit",
+        l_diversity_audit,
+        L_DIVERSITY_SQL,
+        ("quality", "governance"),
+        doc="Distinct-l and modal concentration of the banded sensitive "
+        "attribute per quasi-identifier cell — the homogeneity-attack "
+        "audit k-anonymity misses (round 14).",
     ),
     QuerySpec(
         "cross_source_dup_matrix",

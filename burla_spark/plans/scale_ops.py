@@ -773,6 +773,254 @@ ORDER BY cnt DESC, gram
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch (round 14): the point-query frequency sketch that
+# completes the family (bitmap = exact distinct, HLL = approx distinct,
+# Misra-Gries = heavy-hitter candidates, CMS = per-key count
+# estimates). d=4 pairwise-independent affine hash rows × w=256
+# counters; estimate(key) = min over rows of its counter, which can
+# only OVERestimate (every occurrence of the key lands in all four of
+# its counters; collisions add). The spec reports the top-20 exact
+# keys side-by-side with their CMS estimates so the overestimate
+# column IS the collision-error audit — and `cms_estimate ≥
+# exact_count` is an invariant the oracle proves on every row.
+#
+# 100 TB shape: the sketch build is ONE map-side-combinable aggregate
+# whose output is bounded by d·w = 1024 rows regardless of input —
+# counters are sums, so per-day/per-shard sketches merge by addition
+# (the same incremental property as the bitmap/HLL specs). The
+# estimate phase broadcasts the 1024-row sketch; nothing big moves.
+# Hash family: the engine's overflow-safe modmul (mlprep.py) with
+# per-row (a, b) coefficients reduced mod the prime, so (key%p)·a + b
+# peaks ≈ 1.01e18 < int64 max for EVERY int64 key on both engines.
+# ---------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 256
+_CMS_TOP = 20
+# (a, b) per hash row, a already reduced mod _HASH_MOD and nonzero
+_CMS_COEFFS = [
+    (1, 0),
+    (654435747, 1013904223),
+    (179424673, 97),
+    (961748941, 7919),
+]
+
+
+def _cms_idx(key, a: int, b: int):
+    from burla_spark.plans.mlprep import _HASH_MOD
+
+    return (
+        ((key % F.lit(_HASH_MOD)) * F.lit(a) + F.lit(b)) % F.lit(_HASH_MOD)
+    ) % F.lit(_CMS_W)
+
+
+def _cms_idx_sql(expr: str, a: int, b: int) -> str:
+    from burla_spark.plans.mlprep import _HASH_MOD
+
+    return f"(((({expr}) % {_HASH_MOD}) * {a} + {b}) % {_HASH_MOD}) % {_CMS_W}"
+
+
+def cms_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("key"))
+        .filter(F.col("key").isNotNull())
+    )
+    idx_structs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                _cms_idx(F.col("key"), a, b).alias("idx"),
+            )
+            for r, (a, b) in enumerate(_CMS_COEFFS)
+        ]
+    )
+    hashed = src.select(F.explode(idx_structs).alias("h")).select(
+        "h.r", "h.idx"
+    )
+    sketch = hashed.groupBy("r", "idx").agg(
+        F.count("*").alias("counter")
+    )
+    exact = src.groupBy("key").agg(F.count("*").alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), F.asc("key")).limit(_CMS_TOP)
+    cand = top.select("key", "exact_count", F.explode(idx_structs).alias("h")).select(
+        "key", "exact_count", "h.r", "h.idx"
+    )
+    return (
+        cand.join(F.broadcast(sketch), ["r", "idx"])
+        .groupBy("key", "exact_count")
+        .agg(F.min("counter").alias("cms_estimate"))
+        .select(
+            F.col("key").alias("custkey"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_count"), F.asc("custkey"))
+    )
+
+
+def _cms_sql() -> str:
+    hashed = "\n  UNION ALL ".join(
+        f"SELECT key, {r} AS r, {_cms_idx_sql('key', a, b)} AS idx FROM src"
+        for r, (a, b) in enumerate(_CMS_COEFFS)
+    )
+    cand = "\n  UNION ALL ".join(
+        f"SELECT key, exact_count, {r} AS r, {_cms_idx_sql('key', a, b)} AS idx FROM top"
+        for r, (a, b) in enumerate(_CMS_COEFFS)
+    )
+    return f"""
+WITH src AS (
+  SELECT o_custkey AS key FROM orders WHERE o_custkey IS NOT NULL
+),
+hashed AS (
+  {hashed}
+),
+sketch AS (
+  SELECT r, idx, COUNT(*) AS counter FROM hashed GROUP BY 1, 2
+),
+exact AS (
+  SELECT key, COUNT(*) AS exact_count FROM src GROUP BY 1
+),
+top AS (
+  SELECT * FROM exact ORDER BY exact_count DESC, key LIMIT {_CMS_TOP}
+),
+cand AS (
+  {cand}
+)
+SELECT cand.key AS custkey,
+       CAST(cand.exact_count AS BIGINT) AS exact_count,
+       CAST(MIN(sketch.counter) AS BIGINT) AS cms_estimate,
+       CAST(MIN(sketch.counter) - cand.exact_count AS BIGINT) AS overestimate
+FROM cand JOIN sketch ON sketch.r = cand.r AND sketch.idx = cand.idx
+GROUP BY cand.key, cand.exact_count
+ORDER BY exact_count DESC, custkey
+"""
+
+
+CMS_SQL = _cms_sql()
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction (round 14): score NON-adjacent part
+# pairs by Σ_{z ∈ common(x,y)} 1/ln(deg z) — the classic
+# common-neighbors link predictor, here over the same co-purchase
+# graph the triangle spec materializes (the build-once oriented edge
+# table is the shared artifact). Wedge centers with degree > HUB_CAP
+# are excluded BY THE SPEC (hub-capped Adamic-Adar): a hub's
+# per-center contribution is the smallest (1/ln is decreasing) while
+# its wedge fan-out C(deg, 2) is the largest, so the cap is the
+# standard production trade — and since the oracle replays the same
+# capped formula, parity is exact, not approximate.
+#
+# Exactness: the per-center term is FIXED-POINT — round(1e6/ln(deg))
+# as BIGINT — so pair scores are exact integer sums immune to
+# float association order (verified: for every deg ≤ 4096 the value
+# 1e6/ln(deg) sits ≥ 1.2e-4 away from a .5 rounding boundary, five
+# decades above any libm last-ulp divergence between engines).
+#
+# 100 TB shape: wedge mass is Σ_{deg(z)≤c} C(deg z, 2) ≤ (c-1)/2 · m —
+# LINEAR in edges under the cap (the uncapped form is the quadratic
+# hub bomb round 12 evicted from triangles). One (x, y)-keyed shuffle
+# for the score sum, an anti-join against the (already u<v-normalized)
+# edge set, and a TakeOrdered top-25 — no full pair materialization.
+# ---------------------------------------------------------------------------
+_AA_HUB_CAP = 64
+_AA_SCALE = 1_000_000
+_AA_TOP = 25
+
+
+def adamic_adar_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edir = _triangle_oriented_edges(spark, sf_dir)
+    edges = edir.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    )
+    nb = edges.select(F.col("u").alias("z"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("z"), F.col("u").alias("nbr"))
+    )
+    # deg(z) == size(neighbor set): the edge set is distinct, so
+    # collect_set size IS the degree — no separate degree join
+    adj = nb.groupBy("z").agg(F.sort_array(F.collect_set("nbr")).alias("nbrs"))
+    capped = adj.filter(
+        (F.size("nbrs") >= 2) & (F.size("nbrs") <= _AA_HUB_CAP)
+    ).select(
+        F.round(F.lit(float(_AA_SCALE)) / F.log(F.size("nbrs")))
+        .cast("long")
+        .alias("term"),
+        F.explode(
+            F.expr(
+                "flatten(transform(nbrs, (x, i) -> "
+                "transform(slice(nbrs, i + 2, size(nbrs)), "
+                "y -> struct(x AS x, y AS y))))"
+            )
+        ).alias("p"),
+    )
+    scored = (
+        capped.select("p.x", "p.y", "term")
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum("term").alias("score_fp"),
+        )
+    )
+    nonedge = scored.join(
+        edges, (scored.x == edges.u) & (scored.y == edges.v), "left_anti"
+    )
+    return (
+        nonedge.orderBy(F.desc("score_fp"), F.asc("x"), F.asc("y"))
+        .limit(_AA_TOP)
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            (
+                F.round(F.col("score_fp").cast("double") / _AA_SCALE, 6)
+                + F.lit(0.0)
+            ).alias("aa_score"),
+        )
+    )
+
+
+ADAMIC_ADAR_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+nb AS (
+  SELECT u AS z, v AS nbr FROM e
+  UNION ALL SELECT v AS z, u AS nbr FROM e
+),
+deg AS (SELECT z, COUNT(*) AS d FROM nb GROUP BY 1),
+wedge AS (
+  SELECT a.nbr AS x, b.nbr AS y,
+         CAST(ROUND({_AA_SCALE}.0 / LN(deg.d)) AS BIGINT) AS term
+  FROM nb a
+  JOIN nb b ON b.z = a.z AND a.nbr < b.nbr
+  JOIN deg ON deg.z = a.z AND deg.d <= {_AA_HUB_CAP}
+),
+scored AS (
+  SELECT x, y, COUNT(*) AS n_common, SUM(term) AS score_fp
+  FROM wedge GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN e ON e.u = s.x AND e.v = s.y
+  WHERE e.u IS NULL
+),
+top AS (
+  SELECT * FROM nonedge ORDER BY score_fp DESC, x, y LIMIT {_AA_TOP}
+)
+SELECT x AS part_a, y AS part_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       ROUND(CAST(score_fp AS DOUBLE) / {_AA_SCALE}, 6) + 0.0 AS aa_score
+FROM top ORDER BY score_fp DESC, part_a, part_b
+"""
+
+
 SPECS = [
     QuerySpec(
         name="salted_skew_aggregate",
@@ -832,5 +1080,22 @@ SPECS = [
         oracle=HEAVY_HITTER_SQL,
         tags=("sketch", "text", "scale"),
         doc="Misra-Gries candidate pass + exact recount, no-false-negative bound",
+    ),
+    QuerySpec(
+        name="cms_frequency_sketch",
+        spark=cms_frequency_sketch,
+        oracle=CMS_SQL,
+        tags=("sketch", "agg", "scale"),
+        doc="Count-min sketch (d=4, w=256) point-frequency estimates vs "
+        "exact counts — bounded mergeable counters, overestimate-only "
+        "error audit (round 14).",
+    ),
+    QuerySpec(
+        name="adamic_adar_link_scores",
+        spark=adamic_adar_link_scores,
+        oracle=ADAMIC_ADAR_SQL,
+        tags=("graph", "join", "scale", "mining"),
+        doc="Hub-capped Adamic-Adar link prediction over the build-once "
+        "co-purchase edge table, exact fixed-point scores (round 14).",
     ),
 ]

@@ -945,7 +945,151 @@ FROM interior GROUP BY 1, 2 ORDER BY event_type, hod
 """
 
 
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (round 14): offline single-changepoint
+# localization per event_type — the first split of binary segmentation
+# (Page's CUSUM read at the argmax, a.k.a. Taylor's changepoint
+# estimator). The statistic C_i = Σ_{j≤i}(x_j − x̄) is kept EXACT by
+# clearing both denominators: D_i = n·prefix_i − i·total is pure
+# BIGINT on cent-scaled values, so Spark and DuckDB agree bit-for-bit
+# and the argmax row (the changepoint) is uniquely determined, with
+# (−|D|, i) ordering breaking ties toward the earliest boundary.
+#
+# 100 TB shape: ONE shuffle on event_type — the running prefix sum and
+# the per-key totals share the same window partitioning, and the
+# argmax is a map-side-combinable max(struct(...)) aggregate, not a
+# second sort. BIGINT headroom: |D| ≤ n²·max|x|·scale, safe beyond
+# 1e7 rows per key at cent scale; past that, segment the series
+# (per-day keys) or route D through decimal(38,0) exactly as money_sum
+# does — changepoint scans at 100 TB are run per segment anyway.
+# ---------------------------------------------------------------------------
+_CUSUM_SCALE = 100  # cents: event values carry 2 decimals
+
+
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wk = Window.partitionBy("event_type")
+    base = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * _CUSUM_SCALE).cast("long").alias("v_fp"),
+    )
+    scanned = base.select(
+        "event_type",
+        "ts",
+        F.row_number().over(w).alias("i"),
+        F.sum("v_fp").over(w).alias("prefix"),
+        F.count("*").over(wk).alias("n"),
+        F.sum("v_fp").over(wk).alias("total"),
+    )
+    d = scanned.withColumn(
+        "dstat", F.col("n") * F.col("prefix") - F.col("i") * F.col("total")
+    )
+    # argmax |D| (earliest i on ties) as ONE map-side-combinable
+    # aggregate: max over struct(|D|, -i, payload...) — no second sort
+    best = d.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("dstat")).alias("absd"),
+                (-F.col("i")).alias("neg_i"),
+                F.col("i").alias("i"),
+                F.col("ts").alias("ts"),
+                F.col("prefix").alias("prefix"),
+                F.col("n").alias("n"),
+                F.col("total").alias("total"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.i").cast("long").alias("cp_index"),
+        F.col("b.ts").alias("cp_ts"),
+        F.col("b.n").cast("long").alias("n_events"),
+        # |C_i| = |D_i|/n, back in original units
+        (
+            F.round(
+                F.col("b.absd").cast("double")
+                / F.col("b.n")
+                / _CUSUM_SCALE,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cusum_stat"),
+        (
+            F.round(
+                F.col("b.prefix").cast("double")
+                / F.col("b.i")
+                / _CUSUM_SCALE,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mean_before"),
+        F.when(
+            F.col("b.n") > F.col("b.i"),
+            F.round(
+                (F.col("b.total") - F.col("b.prefix")).cast("double")
+                / (F.col("b.n") - F.col("b.i"))
+                / _CUSUM_SCALE,
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("mean_after"),
+    ).orderBy("event_type")
+
+
+CUSUM_SQL = f"""
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * {_CUSUM_SCALE}) AS BIGINT) AS v_fp
+  FROM events
+), scanned AS (
+  SELECT event_type, ts,
+         ROW_NUMBER() OVER w AS i,
+         SUM(v_fp) OVER w AS prefix,
+         COUNT(*) OVER wk AS n,
+         SUM(v_fp) OVER wk AS total
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id),
+         wk AS (PARTITION BY event_type)
+), d AS (
+  SELECT event_type, ts, i, prefix, n, total,
+         n * prefix - i * total AS dstat
+  FROM scanned
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY ABS(dstat) DESC, i ASC
+         ) AS rk
+  FROM d
+)
+SELECT event_type,
+       CAST(i AS BIGINT) AS cp_index,
+       ts AS cp_ts,
+       CAST(n AS BIGINT) AS n_events,
+       ROUND(CAST(ABS(dstat) AS DOUBLE) / n / {_CUSUM_SCALE}, 6)
+         + 0.0 AS cusum_stat,
+       ROUND(CAST(prefix AS DOUBLE) / i / {_CUSUM_SCALE}, 6)
+         + 0.0 AS mean_before,
+       CASE WHEN n > i THEN
+         ROUND(CAST(total - prefix AS DOUBLE) / (n - i) / {_CUSUM_SCALE}, 6)
+           + 0.0
+       END AS mean_after
+FROM ranked WHERE rk = 1 ORDER BY event_type
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "cusum_changepoints",
+        cusum_changepoints,
+        CUSUM_SQL,
+        ("timeseries", "window", "mining", "monitoring"),
+        doc="Exact-integer CUSUM argmax changepoint per event_type "
+        "(binary-segmentation first split), one shuffle + struct-max "
+        "aggregate (round 14).",
+    ),
     QuerySpec(
         "frequent_event_sequences",
         frequent_event_sequences,

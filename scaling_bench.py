@@ -190,6 +190,16 @@ QUERIES = [
     # Hamming tier (blob table + index build cold; the steady state is
     # the daily-batch join, which must stay batch-sized).
     "crossmodal_dup_components", "incremental_hamming_neardup",
+    # round 14 additions: CUSUM (one event_type-keyed window pass —
+    # linear, parallelism bounded by the type domain, which is why the
+    # spec doc prescribes per-day segmenting at 100 TB); the count-min
+    # sketch (two scans + a d*w-bounded aggregate — the broadcast side
+    # is fixed-size by construction); hub-capped Adamic-Adar (wedge
+    # mass ≤ (cap-1)/2 · edges, shares the triangle spec's build-once
+    # edge table, so its cold pays that build when it runs first);
+    # l-diversity (two stacked aggregates over one scan).
+    "cusum_changepoints", "cms_frequency_sketch",
+    "adamic_adar_link_scores", "l_diversity_audit",
 ]
 # Deliberately excluded: interval_overlap_join — replicating a FIXED
 # time window multiplies temporal density, and interval-overlap OUTPUT

@@ -164,6 +164,11 @@ BROADCAST_FACT_OK: dict[str, str] = {
         "per-l_linestatus percentile bands — l_linestatus has a fixed "
         "2-value domain (O/F) at any SF"
     ),
+    "cms_frequency_sketch": (
+        "the broadcast side is the count-min sketch itself — grouped "
+        "by (hash row, counter index), bounded at d*w = 1024 rows by "
+        "construction at any SF"
+    ),
 }
 
 _HINT_RE = re.compile(r"ResolvedHint \(strategy=broadcast\)")

@@ -334,3 +334,133 @@ def test_incremental_agg_pushes_date_filter_to_scan(spark, sf_dir):
     assert any("o_orderdate" in s and "PushedFilters: [" in s for s in scans), (
         "date predicate not pushed to the orders scan:\n" + "\n".join(scans)
     )
+
+
+def test_cms_never_underestimates_and_is_exact_without_collisions(spark, sf_dir):
+    """The one-sided CMS error bound, plus an independent (pandas)
+    recompute of the full sketch: every reported estimate must equal
+    min over the 4 rows of the true counter contents."""
+    import pandas as pd
+
+    from burla_spark.plans.mlprep import _HASH_MOD
+    from burla_spark.plans.scale_ops import (
+        _CMS_COEFFS,
+        _CMS_W,
+        cms_frequency_sketch,
+    )
+
+    rows = cms_frequency_sketch(spark, sf_dir).collect()
+    assert rows
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    keys = o["o_custkey"].dropna().astype("int64")
+    counts = keys.value_counts()
+    sketch = [dict() for _ in _CMS_COEFFS]
+    for key, c in counts.items():
+        for r, (a, b) in enumerate(_CMS_COEFFS):
+            idx = ((int(key) % _HASH_MOD) * a + b) % _HASH_MOD % _CMS_W
+            sketch[r][idx] = sketch[r].get(idx, 0) + int(c)
+    for row in rows:
+        assert row["overestimate"] >= 0
+        assert row["cms_estimate"] == row["exact_count"] + row["overestimate"]
+        expect = min(
+            sketch[r][((row["custkey"] % _HASH_MOD) * a + b) % _HASH_MOD % _CMS_W]
+            for r, (a, b) in enumerate(_CMS_COEFFS)
+        )
+        assert row["cms_estimate"] == expect
+        assert row["exact_count"] == int(counts[row["custkey"]])
+    # the sketch must actually be in a collision-bearing regime at
+    # this domain/width (vacuity guard) — some bucket holds ≥2 keys,
+    # even if the top-20 keys' minima all escape (they can at smoke SF)
+    n_keys = counts.size
+    assert any(len(s) < n_keys for s in sketch)
+
+
+def test_cms_sketch_counters_merge_across_shards(spark, sf_dir):
+    """Counters are plain sums, so per-shard sketches merged by
+    addition equal the monolithic sketch — the incremental-pipeline
+    property the spec claims (same contract as the bitmap/HLL specs)."""
+    import pandas as pd
+
+    from burla_spark.plans.mlprep import _HASH_MOD
+    from burla_spark.plans.scale_ops import _CMS_COEFFS, _CMS_W
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    keys = o["o_custkey"].dropna().astype("int64").tolist()
+
+    def build_exact(ks):
+        s = [[0] * _CMS_W for _ in _CMS_COEFFS]
+        for key in ks:
+            for r, (a, b) in enumerate(_CMS_COEFFS):
+                idx = ((key % _HASH_MOD) * a + b) % _HASH_MOD % _CMS_W
+                s[r][idx] += 1
+        return s
+
+    mid = len(keys) // 2
+    full = build_exact(keys)
+    sa, sb = build_exact(keys[:mid]), build_exact(keys[mid:])
+    merged = [
+        [x + y for x, y in zip(ra, rb)] for ra, rb in zip(sa, sb)
+    ]
+    assert merged == full
+
+
+def test_adamic_adar_matches_naive_on_fixture(spark, sf_dir):
+    """Third-way check: hub-capped fixed-point Adamic-Adar recomputed
+    naively in Python from the co-purchase edge set must reproduce the
+    spec's top-25 pairs and scores exactly."""
+    import math
+
+    import pandas as pd
+
+    from burla_spark.plans.scale_ops import (
+        _AA_HUB_CAP,
+        _AA_SCALE,
+        _AA_TOP,
+        adamic_adar_link_scores,
+    )
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    edges = set()
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(g["l_partkey"].tolist())
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    scores: dict[tuple[int, int], list[int]] = {}
+    for z, nbrs in adj.items():
+        if not (2 <= len(nbrs) <= _AA_HUB_CAP):
+            continue
+        term = round(_AA_SCALE / math.log(len(nbrs)))
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                pair = (ns[i], ns[j])
+                e = scores.setdefault(pair, [0, 0])
+                e[0] += 1
+                e[1] += term
+    ranked = sorted(
+        (
+            (-fp, x, y, n)
+            for (x, y), (n, fp) in scores.items()
+            if (x, y) not in edges
+        ),
+    )[:_AA_TOP]
+    expect = {
+        (x, y): (n, round(-negfp / _AA_SCALE, 6))
+        for negfp, x, y, n in ranked
+    }
+    out = adamic_adar_link_scores(spark, sf_dir).collect()
+    assert len(out) == len(expect) > 0
+    for r in out:
+        n, score = expect[(r["part_a"], r["part_b"])]
+        assert r["n_common"] == n
+        assert abs(r["aa_score"] - score) < 1e-9
+    # predictions must be non-edges with real multi-common-neighbor
+    # support somewhere (vacuity guard)
+    assert max(r["n_common"] for r in out) >= 2

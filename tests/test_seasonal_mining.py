@@ -81,3 +81,68 @@ def test_seasonal_profile_matches_bruteforce(spark, sf_dir):
     vals = {r["seasonal"] for r in rows}
     assert len(vals) > 1
     assert isinstance(np.mean([abs(v) for v in vals]), float)
+
+
+def test_cusum_localizes_planted_changepoint(spark, tmp_path):
+    """A level shift planted at i=120 of 200 (10.00 → 25.00 with a
+    small deterministic wobble) must be localized EXACTLY by the
+    integer CUSUM argmax, with the segment means recovered."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        level = 10.0 if i < 120 else 25.0
+        # ±0.25 deterministic wobble so the series isn't degenerate
+        rows.append(
+            (
+                i,
+                t0 + dt.timedelta(minutes=i),
+                1,
+                "metric",
+                level + (0.25 if i % 2 else -0.25),
+                "{}",
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = ts.cusum_changepoints(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # |C_i| = i*(n-i)/n * |mean_after - mean_before| is maximized at
+    # the true boundary for a clean step: the argmax must land there
+    assert r["cp_index"] == 120
+    assert r["n_events"] == 200
+    assert abs(r["mean_before"] - 10.0) < 1e-9
+    assert abs(r["mean_after"] - 25.0) < 1e-9
+    # C_120 = 120*(15.0 - overall drift)… check against brute force
+    vals = [v[4] for v in rows]
+    mean = sum(vals) / len(vals)
+    best = max(
+        (abs(sum(vals[: i + 1]) - (i + 1) * mean), i + 1)
+        for i in range(len(vals))
+    )
+    assert abs(r["cusum_stat"] - round(best[0], 6)) < 1e-6
+
+
+def test_cusum_stat_matches_bruteforce_on_fixture(spark, sf_dir):
+    """Fixture parity a third way (pandas): per event_type the argmax
+    row and exact statistic match an O(n) float-free recompute."""
+    out = {r["event_type"]: r for r in ts.cusum_changepoints(spark, sf_dir).collect()}
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e = e.sort_values(["ts", "event_id"])
+    for et, g in e.groupby("event_type"):
+        v = (g["value"] * ts._CUSUM_SCALE).round().astype("int64").to_numpy()
+        n = len(v)
+        prefix = np.cumsum(v)
+        i = np.arange(1, n + 1)
+        d = n * prefix - i * v.sum()
+        absd = np.abs(d)
+        k = int(np.argmax(absd))  # first occurrence == earliest tie
+        r = out[et]
+        assert r["cp_index"] == k + 1
+        assert r["n_events"] == n
+        assert abs(r["cusum_stat"] - round(absd[k] / n / ts._CUSUM_SCALE, 6)) < 1e-9
