@@ -805,7 +805,162 @@ ORDER BY query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of hybrid retrieval (round 14): the standard
+# way a RAG/search stack combines a sparse (BM25) and a dense
+# (embedding) retriever — fuse the two TOP-N LISTS by
+# score(d) = Σ_lists 1/(K + rank_list(d)), K=60 (Cormack et al.).
+#
+# Exactness discipline: both rankings are INTEGER-keyed so the lists
+# (and hence every rank) are engine-identical.
+# * dense: int8-style quantized dot product — round(x·64) per
+#   component (×64 is a power of two, so x·64 is float-EXACT and its
+#   rounding is deterministic on both engines), then a pure BIGINT
+#   dot against query vector 0. Quantized retrieval is the production
+#   technique, not a test shim.
+# * sparse: per-doc BM25 total in fixed point — the already
+#   oracle-exact per-(doc, term) bm25 doubles, each independently
+#   rounded to a BIGINT at 1e6, then summed exactly (no float
+#   association order).
+# The fused score adds exactly TWO doubles in one scalar expression
+# (no SUM aggregate), so even the float part is bit-identical.
+#
+# 100 TB shape: each retriever is its own top-N — the dense side is a
+# broadcast-query quantized-dot scan into TakeOrderedAndProject (O(N)
+# memory, never a global sort); the sparse side inherits bm25_scores'
+# single-pruned-scan shape. Fusion then joins two N-row lists — the
+# whole RRF stage is bounded by N regardless of corpus size, exactly
+# like a production fusion layer over per-retriever candidate lists.
+# ---------------------------------------------------------------------------
+RRF_K = 60
+RRF_POOL = 100  # per-retriever list depth
+RRF_TOP = 20
+_Q8_SCALE = 64  # power of two: x*64 is exact in binary floating point
+
+
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from burla_spark.plans.llm import bm25_scores
+
+    e = load_vectors(spark, sf_dir)
+    quant = lambda col: F.transform(  # noqa: E731
+        col, lambda x: F.round(x.cast("double") * _Q8_SCALE).cast("long")
+    )
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select(quant(F.col("embedding")).alias("qv"))
+    )
+    dot_q = F.aggregate(
+        F.zip_with("cv", "qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dense_top = (
+        e.filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), quant(F.col("embedding")).alias("cv"))
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", dot_q.alias("dense_score"))
+        .orderBy(F.desc("dense_score"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    wd = Window.orderBy(F.desc("dense_score"), F.asc("doc_id"))
+    dense = dense_top.select(
+        "doc_id", F.row_number().over(wd).cast("long").alias("dense_rank")
+    )
+    sparse_top = (
+        bm25_scores(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.round(F.col("bm25") * 1_000_000).cast("long").alias("bm25_fp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bm25_fp").alias("sparse_fp"))
+        .orderBy(F.desc("sparse_fp"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    ws = Window.orderBy(F.desc("sparse_fp"), F.asc("doc_id"))
+    sparse = sparse_top.select(
+        "doc_id", F.row_number().over(ws).cast("long").alias("sparse_rank")
+    )
+    fused = dense.join(sparse, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("sparse_rank")), F.lit(0.0)
+    )
+    return (
+        fused.select("doc_id", "dense_rank", "sparse_rank", rrf.alias("__rrf"))
+        .orderBy(F.desc("__rrf"), F.asc("doc_id"))
+        .limit(RRF_TOP)
+        .select(
+            "doc_id",
+            "dense_rank",
+            "sparse_rank",
+            (F.round(F.col("__rrf"), 6) + F.lit(0.0)).alias("rrf_score"),
+        )
+    )
+
+
+def _rrf_sql() -> str:
+    from burla_spark.plans.llm import BM25_SQL
+
+    return f"""
+WITH i(i) AS (SELECT UNNEST(generate_series(1, {DIM}))),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dense_scored AS (
+  SELECT c.vec_id AS doc_id,
+    SUM(CAST(ROUND(CAST(q.qe[i.i] AS DOUBLE) * {_Q8_SCALE}) AS BIGINT)
+      * CAST(ROUND(CAST(c.embedding[i.i] AS DOUBLE) * {_Q8_SCALE}) AS BIGINT))
+      AS dense_score
+  FROM embeddings c, q, i
+  WHERE c.vec_id IS NOT NULL AND c.vec_id != 0
+  GROUP BY 1
+),
+dense AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY dense_score DESC, doc_id) AS dense_rank
+  FROM dense_scored
+  ORDER BY dense_score DESC, doc_id LIMIT {RRF_POOL}
+),
+bm AS ({BM25_SQL}),
+sparse_scored AS (
+  SELECT doc_id,
+         SUM(CAST(ROUND(bm25 * 1000000) AS BIGINT)) AS sparse_fp
+  FROM bm GROUP BY 1
+),
+sparse AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY sparse_fp DESC, doc_id) AS sparse_rank
+  FROM sparse_scored
+  ORDER BY sparse_fp DESC, doc_id LIMIT {RRF_POOL}
+),
+fused AS (
+  SELECT COALESCE(dense.doc_id, sparse.doc_id) AS doc_id,
+         CAST(dense.dense_rank AS BIGINT) AS dense_rank,
+         CAST(sparse.sparse_rank AS BIGINT) AS sparse_rank,
+         COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + dense.dense_rank), CAST(0 AS DOUBLE))
+           + COALESCE(1.0 / ({RRF_K} + sparse.sparse_rank), 0.0) AS rrf
+  FROM dense FULL OUTER JOIN sparse ON dense.doc_id = sparse.doc_id
+)
+SELECT doc_id, dense_rank, sparse_rank,
+       ROUND(rrf, 6) + 0.0 AS rrf_score
+FROM fused
+ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+"""
+
+
+RRF_SQL = _rrf_sql()
+
+
 SPECS = [
+    QuerySpec(
+        "rrf_hybrid_retrieval",
+        rrf_hybrid_retrieval,
+        RRF_SQL,
+        ("ann", "retrieval", "fusion"),
+        doc="Reciprocal-rank fusion of an int8-quantized dense top-100 "
+        "and a fixed-point BM25 top-100 — engine-exact hybrid "
+        "retrieval (round 14).",
+    ),
     QuerySpec(
         "hard_negative_mining",
         hard_negative_mining,

@@ -1080,7 +1080,143 @@ FROM ranked WHERE rk = 1 ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (round 14): the conversion-credit view a
+# marketing/analytics stack runs — for every purchase, find the FIRST
+# and LAST touch event (view/click/signup) of the same user inside a
+# 6-hour lookback, and credit the purchase (count + value) to that
+# touch type under both models; purchases with no in-window touch
+# roll up as 'direct'. Complements funnel_conversion (fixed ordered
+# stages) with the window-scoped credit-assignment semantics.
+#
+# Exactness: the touch identity is packed into ONE BIGINT —
+# ts_µs·4096 + event_id % 4096 — so MIN/MAX over the range frame is
+# pure integer arithmetic on both engines (headroom: 2024-era µs
+# ≈ 1.7e15, ×4096 ≈ 7e18 < int64 max; the residual event_id%4096
+# collision needs two distinct same-user touches in the same
+# MICROsecond with ids 4096 apart — and exact duplicate rows, the
+# replayed-ingest shape, encode identically by construction). Credited
+# value is cent fixed-point.
+#
+# 100 TB shape: ONE user-keyed window pass (both MIN and MAX share the
+# frame), a map-side explode to the two models, and one
+# (user, touch_key)-keyed decode join whose right side is the distinct
+# touch set — no per-purchase scan of history, no self-join over the
+# events table. Output bounded by models × touch-type domain.
+# ---------------------------------------------------------------------------
+_ATTR_LOOKBACK_US = 6 * 3600 * 1_000_000  # 6-hour attribution window
+_ATTR_TOUCHES = ("click", "signup", "view")
+
+
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v_fp"),
+        F.when(
+            F.col("event_type").isin(*_ATTR_TOUCHES),
+            F.unix_micros("ts") * 4096 + F.col("event_id") % 4096,
+        ).alias("touch_key"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_ATTR_LOOKBACK_US, -1)
+    )
+    scanned = base.select(
+        "user_id",
+        "event_type",
+        "v_fp",
+        F.min("touch_key").over(wr).alias("first_key"),
+        F.max("touch_key").over(wr).alias("last_key"),
+    )
+    conv = (
+        scanned.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "v_fp",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("first_touch").alias("model"),
+                        F.col("first_key").alias("key"),
+                    ),
+                    F.struct(
+                        F.lit("last_touch").alias("model"),
+                        F.col("last_key").alias("key"),
+                    ),
+                )
+            ).alias("m"),
+        )
+        .select("user_id", "v_fp", "m.model", "m.key")
+    )
+    touches = base.filter(F.col("touch_key").isNotNull()).select(
+        "user_id",
+        F.col("touch_key").alias("key"),
+        F.col("event_type").alias("touch_type"),
+    ).distinct()
+    return (
+        conv.join(touches, ["user_id", "key"], "left")
+        .groupBy("model", F.coalesce("touch_type", F.lit("direct")).alias("touch_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            (
+                F.round(F.sum("v_fp").cast("double") / 100, 6) + F.lit(0.0)
+            ).alias("credited_value"),
+        )
+        .orderBy("model", "touch_type")
+    )
+
+
+_ATTR_TOUCH_LIST = ", ".join(f"'{t}'" for t in _ATTR_TOUCHES)
+ATTRIBUTION_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS v_fp,
+         CASE WHEN event_type IN ({_ATTR_TOUCH_LIST})
+              THEN epoch_us(ts) * 4096 + event_id % 4096 END AS touch_key
+  FROM events
+), scanned AS (
+  SELECT user_id, event_type, v_fp,
+         MIN(touch_key) OVER w AS first_key,
+         MAX(touch_key) OVER w AS last_key
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN {_ATTR_LOOKBACK_US} PRECEDING
+                         AND 1 PRECEDING)
+), conv AS (
+  SELECT user_id, v_fp, 'first_touch' AS model, first_key AS key
+  FROM scanned WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, v_fp, 'last_touch' AS model, last_key AS key
+  FROM scanned WHERE event_type = 'purchase'
+), touches AS (
+  SELECT DISTINCT user_id, touch_key AS key, event_type AS touch_type
+  FROM base WHERE touch_key IS NOT NULL
+)
+SELECT conv.model, COALESCE(t.touch_type, 'direct') AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       ROUND(CAST(SUM(conv.v_fp) AS DOUBLE) / 100, 6) + 0.0
+         AS credited_value
+FROM conv LEFT JOIN touches t
+  ON t.user_id = conv.user_id AND t.key = conv.key
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "multi_touch_attribution",
+        multi_touch_attribution,
+        ATTRIBUTION_SQL,
+        ("timeseries", "analytics", "window"),
+        doc="First/last-touch conversion credit inside a 6h lookback — "
+        "integer-packed touch identity, one window pass + decode join "
+        "(round 14).",
+    ),
     QuerySpec(
         "cusum_changepoints",
         cusum_changepoints,

@@ -200,6 +200,11 @@ QUERIES = [
     # l-diversity (two stacked aggregates over one scan).
     "cusum_changepoints", "cms_frequency_sketch",
     "adamic_adar_link_scores", "l_diversity_audit",
+    # round 14: hybrid retrieval (quantized-dot corpus scan into
+    # TakeOrdered + bm25's pruned scan; the fusion stage is bounded by
+    # the two 100-row lists) and attribution (one user-keyed range
+    # window + a distinct-touch decode join).
+    "rrf_hybrid_retrieval", "multi_touch_attribution",
 ]
 # Deliberately excluded: interval_overlap_join — replicating a FIXED
 # time window multiplies temporal density, and interval-overlap OUTPUT

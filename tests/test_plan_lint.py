@@ -35,6 +35,8 @@ BNLJ_OK = {
     "q22_idle_customers",  # 1-row global-avg-balance broadcast
     "q15_top_supplier",  # 1-row max-revenue broadcast
     "bm25_scores",  # 1-row (n_docs, avgdl) corpus-stats broadcast
+    "rrf_hybrid_retrieval",  # 1-row quantized query vector broadcast
+    # (+ inherits bm25_scores' 1-row stats broadcast on its sparse arm)
     "unigram_logprob_scores",  # 1-row total-token-count broadcast
     "temperature_mixture_weights",  # 1-row (tok_total, z) normalizer broadcast
     "embedding_pq_topk",  # query-set LUT broadcast × codes scan (ADC contract)
@@ -320,6 +322,7 @@ GLOBAL_WINDOW_OK = {
     "q13_count_distribution",  # distribution over distinct order counts (bounded)
     "error_rate_spikes",  # trailing-mean frame over 10-min BUCKETED counts (O(time-range))
     "curriculum_length_phases",  # cum-hist over DISTINCT token lengths (bounded domain)
+    "rrf_hybrid_retrieval",  # row_number over the two LIMIT-100 retriever lists
 }
 
 _GLOBAL_WINDOW_RE = re.compile(

@@ -146,3 +146,45 @@ def test_cusum_stat_matches_bruteforce_on_fixture(spark, sf_dir):
         assert r["cp_index"] == k + 1
         assert r["n_events"] == n
         assert abs(r["cusum_stat"] - round(absd[k] / n / ts._CUSUM_SCALE, 6)) < 1e-9
+
+
+def test_attribution_matches_bruteforce(spark, sf_dir):
+    """Per-purchase replay in pandas: earliest/latest in-window touch
+    per purchase, credit rolled up per (model, touch_type) — must
+    equal the windowed-plan output exactly."""
+    out = {
+        (r["model"], r["touch_type"]): (r["n_conversions"], r["credited_value"])
+        for r in ts.multi_touch_attribution(spark, sf_dir).collect()
+    }
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e["ts_us"] = e["ts"].astype("datetime64[us]").astype("int64")
+    expect: dict[tuple[str, str], list[int]] = {}
+    for uid, g in e.groupby("user_id"):
+        g = g.sort_values("ts_us")
+        touches = g[g["event_type"].isin(ts._ATTR_TOUCHES)]
+        for p in g[g["event_type"] == "purchase"].itertuples():
+            lo = p.ts_us - ts._ATTR_LOOKBACK_US
+            w = touches[(touches["ts_us"] >= lo) & (touches["ts_us"] < p.ts_us)]
+            v_fp = int(round(p.value * 100))
+            if len(w) == 0:
+                picks = {"first_touch": "direct", "last_touch": "direct"}
+            else:
+                key = w["ts_us"] * 4096 + w["event_id"] % 4096
+                picks = {
+                    "first_touch": w.loc[key.idxmin(), "event_type"],
+                    "last_touch": w.loc[key.idxmax(), "event_type"],
+                }
+            for model, ttype in picks.items():
+                agg = expect.setdefault((model, ttype), [0, 0])
+                agg[0] += 1
+                agg[1] += v_fp
+    assert set(out) == set(expect)
+    for k, (n, v_fp) in expect.items():
+        assert out[k][0] == n, (k, out[k], n)
+        assert abs(out[k][1] - round(v_fp / 100, 6)) < 1e-9
+    # both models must be non-degenerate AND actually differ somewhere
+    # (vacuity guard: the 6h window makes first != last for some user)
+    first = {t: n for (m, t), (n, _) in expect.items() if m == "first_touch"}
+    last = {t: n for (m, t), (n, _) in expect.items() if m == "last_touch"}
+    assert first != last
+    assert "direct" in first and len(first) > 1

@@ -252,3 +252,74 @@ def test_bpe_empty_corpus_schema(spark, tmp_path):
     out = sem.bpe_train_merges(spark, d)
     assert out.columns == ["step", "pair", "weighted_count"]
     assert out.count() == 0
+
+
+def test_rrf_fusion_matches_bruteforce(spark, sf_dir):
+    """Third-way check: both retriever rankings and the fused top-20
+    recomputed in numpy/pandas — int8-quantized dot, fixed-point BM25
+    totals, exact 1/(K+r) fusion."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from burla_spark.plans.ann_oracle import (
+        RRF_K,
+        RRF_POOL,
+        RRF_TOP,
+        _Q8_SCALE,
+        rrf_hybrid_retrieval,
+    )
+    from burla_spark.plans.llm import BM25_TERMS
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb[emb["vec_id"].notna()]
+    vecs = {
+        int(r.vec_id): np.round(np.array(r.embedding, dtype=np.float64) * _Q8_SCALE).astype(np.int64)
+        for r in emb.itertuples()
+    }
+    qv = vecs[0]
+    dense_scores = sorted(
+        ((int(np.dot(v, qv)), i) for i, v in vecs.items() if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:RRF_POOL]
+    dense_rank = {i: r + 1 for r, (_, i) in enumerate(dense_scores)}
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    n_docs = len(docs)
+    toks = docs["text"].str.strip().str.lower().str.split()
+    avgdl = float(np.mean([len(t) for t in docs["text"].str.strip().str.split()]))
+    tf: dict[tuple[int, str], int] = {}
+    dl: dict[int, int] = {}
+    for doc_id, t in zip(docs["doc_id"], toks):
+        dl[doc_id] = len(t)
+        for term in t:
+            if term in BM25_TERMS:
+                tf[(doc_id, term)] = tf.get((doc_id, term), 0) + 1
+    df_ = {term: sum(1 for (d, tm) in tf if tm == term) for term in BM25_TERMS}
+    sparse_fp: dict[int, int] = {}
+    for (d, term), f in tf.items():
+        idf = math.log(1.0 + (n_docs - df_[term] + 0.5) / (df_[term] + 0.5))
+        bm = idf * f * 2.2 / (f + 1.2 * (1.0 - 0.75 + 0.75 * dl[d] / avgdl))
+        sparse_fp[d] = sparse_fp.get(d, 0) + round(round(bm, 6) * 1_000_000)
+    sparse_top = sorted(sparse_fp.items(), key=lambda t: (-t[1], t[0]))[:RRF_POOL]
+    sparse_rank = {d: r + 1 for r, (d, _) in enumerate(sparse_top)}
+
+    fused = {}
+    for d in set(dense_rank) | set(sparse_rank):
+        fused[d] = (1.0 / (RRF_K + dense_rank[d]) if d in dense_rank else 0.0) + (
+            1.0 / (RRF_K + sparse_rank[d]) if d in sparse_rank else 0.0
+        )
+    expect = sorted(fused.items(), key=lambda t: (-t[1], t[0]))[:RRF_TOP]
+
+    out = rrf_hybrid_retrieval(spark, sf_dir).collect()
+    assert len(out) == len(expect) == RRF_TOP
+    for r, (d, score) in zip(out, expect):
+        assert r["doc_id"] == d
+        assert r["dense_rank"] == dense_rank.get(d)
+        assert r["sparse_rank"] == sparse_rank.get(d)
+        assert abs(r["rrf_score"] - round(score, 6)) < 1e-9
+    # fusion must be doing real work: the fused top-20 is not just
+    # either single list's top-20 (vacuity guard)
+    assert [r["doc_id"] for r in out] != [i for _, i in dense_scores[:RRF_TOP]]
+    assert [r["doc_id"] for r in out] != [d for d, _ in sparse_top[:RRF_TOP]]
