@@ -500,15 +500,35 @@ def journal_finish(
 ) -> None:
     """Write the job's raw result rows as parquet, then flip the
     manifest to done — order matters: a 'done' manifest guarantees the
-    results table is complete."""
+    results table is complete.
+
+    ``result_rows`` is either a pyarrow Table (the Arrow collect path)
+    or a list of Rows/tuples (repack/GPU row paths). Both write via a
+    direct pyarrow parquet write on the driver: the rows are already
+    driver-local, so the old ``spark.createDataFrame(rows).write``
+    round-trip (per-row re-serialization through the JVM + a one-task
+    Spark job) was pure overhead — ~30 s of it at a million results."""
+    import pyarrow.parquet as pq
+
     base = _journal_dir(spark, journal_dir)
-    out = os.path.join(base, job_id, "results.parquet")
-    spark.createDataFrame(result_rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(out)
+    ddir = os.path.join(base, job_id)
+    os.makedirs(ddir, exist_ok=True)
+    out = os.path.join(ddir, "results.parquet")
+    from burla_spark.rpm import result_table_from_tuples
+
+    tbl = (
+        result_rows
+        if hasattr(result_rows, "num_rows")
+        else result_table_from_tuples([tuple(r) for r in result_rows])
+    )
+    if os.path.isdir(out):  # an older Spark-written directory layout
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+    pq.write_table(tbl, out)
     _write_manifest(
         base, job_id,
-        {"job_id": job_id, "status": "done", "n_results": len(result_rows),
+        {"job_id": job_id, "status": "done", "n_results": tbl.num_rows,
          "finished_at": time.time()},
     )
     _cleanup_run_artifacts(base, job_id)
@@ -612,11 +632,17 @@ def fetch_results(
             f"job {job_id} failed before journaling results: "
             f"{manifest.get('error_type')}: {manifest.get('error_msg')}"
         )
-    from burla_spark.rpm import materialize_results
+    from burla_spark.rpm import materialize_results_arrow
 
-    rows = spark.read.parquet(os.path.join(base, job_id, "results.parquet")).collect()
-    rows.sort(key=lambda r: r.idx)  # journal order is file order — normalize
-    return materialize_results(rows, stdout_sink)
+    # direct pyarrow read (no Spark job, no Row materialization):
+    # handles both the single-file layout journal_finish writes now and
+    # the directory layout older Spark-written journals used.
+    import pyarrow.parquet as pq
+
+    path = os.path.join(base, job_id, "results.parquet")
+    tbl = pq.read_table(path)
+    tbl = tbl.sort_by("idx")  # journal order is file order — normalize
+    return materialize_results_arrow(tbl, stdout_sink)
 
 
 class ProcessDetachedJob:

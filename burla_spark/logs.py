@@ -113,6 +113,33 @@ def decode_result_row(frame: bytes) -> tuple:
     return (idx, bool(is_error), *fields)
 
 
+def encode_result_batch(rows: list[tuple]) -> bytes:
+    """Pack several result rows into ONE wire frame (struct-encoded,
+    still no pickle at the transport layer): u32 row count, then each
+    row as u32 length + its encode_result_row bytes. Batching matters
+    because the result channel is per-ROW otherwise — a million small
+    results means a million ~15 µs socket sends; batched it's a few
+    thousand."""
+    parts = [_LEN.pack(len(rows))]
+    for tup in rows:
+        raw = encode_result_row(tup)
+        parts.append(_LEN.pack(len(raw)))
+        parts.append(raw)
+    return b"".join(parts)
+
+
+def decode_result_batch(frame: bytes) -> list[tuple]:
+    (count,) = _LEN.unpack_from(frame)
+    off = _LEN.size
+    rows = []
+    for _ in range(count):
+        (n,) = _LEN.unpack_from(frame, off)
+        off += _LEN.size
+        rows.append(decode_result_row(frame[off : off + n]))
+        off += n
+    return rows
+
+
 def once_per_index(sink: Callable[[int, str], None]) -> Callable[[int, str], None]:
     """Wrap an (idx, text) sink so only the FIRST delivery per input
     index goes through. Task retries and speculative runs re-push

@@ -49,6 +49,41 @@ RESULT_SCHEMA = (
     "error_type string, error_msg string, error_tb string, error_pkl binary"
 )
 
+# Types whose plain-pickle form is environment-independent (no module
+# references that could be missing on the other side of the boundary,
+# no by-value class shipping needed). For these, C-speed pickle.dumps
+# replaces cloudpickle.dumps — ~12x cheaper per object (measured 0.25 s
+# vs 2.97 s per million small ints), and the driver-side input loop is
+# SERIAL, so at a million inputs this is seconds of dispatch latency.
+_FAST_PICKLE_TYPES = frozenset(
+    (int, float, str, bytes, bool, type(None))
+)
+
+
+def _fast_dumps(cp, obj):
+    """cloudpickle-compatible dumps with a plain-pickle fast path for
+    scalars and flat tuples/lists of scalars. Anything else (closures,
+    locally-defined classes, numpy scalars, nested containers) takes
+    the cloudpickle path exactly as before — same bytes semantics on
+    load, only the serializer speed differs."""
+    t = type(obj)
+    if t in _FAST_PICKLE_TYPES:
+        return pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    if (t is tuple or t is list) and all(
+        type(e) in _FAST_PICKLE_TYPES for e in obj
+    ):
+        return pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    return cp.dumps(obj)
+
+
+# Rows per wire frame on the completion-order result channel (see
+# _stream_results.push_partition's flush policy). Measured at 1M
+# results on local[32]: 256-row frames + a 4-deep batch queue stalled
+# the single selector thread on queue puts (4.8 s vs 2.2 s at 100k);
+# 2048-row frames with a >=2-deep queue hold the per-row driver cost
+# to the consumer's own unpickle loop.
+_STREAM_BATCH_ROWS = 2048
+
 
 class _SkipAck(Exception):
     """Internal: abort a partial-ack write (job already terminal)."""
@@ -256,7 +291,7 @@ def _make_udf(
                             text = ""  # delivered live — don't re-deliver with the row
                         out["idx"].append(int(idx))
                         out["is_error"].append(False)
-                        out["payload"].append(result_pickler.dumps(result))
+                        out["payload"].append(_fast_dumps(result_pickler, result))
                         out["stdout"].append(text)
                         out["error_type"].append(None)
                         out["error_msg"].append(None)
@@ -628,6 +663,87 @@ def _ram_parallelism_cap(spark: SparkSession, func_ram) -> int:
         return 1 << 30
 
 
+def result_table_from_tuples(tuples, schema=None):
+    """Build a pyarrow Table in RESULT_SCHEMA column order from raw
+    result tuples/Rows (columnar construction — no per-row Spark
+    conversion)."""
+    import pyarrow as pa
+
+    cols = list(zip(*tuples)) if tuples else [[] for _ in range(8)]
+    names = [
+        "idx", "is_error", "payload", "stdout",
+        "error_type", "error_msg", "error_tb", "error_pkl",
+    ]
+    if schema is None:
+        schema = pa.schema(
+            [
+                ("idx", pa.int64()),
+                ("is_error", pa.bool_()),
+                ("payload", pa.binary()),
+                ("stdout", pa.string()),
+                ("error_type", pa.string()),
+                ("error_msg", pa.string()),
+                ("error_tb", pa.string()),
+                ("error_pkl", pa.binary()),
+            ]
+        )
+    arrays = [
+        pa.array(list(col), type=schema.field(name).type)
+        for col, name in zip(cols, names)
+    ]
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def materialize_results_arrow(tbl, stdout_sink=None, _deliver=None) -> list:
+    """Columnar twin of :func:`materialize_results` for results held as
+    a pyarrow Table (the collect and journal-fetch paths): identical
+    user-facing semantics — per-row stdout delivery in row order,
+    first error row re-raised with original-type fidelity, payloads
+    unpickled — but the common all-clean case runs as two vectorized
+    column scans instead of a million Row-attribute reads."""
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    if n == 0:
+        return []
+    has_err = pc.any(tbl.column("is_error")).as_py()
+    so = tbl.column("stdout")
+    has_stdout = bool(
+        pc.any(pc.not_equal(so.fill_null(""), "")).as_py()
+    )
+    if not has_err and not has_stdout:
+        return [pickle.loads(p) for p in tbl.column("payload").to_pylist()]
+    if _deliver is not None:
+        # live collect path: share the caller's once-per-index sink so
+        # row-carried stdout dedups against LIVE TCP deliveries too.
+        deliver = _deliver
+    else:
+        from burla_spark.logs import once_per_index
+
+        sink = stdout_sink if stdout_sink is not None else (
+            lambda idx, text: sys.stdout.write(text)
+        )
+        deliver = once_per_index(sink)
+    idxs = tbl.column("idx").to_pylist()
+    errs = tbl.column("is_error").to_pylist()
+    stdouts = so.to_pylist()
+    payloads = tbl.column("payload").to_pylist()
+    out = []
+    for i in range(n):
+        if stdouts[i]:
+            deliver(idxs[i], stdouts[i])
+        if errs[i]:
+            raise _rehydrate_error(
+                tbl.column("error_pkl")[i].as_py(),
+                tbl.column("error_type")[i].as_py(),
+                tbl.column("error_msg")[i].as_py(),
+                tbl.column("error_tb")[i].as_py(),
+                idxs[i],
+            )
+        out.append(pickle.loads(payloads[i]))
+    return out
+
+
 def materialize_results(rows, stdout_sink=None) -> list:
     """Turn raw RESULT_SCHEMA rows into the user-facing result list:
     deliver any undelivered stdout (deduped by input index), re-raise
@@ -686,7 +802,7 @@ def _stream_results(spark, result_df, handle, log_server, n_expected):
     import threading
     import uuid
 
-    from burla_spark.logs import MessageStreamServer, decode_result_row
+    from burla_spark.logs import MessageStreamServer, decode_result_batch
 
     try:
         host = spark.conf.get("spark.driver.host", None) or "127.0.0.1"
@@ -698,12 +814,16 @@ def _stream_results(spark, result_df, handle, log_server, n_expected):
         # block inside their tasks: end-to-end backpressure with no
         # extra protocol. The depth only bounds DRIVER memory;
         # throughput is unaffected while the consumer keeps up.
+        # Frames carry BATCHES of rows (up to _STREAM_BATCH_ROWS), so
+        # the queue is sized in batches to keep the same row bound.
         depth = int(spark.conf.get("spark.burla.streamQueueDepth", "1024"))
-        q: "_queue.Queue" = _queue.Queue(maxsize=max(1, depth))
+        q: "_queue.Queue" = _queue.Queue(
+            maxsize=max(2, depth // _STREAM_BATCH_ROWS)
+        )
         res_server: "MessageStreamServer | None" = None
 
         def sink(frame: bytes) -> None:
-            item = decode_result_row(frame)
+            item = decode_result_batch(frame)
             while True:
                 try:
                     q.put(item, timeout=0.2)
@@ -737,27 +857,52 @@ def _stream_results(spark, result_df, handle, log_server, n_expected):
     max_msg = MAX_INPUT_SIZE_BYTES + 10_000_000
 
     def push_partition(rows):
-        from burla_spark.logs import MessageStreamClient, encode_result_row
+        import time as _time
+
+        from burla_spark.logs import MessageStreamClient, encode_result_batch
 
         client = MessageStreamClient(*addr, max_msg=max_msg)
-        try:
-            for row in rows:
-                tup = (
-                    row.idx,
-                    row.is_error,
-                    bytes(row.payload) if row.payload is not None else None,
-                    row.stdout,
-                    row.error_type,
-                    row.error_msg,
-                    row.error_tb,
-                    bytes(row.error_pkl) if row.error_pkl is not None else None,
-                )
-                if not client.send_frame(encode_result_row(tup)):
+        # Rows are BATCHED per frame: per-row frames cost a socket send
+        # each (~15 µs × a million results dominated this path). The
+        # flush policy keeps completion-order latency: flush when the
+        # buffer hits _STREAM_BATCH_ROWS / ~1 MB, or when >20 ms passed
+        # since the last flush (slow per-input functions therefore
+        # still deliver each result promptly; fast bursts amortize).
+        buf: list[tuple] = []
+        buf_bytes = 0
+        last_flush = _time.monotonic()
+
+        def flush():
+            nonlocal buf, buf_bytes, last_flush
+            if buf:
+                if not client.send_frame(encode_result_batch(buf)):
                     # fail the task so Spark retries it — the driver
                     # dedups replayed indices.
                     raise RuntimeError(
                         "result-stream push to driver failed; task will retry"
                     )
+                buf = []
+                buf_bytes = 0
+            last_flush = _time.monotonic()
+
+        try:
+            for row in rows:
+                payload = bytes(row.payload) if row.payload is not None else None
+                epkl = bytes(row.error_pkl) if row.error_pkl is not None else None
+                buf.append(
+                    (
+                        row.idx, row.is_error, payload, row.stdout,
+                        row.error_type, row.error_msg, row.error_tb, epkl,
+                    )
+                )
+                buf_bytes += (len(payload) if payload else 0) + 64
+                if (
+                    len(buf) >= _STREAM_BATCH_ROWS
+                    or buf_bytes >= 1_000_000
+                    or _time.monotonic() - last_flush > 0.02
+                ):
+                    flush()
+            flush()
         finally:
             client.close()
 
@@ -814,16 +959,18 @@ def _stream_results(spark, result_df, handle, log_server, n_expected):
                         "result stream stalled after job completion: "
                         f"{len(seen)}/{n_expected} results delivered"
                     ) from None
-                if msg[0] == "__done__":
-                    done = True
+                if not isinstance(msg, list):
+                    if msg[0] == "__done__":
+                        done = True
+                    elif msg[0] == "__fail__":
+                        raise msg[1]
                     continue
-                if msg[0] == "__fail__":
-                    raise msg[1]
-                row = _ResultRow(msg)
-                if row.idx in seen:  # task-retry replay
-                    continue
-                seen.add(row.idx)
-                yield handle(row)
+                for tup in msg:  # one decoded batch frame
+                    row = _ResultRow(tup)
+                    if row.idx in seen:  # task-retry replay
+                        continue
+                    seen.add(row.idx)
+                    yield handle(row)
         finally:
             # cancel BEFORE tearing down the listener: abandonment or
             # an error row must stop the action, not strand tasks whose
@@ -982,10 +1129,12 @@ def remote_parallel_map(
         else:
             rows = []
             for i, item in enumerate(inputs):
-                # cloudpickle (not plain pickle): inputs may be
-                # locally-defined classes/closures, exactly like the
-                # reference's input path.
-                blob = cp.dumps(item)
+                # cloudpickle semantics (inputs may be locally-defined
+                # classes/closures, exactly like the reference's input
+                # path) with the plain-pickle fast path for scalar
+                # payloads — this loop is serial driver work on the
+                # dispatch critical path.
+                blob = _fast_dumps(cp, item)
                 if len(blob) > MAX_INPUT_SIZE_BYTES:
                     raise InputTooBig(
                         f"input {i} pickles to {len(blob)} bytes "
@@ -1053,12 +1202,57 @@ def remote_parallel_map(
     import pandas as pd
 
     def _build_result_df(rows_slice, parts):
-        wave_pdf = pd.DataFrame(
-            {"idx": [r[0] for r in rows_slice], "payload": [r[1] for r in rows_slice]}
+        # createDataFrame over a pyarrow Table makes ONE partition per
+        # Arrow batch, and the batch size is the session's
+        # arrow.maxRecordsPerBatch — so slicing the transfer into
+        # exactly ``parts`` batches lands the input frame
+        # pre-partitioned at the target width and the old
+        # ``.repartition(parts)`` round-robin Exchange (a full shuffle
+        # + sort of every payload byte, guide §2.4) disappears.
+        # Driver-side contiguous slicing spreads rows evenly by
+        # construction. Building the Table directly also skips the
+        # pandas object-frame detour (measured 7.3 s of pd.DataFrame
+        # construction at 1M inputs). Fall back to the pandas +
+        # repartition path only when a chunk would risk oversized
+        # Arrow batches (payload-heavy inputs; a plain binary Arrow
+        # column caps at 2 GiB).
+        n_rows = len(rows_slice)
+        chunk = -(-n_rows // max(parts, 1)) if n_rows else 1
+        total_bytes = sum(len(r[1]) for r in rows_slice)
+        oversized = (
+            n_rows > 0
+            and (
+                (total_bytes / n_rows) * chunk > (1 << 30)
+                or total_bytes > int(1.5 * (1 << 30))
+            )
         )
-        wave_df = spark.createDataFrame(
-            wave_pdf, "idx long, payload binary"
-        ).repartition(parts)
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        if oversized:
+            wave_pdf = pd.DataFrame(
+                {
+                    "idx": [r[0] for r in rows_slice],
+                    "payload": [r[1] for r in rows_slice],
+                }
+            )
+            wave_df = spark.createDataFrame(
+                wave_pdf, "idx long, payload binary"
+            ).repartition(parts)
+        else:
+            import pyarrow as pa
+
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array([r[0] for r in rows_slice], type=pa.int64()),
+                    pa.array([r[1] for r in rows_slice], type=pa.binary()),
+                ],
+                names=["idx", "payload"],
+            )
+            prev = spark.conf.get(key)
+            try:
+                spark.conf.set(key, str(chunk))
+                wave_df = spark.createDataFrame(tbl, "idx long, payload binary")
+            finally:
+                spark.conf.set(key, prev)
         return wave_df.mapInPandas(
             _make_udf(
                 function_pkl,
@@ -1120,7 +1314,11 @@ def remote_parallel_map(
             # under the GPU profile (the job is submitted through the
             # RDD so withResources can attach the profile).
             return result_df.rdd.withResources(gpu_profile).collect()
-        return result_df.collect()
+        # Arrow collect (guide §6 "Arrow for driver transfers"): the
+        # result frame comes back as columnar batches instead of a
+        # million JVM Row -> Python Row conversions; downstream
+        # materialization is vectorized (materialize_results_arrow).
+        return result_df.toArrow()
 
     def collect_rows():
         import contextlib as _ctx
@@ -1134,7 +1332,10 @@ def remote_parallel_map(
             return _run_collect()
 
     def collect_all():
-        return [handle(row) for row in collect_rows()]
+        out = collect_rows()
+        if isinstance(out, list):  # repack / GPU paths still collect rows
+            return [handle(row) for row in out]
+        return materialize_results_arrow(out, _deliver=deliver)
 
     if detach:
         # Journal the detached job (reference job_watcher.py:259,294-301
@@ -1208,17 +1409,30 @@ def remote_parallel_map(
                     pass
                 raise
             stop_beat.set()
-            all_rows = list(rows_out) + done_tuples
+            if isinstance(rows_out, list):  # repack/GPU row path
+                all_rows = list(rows_out) + done_tuples
+            else:  # pyarrow Table from the Arrow collect
+                all_rows = rows_out
+                if done_tuples:
+                    import pyarrow as pa
+
+                    all_rows = pa.concat_tables(
+                        [rows_out, result_table_from_tuples(
+                            done_tuples, schema=rows_out.schema
+                        )]
+                    )
             try:
                 # error rows journal too — fetch_results re-raises them
                 # with the same fidelity a live call would have.
                 jobs.journal_finish(spark, job_id, all_rows, RESULT_SCHEMA, jdir)
             except Exception:  # noqa: BLE001
                 pass
-            return [
-                handle(row if not isinstance(row, tuple) else _ResultRow(row))
-                for row in all_rows
-            ]
+            if isinstance(all_rows, list):
+                return [
+                    handle(row if not isinstance(row, tuple) else _ResultRow(row))
+                    for row in all_rows
+                ]
+            return materialize_results_arrow(all_rows, _deliver=deliver)
 
         bg = jobs.submit(spark, journaled_action, tag=job_id)
         bg.job_id = job_id
