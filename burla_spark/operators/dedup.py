@@ -402,6 +402,13 @@ def minhash_lsh_pairs(
             )
         banded = banded.filter(F.col("__bsz") <= max_bucket).drop("__bsz")
 
+    if max_bucket is None:
+        # capped runs materialize sigs via the dropped-stats collect
+        # above; the uncapped path must fill the persist eagerly too,
+        # or the self-join + verify branches launch as concurrent jobs
+        # that race to compute the signature pipeline several times.
+        sigs.count()
+
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (
@@ -828,6 +835,16 @@ def _prefix_filter_candidates(
             F.transform("sg", lambda s: s["gram"]).alias("grams"),
             F.size("sg").alias("n"),
         )
+        # ranked fans into FOUR plan branches (both sides of the
+        # prefix-gram self-join via ``pre`` + both verify join-backs in
+        # every caller), and the branches materialize as independent
+        # broadcast-exchange jobs that each recompute the whole
+        # explode → df-count → join → sort pipeline (none of the
+        # subtrees canonicalize identically, so Catalyst's exchange
+        # reuse never fires). An EAGER localCheckpoint computes it once
+        # and truncates the lineage — the production shape is writing
+        # the ranked-gram table once and letting every consumer scan it.
+        .localCheckpoint(eager=True)
     )
     pre = ranked.select(
         "pid",

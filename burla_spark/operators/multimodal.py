@@ -316,6 +316,13 @@ def hamming_neardup_pairs(
         .select(F.col(id_col).alias("__id"), F.col(bands_col).alias("__bands"))
         .persist()
     )
+    # materialize the persist NOW: the four downstream branches launch
+    # as concurrent broadcast-exchange jobs, and each one that finds
+    # the cache unfilled recomputes the whole upstream decode/hash
+    # pipeline in parallel (measured: the audio fingerprint pipeline
+    # ran 3-4x concurrently, all of it redundant). One cheap count
+    # fills the cache before any branch can race it.
+    s.count()
     exploded = s.select(
         "__id", F.posexplode("__bands").alias("__k", "__bv")
     )
@@ -414,6 +421,10 @@ def hamming_neardup_incremental(
         .select(F.col(id_col).alias("__id"), F.col(bands_col).alias("__bands"))
         .persist()
     )
+    # fill the persist before the branches fan out (same race as
+    # hamming_neardup_pairs: concurrent downstream jobs would each
+    # re-run the batch's hash pipeline against an unfilled cache).
+    n.count()
     idx = index_sigs.filter(F.col(bands_col).isNotNull()).select(
         F.col(id_col).alias("__id"), F.col(bands_col).alias("__bands")
     )

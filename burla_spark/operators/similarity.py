@@ -1030,6 +1030,10 @@ def embedding_neardup_pairs(
         df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__vec")),
         "__vec", num_planes, num_tables, dim,
     ).persist()
+    # fill the persist before the self-join: its two exchange stages
+    # are submitted concurrently and would otherwise race to compute
+    # the plane-projection pipeline twice against an unfilled cache.
+    sig.count()
     l, r = sig.alias("l"), sig.alias("r")
     # candidate ids only — carrying vectors through the pair join +
     # dedup shuffle would move |pairs|×2 vectors; ids are 16 bytes.
