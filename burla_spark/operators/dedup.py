@@ -835,17 +835,20 @@ def _prefix_filter_candidates(
             F.transform("sg", lambda s: s["gram"]).alias("grams"),
             F.size("sg").alias("n"),
         )
-        # ranked fans into FOUR plan branches (both sides of the
-        # prefix-gram self-join via ``pre`` + both verify join-backs in
-        # every caller), and the branches materialize as independent
-        # broadcast-exchange jobs that each recompute the whole
-        # explode → df-count → join → sort pipeline (none of the
-        # subtrees canonicalize identically, so Catalyst's exchange
-        # reuse never fires). An EAGER localCheckpoint computes it once
-        # and truncates the lineage — the production shape is writing
-        # the ranked-gram table once and letting every consumer scan it.
-        .localCheckpoint(eager=True)
     )
+    # ranked fans into FOUR plan branches (both sides of the
+    # prefix-gram self-join via ``pre`` + both verify join-backs in
+    # every caller), and the branches materialize as independent
+    # broadcast-exchange jobs that each recompute the whole
+    # explode → df-count → join → sort pipeline (none of the subtrees
+    # canonicalize identically, so Catalyst's exchange reuse never
+    # fires). Spill-to-parquet computes it once and truncates the
+    # lineage — the production shape is writing the ranked-gram table
+    # once and letting every consumer scan it — and unlike
+    # localCheckpoint leaves ZERO pinned RDDs behind (the consumers are
+    # lazy, so a checkpoint pin here is unreleasable by the operator —
+    # the r3 leak class the cache-release tests assert against).
+    ranked = _spill_to_temp_parquet(ranked, "prefix_ranked")
     pre = ranked.select(
         "pid",
         "n",

@@ -116,13 +116,16 @@ def _ngram_jaccard_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.transform("grams", lambda s: F.xxhash64(s)).alias("grams"),
         F.expr("size(grams) div 8").alias("band"),
+    )
     # g fans into the candidate stage AND both verify join-backs; the
     # verify sides build as broadcast-exchange jobs that would each
     # re-tokenize + re-hash the corpus (no canonical subtree match, so
-    # no exchange reuse). Eager localCheckpoint = compute once, every
-    # branch scans the materialized gram table (the write-once artifact
-    # shape this build has at production scale anyway).
-    ).localCheckpoint(eager=True)
+    # no exchange reuse). Spill-to-parquet = compute once, every branch
+    # scans the materialized gram table (the write-once artifact shape
+    # this build has at production scale anyway) — and zero pinned
+    # RDDs, unlike a localCheckpoint whose pin the lazy consumers make
+    # unreleasable (cache-lifecycle contract, test_degraded_sweep).
+    g = dd._spill_to_temp_parquet(g, "ngram_grams")
     cand, _ = dd._prefix_filter_candidates(
         g, "doc_id", "grams", 0.4, block_cols=("source", "band")
     )
