@@ -225,6 +225,97 @@ DHASH_BAND_BITS = 16
 DHASH_N_BANDS = 4  # 64-bit dHash → 4 × 16-bit bands
 
 
+def _pack_bands_np(bits):
+    """(rows, 64) comparison-bit matrix → (rows, 4) int band values
+    (one 16-bit little-endian-bit-order integer per band — the packing
+    every fingerprint in this module shares)."""
+    import numpy as np
+
+    w = np.int64(1) << np.arange(DHASH_BAND_BITS, dtype=np.int64)
+    return (
+        bits.astype(np.int64).reshape(-1, DHASH_N_BANDS, DHASH_BAND_BITS) * w
+    ).sum(axis=2)
+
+
+def image_bands_np(payloads, width: int = 9, height: int = 8):
+    """Batch dHash: list of image payload bytes → list of 4-int band
+    lists (None for NULL/undecodable payloads). Decode (stdlib codec)
+    → nearest-resize to ``width×height`` → integer gray → one bit per
+    horizontally-adjacent pair. Shared by the column operator
+    (:func:`image_dhash_bands`) and the fused generate+hash map stages
+    in plans/llm.py — one source of truth for the hash math."""
+    import numpy as np
+
+    from burla_spark.operators import imagecodec as ic
+
+    out: list[list[int] | None] = [None] * len(payloads)
+    rows, keep = [], []
+    for k, p in enumerate(payloads):
+        if p is None:
+            continue
+        arr = ic.decode_rgb(bytes(p))
+        if arr is None:
+            continue
+        small = ic.resize_nearest(arr, width, height).astype(np.int64)
+        gray = small.sum(axis=2) // 3
+        rows.append((gray[:, :-1] > gray[:, 1:]).reshape(-1))
+        keep.append(k)
+    if rows:
+        bands = _pack_bands_np(np.stack(rows))
+        for r, k in enumerate(keep):
+            out[k] = bands[r].tolist()
+    return out
+
+
+def audio_bands_np(payloads, window: int = 256, n_windows: int = 65):
+    """Batch acoustic fingerprint: list of raw 16-bit-LE PCM payloads →
+    list of 4-int band lists (None for NULL/short payloads). Decode
+    (np.frombuffer), exact integer window energies, consecutive-energy
+    comparison bits, band pack — vectorized across the batch; 1024-row
+    chunks bound the (rows, window*n_windows) int64 temporaries."""
+    import numpy as np
+
+    need = window * n_windows * 2
+    ok = [k for k, p in enumerate(payloads) if p is not None and len(p) >= need]
+    out: list[list[int] | None] = [None] * len(payloads)
+    for lo in range(0, len(ok), 1024):
+        idx = ok[lo : lo + 1024]
+        mat = np.empty((len(idx), n_windows * window), dtype=np.int64)
+        for r, k in enumerate(idx):
+            mat[r] = np.frombuffer(bytes(payloads[k])[:need], dtype="<i2")
+        e = (mat.reshape(len(idx), n_windows, window) ** 2).sum(axis=2)
+        bands = _pack_bands_np(e[:, 1:] > e[:, :-1])
+        for r, k in enumerate(idx):
+            out[k] = bands[r].tolist()
+    return out
+
+
+def video_bands_np(payloads, frame_bytes: int = 256, n_frames: int = 65):
+    """Batch temporal fingerprint: list of raw gray frame-plane buffers
+    → list of 4-int band lists (None for NULL/short payloads). Decode
+    (np.frombuffer uint8), exact integer frame sums, consecutive-frame
+    comparison bits, band pack — vectorized across the batch."""
+    import numpy as np
+
+    need = frame_bytes * n_frames
+    ok = [k for k, p in enumerate(payloads) if p is not None and len(p) >= need]
+    out: list[list[int] | None] = [None] * len(payloads)
+    for lo in range(0, len(ok), 4096):
+        idx = ok[lo : lo + 4096]
+        mat = np.empty((len(idx), need), dtype=np.uint8)
+        for r, k in enumerate(idx):
+            mat[r] = np.frombuffer(bytes(payloads[k])[:need], dtype=np.uint8)
+        s = (
+            mat.reshape(len(idx), n_frames, frame_bytes)
+            .astype(np.int64)
+            .sum(axis=2)
+        )
+        bands = _pack_bands_np(s[:, 1:] > s[:, :-1])
+        for r, k in enumerate(idx):
+            out[k] = bands[r].tolist()
+    return out
+
+
 def image_dhash_bands(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -250,35 +341,13 @@ def image_dhash_bands(
 
     @pandas_udf("array<int>")
     def dh(payloads: pd.Series) -> pd.Series:
-        import numpy as np
+        return pd.Series(image_bands_np(payloads.tolist(), width, height))
 
-        from burla_spark.operators import imagecodec as ic
-
-        out = []
-        for p in payloads:
-            if p is None:
-                out.append(None)
-                continue
-            arr = ic.decode_rgb(bytes(p))
-            if arr is None:
-                out.append(None)
-                continue
-            small = ic.resize_nearest(arr, width, height).astype(np.int64)
-            gray = small.sum(axis=2) // 3
-            flat = (gray[:, :-1] > gray[:, 1:]).reshape(-1)
-            out.append(
-                [
-                    int(
-                        (
-                            flat[k * DHASH_BAND_BITS : (k + 1) * DHASH_BAND_BITS]
-                            << np.arange(DHASH_BAND_BITS)
-                        ).sum()
-                    )
-                    for k in range(DHASH_N_BANDS)
-                ]
-            )
-        return pd.Series(out)
-
+    # non-deterministic (guide §4.4 shape): callers filter on the
+    # UDF-computed bands column, and the pushed-down filter otherwise
+    # DUPLICATES the decode+hash — measured 2× evaluations (10000 calls
+    # for 5000 payloads) before this flag.
+    dh = dh.asNondeterministic()
     return df.select(F.col(id_col), dh(F.col(payload_col)).alias("bands"))
 
 
@@ -526,33 +595,13 @@ def audio_energy_fingerprint(
         raise ValueError("fingerprint needs n_windows-1 == 64 bits")
     from pyspark.sql.functions import pandas_udf
 
-    need = window * n_windows * 2
-
     @pandas_udf("array<int>")
     def fp(payloads: pd.Series) -> pd.Series:
-        import numpy as np
+        return pd.Series(audio_bands_np(payloads.tolist(), window, n_windows))
 
-        out = []
-        for p in payloads:
-            if p is None or len(p) < need:
-                out.append(None)
-                continue
-            s = np.frombuffer(bytes(p)[:need], dtype="<i2").astype(np.int64)
-            e = (s.reshape(n_windows, window) ** 2).sum(axis=1)
-            bits = e[1:] > e[:-1]
-            out.append(
-                [
-                    int(
-                        (
-                            bits[k * DHASH_BAND_BITS : (k + 1) * DHASH_BAND_BITS]
-                            << np.arange(DHASH_BAND_BITS)
-                        ).sum()
-                    )
-                    for k in range(DHASH_N_BANDS)
-                ]
-            )
-        return pd.Series(out)
-
+    # non-deterministic: see image_dhash_bands — stops filter pushdown
+    # from duplicating the decode+fingerprint evaluation.
+    fp = fp.asNondeterministic()
     return df.select(F.col(id_col), fp(F.col(pcm_col)).alias("bands"))
 
 
@@ -581,35 +630,11 @@ def video_temporal_fingerprint(
         raise ValueError("fingerprint needs n_frames-1 == 64 bits")
     from pyspark.sql.functions import pandas_udf
 
-    need = frame_bytes * n_frames
-
     @pandas_udf("array<int>")
     def fp(payloads: pd.Series) -> pd.Series:
-        import numpy as np
+        return pd.Series(video_bands_np(payloads.tolist(), frame_bytes, n_frames))
 
-        out = []
-        for p in payloads:
-            if p is None or len(p) < need:
-                out.append(None)
-                continue
-            a = (
-                np.frombuffer(bytes(p)[:need], dtype=np.uint8)
-                .astype(np.int64)
-                .reshape(n_frames, frame_bytes)
-            )
-            s = a.sum(axis=1)
-            bits = s[1:] > s[:-1]
-            out.append(
-                [
-                    int(
-                        (
-                            bits[k * DHASH_BAND_BITS : (k + 1) * DHASH_BAND_BITS]
-                            << np.arange(DHASH_BAND_BITS)
-                        ).sum()
-                    )
-                    for k in range(DHASH_N_BANDS)
-                ]
-            )
-        return pd.Series(out)
-
+    # non-deterministic: see image_dhash_bands — stops filter pushdown
+    # from duplicating the decode+fingerprint evaluation.
+    fp = fp.asNondeterministic()
     return df.select(F.col(id_col), fp(F.col(frames_col)).alias("bands"))

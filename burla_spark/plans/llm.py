@@ -2869,13 +2869,22 @@ ORDER BY doc_id, frame_no
 # DEDUP, the §2.C family's missing action — training pipelines dedup
 # images too, and until now the multimodal surface was analysis-only.
 # ---------------------------------------------------------------------------
-def _image_blob_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _image_blob_frame(
+    spark: SparkSession, sf_dir: str, bands: bool = False
+) -> DataFrame:
     """Deterministic 18×16 PNG payload per document — the image-tier
     fixture generator shared by image_dhash_neardup (in-plan), the
     parquet-scanned variant, and the incremental spec: pixels are
     closed-form in the group leader's md5(text)-derived 56-bit seed +
     the member's variant (v=1..3 perturb one source pixel, flipping
-    ≤2 dHash bits vs the leader). Returns (doc_id, payload binary)."""
+    ≤2 dHash bits vs the leader). Returns (doc_id, payload binary).
+
+    ``bands=True`` fuses generate → PNG encode → PNG decode → dHash
+    into the SAME map stage and returns (doc_id, bands array<int>)
+    instead: one python operator per task rather than two, and the PNG
+    bytes never cross the JVM boundary (the codec round-trip — the
+    thing the spec proves — still runs in full, via the shared
+    operators/multimodal.image_bands_np)."""
     import pandas as pd
 
     from burla_spark.operators.dedup import md5_60bit_hash
@@ -2891,7 +2900,17 @@ def _image_blob_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaders = d.select(
         F.col("doc_id").alias("leader_id"), md5_60bit_hash(F.col("text")).alias("seed")
     ).distinct()
-    seeded = members.join(leaders, "leader_id").select("doc_id", "v", "seed")
+    # spread the (doc_id, v, seed) proxy across the executor cores
+    # BEFORE the per-payload python stage: the proxy is ~24 bytes/row
+    # (cheap to shuffle at any scale), but AQE coalesces the tiny join
+    # output to ONE partition, which would serialize the PNG
+    # encode/decode work on a single core (measured: the whole
+    # gen+hash pipeline ran as 1 task on local[32]).
+    seeded = (
+        members.join(leaders, "leader_id")
+        .select("doc_id", "v", "seed")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
     def gen(batches):
         import numpy as np
@@ -2908,16 +2927,27 @@ def _image_blob_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = xx * 31 + yy * 17 + cc * 7
         shifts = (8 * ((xx // 2) % 8)).astype(np.int64)
         for b in batches:
-            payloads = []
-            for v, seed in zip(b["v"], b["seed"]):
-                px = base + ((np.int64(seed) >> shifts) & 255)
-                if v >= 1:
-                    px = px.copy()
-                    px[2 * (int(v) - 1), 2, :] += 128
-                payloads.append(ic.encode_png((px % 256).astype(np.uint8)))
-            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+            seeds = b["seed"].to_numpy(np.int64)
+            vs = b["v"].to_numpy(np.int64)
+            # one vectorized pass builds every pixel tensor in the
+            # batch ((n,16,18,3) int64 ≈ 7 KB/row); only the PNG
+            # encode — inherently per-payload — stays in the loop.
+            px = base[None] + ((seeds[:, None, None, None] >> shifts[None]) & 255)
+            pert = np.nonzero(vs >= 1)[0]
+            px[pert, 2 * (vs[pert] - 1), 2, :] += 128
+            u8 = (px % 256).astype(np.uint8)
+            payloads = [ic.encode_png(u8[r]) for r in range(len(seeds))]
+            if bands:
+                from burla_spark.operators.multimodal import image_bands_np
 
-    return seeded.mapInPandas(gen, "doc_id long, payload binary")
+                yield pd.DataFrame(
+                    {"doc_id": b["doc_id"], "bands": image_bands_np(payloads)}
+                )
+            else:
+                yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    schema = "doc_id long, bands array<int>" if bands else "doc_id long, payload binary"
+    return seeded.mapInPandas(gen, schema)
 
 
 # Session-lifetime modality pair-table caches (same build-once contract
@@ -2973,8 +3003,11 @@ def image_dhash_neardup(
     from burla_spark.operators import multimodal as mm
 
     def build() -> DataFrame:
-        blobs = _image_blob_frame(spark, sf_dir)
-        sigs = mm.image_dhash_bands(blobs, "doc_id", "payload")
+        # fused generate→encode→decode→hash map stage (bands=True): one
+        # python operator per task, PNG bytes never cross the JVM
+        # boundary — the hash math is the same shared image_bands_np
+        # the column operator uses.
+        sigs = _image_blob_frame(spark, sf_dir, bands=True)
         return mm.hamming_neardup_pairs(
             sigs, "doc_id", "bands", max_hamming=3, max_bucket=max_bucket
         )
@@ -3031,29 +3064,48 @@ def audio_fingerprint_neardup(
     leaders = d.select(
         F.col("doc_id").alias("leader_id"), md5_60bit_hash(F.col("text")).alias("seed")
     ).distinct()
-    seeded = members.join(leaders, "leader_id").select("doc_id", "v", "seed")
+    # spread the ~24-byte/row proxy before the python synthesis stage
+    # (same single-task coalesce as the image tier — see
+    # _image_blob_frame).
+    seeded = (
+        members.join(leaders, "leader_id")
+        .select("doc_id", "v", "seed")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
     def gen(batches):
         import numpy as np
+
+        from burla_spark.operators.multimodal import audio_bands_np
 
         W, NW = 256, 65
         i = np.arange(W * NW, dtype=np.int64)
         shifts = (8 * ((i // W) % 8)).astype(np.int64)
         for b in batches:
-            payloads = []
-            for v, seed in zip(b["v"], b["seed"]):
-                bb = (np.int64(seed) >> shifts) & 255
-                s = (i * 7 + bb * 13) % 251 - 125
-                if v >= 1:
-                    w = 2 * (int(v) - 1)
-                    s = s.copy()
-                    s[w * W : (w + 1) * W] += 50
-                payloads.append(s.astype("<i2").tobytes())
-            yield pd.DataFrame({"doc_id": b["doc_id"], "pcm": payloads})
+            doc_ids = b["doc_id"].to_numpy()
+            seeds = b["seed"].to_numpy(np.int64)
+            vs = b["v"].to_numpy(np.int64)
+            payloads: list[bytes] = []
+            # vectorize sample synthesis across rows; 256-row chunks
+            # bound the (rows, 16640) int64 temporaries to ~34 MB.
+            for lo in range(0, len(seeds), 256):
+                v_c = vs[lo : lo + 256]
+                bb = (seeds[lo : lo + 256, None] >> shifts[None, :]) & 255
+                s = (i[None, :] * 7 + bb * 13) % 251 - 125
+                pert = np.nonzero(v_c >= 1)[0]
+                s3 = s.reshape(len(v_c), NW, W)
+                s3[pert, 2 * (v_c[pert] - 1), :] += 50
+                pcm = s.astype("<i2")
+                payloads.extend(pcm[r].tobytes() for r in range(len(v_c)))
+            # fused synthesize→decode→fingerprint: the PCM bytes are
+            # really round-tripped (tobytes above, np.frombuffer in
+            # audio_bands_np) but never cross the JVM boundary.
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "bands": audio_bands_np(payloads, W, NW)}
+            )
 
     def build() -> DataFrame:
-        clips = seeded.mapInPandas(gen, "doc_id long, pcm binary")
-        sigs = mm.audio_energy_fingerprint(clips, "doc_id", "pcm")
+        sigs = seeded.mapInPandas(gen, "doc_id long, bands array<int>")
         return mm.hamming_neardup_pairs(
             sigs, "doc_id", "bands", max_hamming=3, max_bucket=max_bucket
         )
@@ -3159,10 +3211,19 @@ def video_fingerprint_neardup(
     leaders = d.select(
         F.col("doc_id").alias("leader_id"), md5_60bit_hash(F.col("text")).alias("seed")
     ).distinct()
-    seeded = members.join(leaders, "leader_id").select("doc_id", "v", "seed")
+    # spread the ~24-byte/row proxy before the python synthesis stage
+    # (same single-task coalesce as the image tier — see
+    # _image_blob_frame).
+    seeded = (
+        members.join(leaders, "leader_id")
+        .select("doc_id", "v", "seed")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
     def gen(batches):
         import numpy as np
+
+        from burla_spark.operators.multimodal import video_bands_np
 
         H = W = 16
         NF, FRAME = 65, H * W
@@ -3172,19 +3233,30 @@ def video_fingerprint_neardup(
         base = x * 3 + y * 5 + f * 11
         shifts = (8 * (f % 8)).astype(np.int64)
         for b in batches:
-            payloads = []
-            for v, seed in zip(b["v"], b["seed"]):
-                p = (base + ((np.int64(seed) >> shifts) & 255)) % 256
-                if v >= 1:
-                    w = 2 * (int(v) - 1)
-                    p = p.copy()
-                    p[w] = (p[w] + 30) % 256
-                payloads.append(p.astype(np.uint8).tobytes())
-            yield pd.DataFrame({"doc_id": b["doc_id"], "frames": payloads})
+            doc_ids = b["doc_id"].to_numpy()
+            seeds = b["seed"].to_numpy(np.int64)
+            vs = b["v"].to_numpy(np.int64)
+            payloads: list[bytes] = []
+            # vectorize frame synthesis across rows in 256-row chunks
+            # (~34 MB of (rows, 65, 256) int64 temporaries per chunk).
+            for lo in range(0, len(seeds), 256):
+                v_c = vs[lo : lo + 256]
+                p = (
+                    base[None]
+                    + ((seeds[lo : lo + 256, None, None] >> shifts[None]) & 255)
+                ) % 256
+                pert = np.nonzero(v_c >= 1)[0]
+                w = 2 * (v_c[pert] - 1)
+                p[pert, w, :] = (p[pert, w, :] + 30) % 256
+                u8 = p.astype(np.uint8)
+                payloads.extend(u8[r].tobytes() for r in range(len(v_c)))
+            # fused synthesize→decode→fingerprint (see the audio tier).
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "bands": video_bands_np(payloads, FRAME, NF)}
+            )
 
     def build() -> DataFrame:
-        clips = seeded.mapInPandas(gen, "doc_id long, frames binary")
-        sigs = mm.video_temporal_fingerprint(clips, "doc_id", "frames")
+        sigs = seeded.mapInPandas(gen, "doc_id long, bands array<int>")
         return mm.hamming_neardup_pairs(
             sigs, "doc_id", "bands", max_hamming=3, max_bucket=max_bucket
         )
@@ -3320,6 +3392,20 @@ ORDER BY id_a, id_b
 _IMAGE_BLOBS_CACHE: dict[str, DataFrame] = {}
 
 
+def _spread_small_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Spread a SMALL scan across the executor cores before a
+    per-payload python decode stage. The fixture blob table is a
+    handful of MB in a couple of parquet files, so the scan yields 1-2
+    input splits and the decode — whose cost is per-ROW, not per-byte
+    — would serialize on 1-2 cores. Only fires when the scan is
+    narrower than the cluster (at production scale a media table scan
+    is already thousands of splits and this is a no-op)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p, key)
+    return df
+
+
 def _image_blobs_scanned(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _IMAGE_BLOBS_CACHE.get(sf_dir)
     if df is None or df.sparkSession is not spark:
@@ -3350,7 +3436,7 @@ def image_dhash_neardup_scanned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from burla_spark.operators import multimodal as mm
 
     def build() -> DataFrame:
-        blobs = _image_blobs_scanned(spark, sf_dir)
+        blobs = _spread_small_scan(_image_blobs_scanned(spark, sf_dir))
         sigs = mm.image_dhash_bands(blobs, "doc_id", "payload")
         return mm.hamming_neardup_pairs(sigs, "doc_id", "bands", max_hamming=3)
 
@@ -3372,8 +3458,10 @@ def _hamming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         from burla_spark.operators.dedup import _spill_to_temp_parquet
         from burla_spark.plans.mlprep import _HASH_MOD, _affine_hash
 
-        base = _image_blobs_scanned(spark, sf_dir).filter(
-            _affine_hash(F.col("doc_id")) >= F.lit(_HASH_MOD // 5)
+        base = _spread_small_scan(
+            _image_blobs_scanned(spark, sf_dir).filter(
+                _affine_hash(F.col("doc_id")) >= F.lit(_HASH_MOD // 5)
+            )
         )
         df = _spill_to_temp_parquet(
             mm.image_dhash_bands(base, "doc_id", "payload"), "hamming_index"
@@ -3408,8 +3496,10 @@ def incremental_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from burla_spark.operators import multimodal as mm
     from burla_spark.plans.mlprep import _HASH_MOD, _affine_hash
 
-    new = _image_blobs_scanned(spark, sf_dir).filter(
-        _affine_hash(F.col("doc_id")) < F.lit(_HASH_MOD // 5)
+    new = _spread_small_scan(
+        _image_blobs_scanned(spark, sf_dir).filter(
+            _affine_hash(F.col("doc_id")) < F.lit(_HASH_MOD // 5)
+        )
     )
     new_sigs = mm.image_dhash_bands(new, "doc_id", "payload")
     return mm.hamming_neardup_incremental(
