@@ -79,14 +79,35 @@ def _replay_width(spark: SparkSession):
     (state-store-per-partition fixed cost dominates small replays; see
     STREAM_REPLAY_SHUFFLE_PARTITIONS), restoring the session value on
     exit — shared by every replay entry point so the contract lives in
-    one place."""
+    one place.
+
+    Also disables checkpoint file CHECKSUMS for the replay: Spark
+    4.1's ChecksumCheckpointFileManager (on by default) writes a
+    checksum sidecar for every state-store delta/offset file and every
+    task's store commit BLOCKS awaiting it — thread dumps showed all
+    replay tasks parked in ChecksumCancellableFSDataOutputStream.close,
+    and the stream-stream join replay ran 2.5-3x slower with it on
+    (full-outer 38.5s -> 10.4s measured). These replays write
+    throwaway per-run checkpoints whose integrity is verified by the
+    batch oracle itself, so the durability sidecar is pure overhead;
+    a production stream with a long-lived checkpoint on object storage
+    keeps the default."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ck = spark.conf.get(
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    )
     narrow = min(int(prev), STREAM_REPLAY_SHUFFLE_PARTITIONS)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(narrow))
+        spark.conf.set(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"
+        )
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled", prev_ck
+        )
 
 
 def run_stream_to_table(
