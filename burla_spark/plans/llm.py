@@ -208,8 +208,17 @@ def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.size(tx.tokens(F.col("text"))) >= 3)
     )
+    # xxhash64 the shingles before the join (same trick as
+    # _ngram_jaccard_pairs_build): 8-byte set ops instead of ~30-byte
+    # trigram strings through the explode/df-count/spill/self-join —
+    # identical Jaccard modulo 2^-64 collisions (the oracle computes it
+    # on the raw strings and parity holds).
     g = d.select(
-        "doc_id", dd.word_ngrams(tx.tokens(F.col("text")), 3).alias("grams")
+        "doc_id",
+        F.transform(
+            dd.word_ngrams(tx.tokens(F.col("text")), 3),
+            lambda s: F.xxhash64(s),
+        ).alias("grams"),
     )
     return dd.prefix_filter_jaccard_join(
         g, "doc_id", "grams", _PREFIX_JACCARD_T
