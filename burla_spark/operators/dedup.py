@@ -68,6 +68,23 @@ def _spill_to_temp_parquet(df: DataFrame, label: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def _spread_for_verify(pairs: DataFrame, *keys: str) -> DataFrame:
+    """Re-width a byte-tiny candidate-pair table before a compute-heavy
+    verify join. AQE coalesces the candidates' distinct/exchange output
+    to ONE partition (the pairs are a few bytes each), and the verify
+    joins — whose gram/vector sides broadcast — inherit that probe-side
+    partitioning, serializing the exact-similarity arithmetic on one
+    core (measured: minhash verify 4.6 s CPU in a single task at
+    sf0.1). An explicit-width repartition is exempt from AQE
+    coalescing; keyed on the verify join's own keys it also satisfies a
+    sort-merge join's distribution requirement, so no second exchange
+    appears when the verify side is too big to broadcast. Only the id
+    pairs reshuffle — never the gram arrays. Width follows the session
+    shuffle conf, so a cluster run keeps its configured scale."""
+    n = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return pairs.repartition(n, *keys)
+
+
 # ---------------------------------------------------------------------------
 # exact / normalized dedup
 # ---------------------------------------------------------------------------
@@ -423,6 +440,10 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    # the exact-Jaccard verify below is the expensive stage (set ops
+    # over full shingle arrays per candidate); spread the tiny pair
+    # table back to full width first or it runs single-task.
+    candidates = _spread_for_verify(candidates, "id_a")
 
     sh = sigs.select("doc_id", "shingles")
     verified = (
@@ -768,6 +789,7 @@ def prefix_filter_jaccard_join(
     tier: recall 1.0 by construction.
     """
     cand, ranked = _prefix_filter_candidates(docs, id_col, grams_col, threshold)
+    cand = _spread_for_verify(cand, "id_a")
     ga = ranked.select(F.col("pid").alias("id_a"), F.col("grams").alias("ga"))
     gb = ranked.select(F.col("pid").alias("id_b"), F.col("grams").alias("gb"))
     return (

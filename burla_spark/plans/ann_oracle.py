@@ -117,7 +117,14 @@ def shingle_jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         F.substring("text", 1, 40).alias("pfx"),
         shingles.alias("shingles"),
     ).filter(F.col("shingles").isNotNull())
-    a = sh.select(
+    # probe-side width: the fixture scan is 1-2 splits and the block
+    # join's build side broadcasts, so the heavy array_intersect/union
+    # verify would inherit 1-2 tasks. An explicit-width repartition on
+    # the block key (AQE never coalesces it) spreads the verify across
+    # the session's shuffle width; at production scale the scan is
+    # already wide and this exchange moves one extra pass of shingles.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = sh.repartition(n_parts, "pfx").select(
         F.col("doc_id").alias("id_a"), F.col("pfx"), F.col("shingles").alias("sh_a")
     )
     b = sh.select(

@@ -129,6 +129,10 @@ def _ngram_jaccard_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand, _ = dd._prefix_filter_candidates(
         g, "doc_id", "grams", 0.4, block_cols=("source", "band")
     )
+    # the exact-Jaccard verify is the heavy stage; re-width the tiny
+    # candidate table first (AQE coalesces it to one partition and the
+    # broadcast verify joins would inherit the single task).
+    cand = dd._spread_for_verify(cand, "id_a", "source", "band")
     # verify joins re-apply the (source, band) equality cand matched on
     # (ADVICE r13): without it, a doc_id ingested under a conflicting
     # source would fan out into cross-block row pairs the original

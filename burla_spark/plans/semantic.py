@@ -107,15 +107,29 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = assigned.select(
         "vec_id", "cluster_id", vd.alias("v"), l2_norm(vd).alias("nrm")
     )
+    # pair-stage width: with k=8 pinned clusters the cluster-keyed
+    # exchange has 8 byte-tiny partitions and AQE coalesces them to
+    # ONE, serializing the O(sum cluster²) interpreted dot products on
+    # a single core (measured: 1.7 s single-task stage at sf0.1).
+    # Salt the probe side (deterministic pmod of the id — guide rule:
+    # never rand()) and explode the build side over the salt domain:
+    # the join keys become (cluster_id, salt), an explicit-width
+    # repartition pins the width (AQE never coalesces user-numbered
+    # exchanges), and every task gets an even slice of the pair work.
+    # Pure partitioning — each pair's arithmetic is unchanged.
+    n_parts = spark.sparkContext.defaultParallelism
+    n_salt = max(1, n_parts // SEM_K) * 4
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
         "cluster_id",
+        F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int").alias("salt"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
-    )
+    ).repartition(n_parts, "cluster_id", "salt")
     b = assigned.select(
         F.col("vec_id").alias("id_b"),
         "cluster_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
@@ -130,7 +144,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.0)
     )
     pairs = (
-        a.join(b, "cluster_id")
+        a.join(b, ["cluster_id", "salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("cluster_id", "id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= SEM_TAU)

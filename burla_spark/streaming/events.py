@@ -293,20 +293,38 @@ def stream_burst_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap_us = 30 * 60 * 1_000_000
     s = events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
 
+    import numpy as np
+
     def throttle(key, pdfs, state: GroupState):
+        # this function runs once per KEY (7500 keys of ~13 rows at
+        # sf0.1): per-call pandas overhead dominates the stage, so the
+        # body is whole-group numpy — no concat for the common single
+        # chunk, vectorized sort and gap test instead of a row loop
+        # with a pd.Timestamp construction per event. Identical rule:
+        # keep an event iff no previous same-key event (kept or not)
+        # fell within the gap; last-SEEN ts is the only state.
         last_us = state.get[0] if state.exists else None
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        # chunk iteration order within a batch is not a time order —
-        # sort the whole group slice the way the batch lag does
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        keep = []
-        for ts, event_id in zip(pdf["ts"], pdf["event_id"]):
-            us = int(pd.Timestamp(ts).value) // 1000
-            keep.append(last_us is None or us - last_us > gap_us)
-            last_us = us
-        if last_us is not None:
-            state.update((int(last_us),))
-        out = pdf.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        # stable lexsort (ts, then event_id) == sort_values mergesort;
+        # NaN event_ids order last under both.
+        order = np.lexsort((pdf["event_id"].to_numpy(), ts_us))
+        ts_sorted = ts_us[order]
+        if len(ts_sorted):
+            prev = np.empty_like(ts_sorted)
+            prev[1:] = ts_sorted[:-1]
+            if last_us is None:
+                prev[0] = ts_sorted[0] - gap_us - 1  # always kept
+            else:
+                prev[0] = last_us
+            keep = (ts_sorted - prev) > gap_us
+            state.update((int(ts_sorted[-1]),))
+            out = pdf.iloc[order[keep]][
+                ["event_id", "user_id", "event_type", "ts"]
+            ]
+        else:
+            out = pdf.iloc[:0][["event_id", "user_id", "event_type", "ts"]]
         yield out
 
     kept = s.groupBy("user_id", "event_type").applyInPandasWithState(
