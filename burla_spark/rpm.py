@@ -216,6 +216,7 @@ def _make_udf(
     capture_stdout: bool,
     log_addr: tuple[str, int, bytes] | None = None,
     partial_dir: str | None = None,
+    result_addr: tuple[str, int, bytes] | None = None,
 ):
     """Build the mapInPandas worker: unpickle once per task, run each
     input, emit (idx, is_error, payload, stdout, error fields).
@@ -269,6 +270,26 @@ def _make_udf(
                     log_client = LogStreamClient(*log_addr)
                 except Exception:  # noqa: BLE001 — log channel is best-effort
                     log_client = None
+
+            # generator mode: results are pushed to the driver's stream
+            # listener STRAIGHT FROM THIS UDF — the old shape round-
+            # tripped the result frame through the JVM and re-pickled
+            # every row into a SECOND python worker (foreachPartition)
+            # just to do the same socket send (guide §4: each extra
+            # JVM<->Python hop re-serializes every payload byte).
+            # Unlike the log channel this one is NOT best-effort: a
+            # failed construction or send fails the task so Spark
+            # retries it (the driver dedups replayed indices).
+            res_client = None
+            if result_addr is not None:
+                from burla_spark.logs import (
+                    MessageStreamClient,
+                    encode_result_batch,
+                )
+
+                res_client = MessageStreamClient(
+                    *result_addr, max_msg=MAX_INPUT_SIZE_BYTES + 10_000_000
+                )
 
             fn = pickle.loads(function_pkl)
             for batch in batches:
@@ -368,10 +389,54 @@ def _make_udf(
                         _os.replace(path + ".tmp", path)  # readers never see torn acks
                     except Exception:  # noqa: BLE001 — ack log is best-effort
                         pass
+                if res_client is not None:
+                    # push this batch's rows now (completion-order
+                    # latency: a finished batch is on the wire before
+                    # the next one computes), in wire frames bounded by
+                    # _STREAM_BATCH_ROWS rows / ~1 MB of payload.
+                    buf: list[tuple] = []
+                    buf_bytes = 0
+                    for rec in zip(
+                        out["idx"], out["is_error"], out["payload"],
+                        out["stdout"], out["error_type"], out["error_msg"],
+                        out["error_tb"], out["error_pkl"],
+                    ):
+                        buf.append(rec)
+                        buf_bytes += (len(rec[2]) if rec[2] else 0) + 64
+                        if (
+                            len(buf) >= _STREAM_BATCH_ROWS
+                            or buf_bytes >= 1_000_000
+                        ):
+                            if not res_client.send_frame(
+                                encode_result_batch(buf)
+                            ):
+                                raise RuntimeError(
+                                    "result-stream push to driver failed; "
+                                    "task will retry"
+                                )
+                            buf, buf_bytes = [], 0
+                    if buf and not res_client.send_frame(
+                        encode_result_batch(buf)
+                    ):
+                        raise RuntimeError(
+                            "result-stream push to driver failed; "
+                            "task will retry"
+                        )
+                    # rows delivered over the socket — emit no frame
+                    # (the JVM side of this stage only drains empties).
+                    continue
                 yield pd.DataFrame(out)
-            if log_client is not None:
-                log_client.close()
         finally:
+            # close the push sockets even on a mid-batch error: python
+            # workers are REUSED across tasks, so an unclosed socket
+            # would outlive this task.
+            try:
+                if res_client is not None:
+                    res_client.close()
+                if log_client is not None:
+                    log_client.close()
+            except Exception:  # noqa: BLE001
+                pass
             if _prior_flag is None:
                 _os.environ.pop("BURLA_SPARK_IN_WORKER", None)
             else:
@@ -780,24 +845,32 @@ class _ResultRow:
             setattr(self, name, val)
 
 
-def _stream_results(spark, result_df, handle, log_server, n_expected):
+def _stream_results(spark, build_result_df, handle, log_server, n_expected):
     """COMPLETION-ordered result generator (reference parity:
     `_remote_parallel_map.py:703-715` yields from a client-side Queue in
     the order results finish).
 
-    Each task pushes its result rows to a driver-side message listener
-    AS IT COMPUTES THEM and the generator yields from the receiving
-    queue — a result from a fast task is available while slow tasks
-    still run, so first-result latency tracks the fastest input, not
-    the slowest partition. A failed push fails the task (Spark retries
-    it; the driver dedups replayed rows by input index, mirroring the
-    reference's ack/replay exactly-once contract). The action runs
-    under a unique job tag; if the consumer abandons the generator or
-    an error row raises, the finally CANCELS the tag before closing
-    the listener — otherwise every still-running task's push would
-    fail and retry maxFailures times, re-executing user code. If the
-    listener cannot even be constructed, falls back to the
-    partition-ordered ``toLocalIterator`` path."""
+    The compute UDF itself pushes each finished batch of result rows to
+    a driver-side message listener (``build_result_df(addr)`` builds the
+    plan with the push address baked in) and the generator yields from
+    the receiving queue — a result from a fast task is available while
+    slow tasks still run, so first-result latency tracks the fastest
+    input, not the slowest partition. Pushing FROM the UDF means result
+    payloads never round-trip through the JVM: the old shape shipped
+    the result frame JVM-side and re-pickled every row into a second
+    python worker (foreachPartition) just to do the same socket send —
+    measured 7.5 s -> ~5 s at 1M results (guide §4, fewer
+    JVM<->Python crossings). A failed push fails the task (Spark
+    retries it; the driver dedups replayed rows by input index,
+    mirroring the reference's ack/replay exactly-once contract). The
+    action — a noop-sink write that merely drains the (empty) stage
+    output — runs under a unique job tag; if the consumer abandons the
+    generator or an error row raises, the finally CANCELS the tag
+    before closing the listener — otherwise every still-running task's
+    push would fail and retry maxFailures times, re-executing user
+    code. If the listener cannot even be constructed, falls back to
+    the partition-ordered ``toLocalIterator`` path over a plan built
+    WITHOUT a push address (rows come back as frames)."""
     import queue as _queue
     import threading
     import uuid
@@ -842,6 +915,7 @@ def _stream_results(spark, result_df, handle, log_server, n_expected):
     if res_server is None:  # pragma: no cover — no listener: degraded path
 
         def fallback():
+            result_df = build_result_df(None)
             try:
                 if log_server is not None:
                     log_server.__enter__()
@@ -853,59 +927,7 @@ def _stream_results(spark, result_df, handle, log_server, n_expected):
 
         return fallback()
 
-    addr = res_server.advertise
-    max_msg = MAX_INPUT_SIZE_BYTES + 10_000_000
-
-    def push_partition(rows):
-        import time as _time
-
-        from burla_spark.logs import MessageStreamClient, encode_result_batch
-
-        client = MessageStreamClient(*addr, max_msg=max_msg)
-        # Rows are BATCHED per frame: per-row frames cost a socket send
-        # each (~15 µs × a million results dominated this path). The
-        # flush policy keeps completion-order latency: flush when the
-        # buffer hits _STREAM_BATCH_ROWS / ~1 MB, or when >20 ms passed
-        # since the last flush (slow per-input functions therefore
-        # still deliver each result promptly; fast bursts amortize).
-        buf: list[tuple] = []
-        buf_bytes = 0
-        last_flush = _time.monotonic()
-
-        def flush():
-            nonlocal buf, buf_bytes, last_flush
-            if buf:
-                if not client.send_frame(encode_result_batch(buf)):
-                    # fail the task so Spark retries it — the driver
-                    # dedups replayed indices.
-                    raise RuntimeError(
-                        "result-stream push to driver failed; task will retry"
-                    )
-                buf = []
-                buf_bytes = 0
-            last_flush = _time.monotonic()
-
-        try:
-            for row in rows:
-                payload = bytes(row.payload) if row.payload is not None else None
-                epkl = bytes(row.error_pkl) if row.error_pkl is not None else None
-                buf.append(
-                    (
-                        row.idx, row.is_error, payload, row.stdout,
-                        row.error_type, row.error_msg, row.error_tb, epkl,
-                    )
-                )
-                buf_bytes += (len(payload) if payload else 0) + 64
-                if (
-                    len(buf) >= _STREAM_BATCH_ROWS
-                    or buf_bytes >= 1_000_000
-                    or _time.monotonic() - last_flush > 0.02
-                ):
-                    flush()
-            flush()
-        finally:
-            client.close()
-
+    result_df = build_result_df(res_server.advertise)
     tag = f"burla-rpm-stream-{uuid.uuid4().hex[:12]}"
 
     def put_control(msg) -> None:
@@ -925,7 +947,10 @@ def _stream_results(spark, result_df, handle, log_server, n_expected):
             # context-level tag (thread-local, like jobs.submit): lets
             # the consumer cancel the action at the DAGScheduler.
             spark.sparkContext.addJobTag(tag)
-            result_df.foreachPartition(push_partition)
+            # the UDF pushes rows itself and emits no frames; the noop
+            # sink just drains the empty stage output inside the JVM —
+            # no second python operator, no row re-pickling.
+            result_df.write.format("noop").mode("overwrite").save()
             put_control(("__done__", None))
         except BaseException as exc:  # noqa: BLE001 — relay to consumer
             put_control(("__fail__", exc))
@@ -966,11 +991,19 @@ def _stream_results(spark, result_df, handle, log_server, n_expected):
                         raise msg[1]
                     continue
                 for tup in msg:  # one decoded batch frame
-                    row = _ResultRow(tup)
-                    if row.idx in seen:  # task-retry replay
+                    idx = tup[0]
+                    if idx in seen:  # task-retry replay
                         continue
-                    seen.add(row.idx)
-                    yield handle(row)
+                    seen.add(idx)
+                    # fast path for the overwhelmingly common row shape
+                    # (no stdout to deliver, no error): skip the
+                    # attribute-adapter object and handle()'s branchwork
+                    # — at 1M results the per-row object construction
+                    # and attribute loads are driver-serial wall time.
+                    if not tup[1] and not tup[3]:  # not is_error, no stdout
+                        yield pickle.loads(tup[2])
+                    else:
+                        yield handle(_ResultRow(tup))
         finally:
             # cancel BEFORE tearing down the listener: abandonment or
             # an error row must stop the action, not strand tasks whose
@@ -1201,7 +1234,7 @@ def remote_parallel_map(
     # the row-list path (one Arrow buffer vs per-row pickling).
     import pandas as pd
 
-    def _build_result_df(rows_slice, parts):
+    def _build_result_df(rows_slice, parts, result_addr=None):
         # createDataFrame over a pyarrow Table makes ONE partition per
         # Arrow batch, and the batch size is the session's
         # arrow.maxRecordsPerBatch — so slicing the transfer into
@@ -1259,6 +1292,7 @@ def remote_parallel_map(
                 capture_stdout,
                 log_server.advertise if log_server is not None else None,
                 partial_dir=partial_path,
+                result_addr=result_addr,
             ),
             RESULT_SCHEMA,
         )
@@ -1266,7 +1300,9 @@ def remote_parallel_map(
     # repack ships inputs per wave — building (and eagerly Arrow-
     # transferring) the full-input frame here would double driver
     # memory and driver->JVM traffic for a plan the wave loop ignores.
-    result_df = None if repack else _build_result_df(rows, n_parts)
+    # The generator path builds its own plan (with the result-push
+    # address baked into the UDF) inside _stream_results.
+    result_df = None if (repack or generator) else _build_result_df(rows, n_parts)
 
     def handle(row):
         if row.stdout:
@@ -1278,7 +1314,13 @@ def remote_parallel_map(
         return pickle.loads(bytes(row.payload))
 
     if generator:
-        return _stream_results(spark, result_df, handle, log_server, len(rows))
+        return _stream_results(
+            spark,
+            lambda addr: _build_result_df(rows, n_parts, result_addr=addr),
+            handle,
+            log_server,
+            len(rows),
+        )
 
     # Wave size: WAVES_PER_WIDTH partitions-worth of inputs per wave —
     # wide enough to amortize per-job overhead, narrow enough that a

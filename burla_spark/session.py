@@ -71,6 +71,14 @@ def get_spark(
         # local mode = one JVM on the driver; give it most of the box
         # (128 GiB here) since shuffles/aggregations all live in it.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Whole-stage-codegen class cache: the default 100 entries is
+        # smaller than one pass over this engine's query inventory, so
+        # a steady-state serving workload (the same queries repeating)
+        # evicts and re-janino-compiles every plan — measured as warm
+        # re-runs costing MORE than cold (kmeans assignment with
+        # literal-centroid trees: 0.55 s cold vs 2.95 s warm). Compiled
+        # classes are KBs each; thousands fit in any driver heap.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
