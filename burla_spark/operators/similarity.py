@@ -1026,10 +1026,23 @@ def embedding_neardup_pairs(
     # projection UDF over the corpus TWICE (aliases share the plan, not
     # the computation) — same multi-consumer rule as the MinHash
     # signature path (ENGINEERING_NOTES).
-    sig = _with_table_buckets(
-        df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__vec")),
-        "__vec", num_planes, num_tables, dim,
-    ).persist()
+    # (table, bucket)-keyed explicit-width repartition BEFORE the
+    # persist: the fixture-sized corpus scans as 1-2 splits and the
+    # bucket self-join below would inherit that width, computing every
+    # within-bucket candidate pair in a single task (measured: the
+    # whole candidate stage ran one task at sf0.1). Keyed on the join
+    # keys the exchange doubles as the join's distribution; explicit
+    # width is exempt from AQE coalescing. At production scale the
+    # scan is already wide and this moves one pass of signatures.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sig = (
+        _with_table_buckets(
+            df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__vec")),
+            "__vec", num_planes, num_tables, dim,
+        )
+        .repartition(n_parts, "__table", "__bucket")
+        .persist()
+    )
     # fill the persist before the self-join: its two exchange stages
     # are submitted concurrently and would otherwise race to compute
     # the plane-projection pipeline twice against an unfilled cache.
@@ -1054,6 +1067,12 @@ def embedding_neardup_pairs(
 
     candidates = _spill_to_temp_parquet(candidates, "neardup_candidates")
     sig.unpersist()
+    # the spilled candidate table is a few MB (1-2 parquet splits) and
+    # the corpus-side joins below broadcast at fixture scale, so the
+    # exact-cosine verify would inherit 1-2 tasks; re-width the id
+    # pairs on the first verify key (same rule as dedup's
+    # _spread_for_verify — only 16-byte id pairs reshuffle).
+    candidates = candidates.repartition(n_parts, "id_a")
     # verify joins are plain shuffled equi-joins on id: the vector
     # relation is CORPUS-sized, so a broadcast hint here would build the
     # whole embedding table on the driver and every executor — the one

@@ -225,8 +225,20 @@ def process_aggregate_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    features = processed.groupBy("user_id").applyInPandas(
-        aggregate, "user_id long, n_events long, n_purchases long, total_value double"
+    # explicit-width repartition on the grouping key: the fixture-sized
+    # exchange is byte-tiny so AQE coalesces it to ONE partition and
+    # the per-user grouped-map calls (~2 ms of worker overhead each)
+    # run serially in a single task. The keyed repartition matches the
+    # groupBy's required distribution (no extra exchange) and is exempt
+    # from AQE coalescing; production-scale exchanges are never tiny.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    features = (
+        processed.repartition(n_parts, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            aggregate,
+            "user_id long, n_events long, n_purchases long, total_value double",
+        )
     )
 
     # stage 3 — predict: iterator pattern (model "loads" once/partition)
