@@ -984,21 +984,25 @@ def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         wm_us = state.getCurrentWatermarkMs() * 1000
         closed = [p for p in pending if p[1] + gap_us < wm_us]
         pending = [p for p in pending if p[1] + gap_us >= wm_us]
-        yield pd.DataFrame(
-            [
+        # most (key, batch) invocations close nothing — constructing an
+        # empty typed DataFrame per key was ~0.3 ms x 7500 keys x batch
+        # count of pure overhead (the grouped-state stage is per-key
+        # python; see OPTIMIZATION_r14). Yield only when there are rows,
+        # and build by column, not dict-per-row.
+        if closed:
+            yield pd.DataFrame(
                 {
-                    "user_id": key[0],
-                    "session_start_us": start,
-                    "session_end_us": last,
-                    "n_events": n,
-                    "session_value": (
-                        _round_decimal4_to_2dp(sv) if nv > 0 else None
-                    ),
-                }
-                for start, last, n, sv, nv in closed
-            ],
-            columns=out_cols,
-        )
+                    "user_id": [key[0]] * len(closed),
+                    "session_start_us": [p[0] for p in closed],
+                    "session_end_us": [p[1] for p in closed],
+                    "n_events": [p[2] for p in closed],
+                    "session_value": [
+                        _round_decimal4_to_2dp(p[3]) if p[4] > 0 else None
+                        for p in closed
+                    ],
+                },
+                columns=out_cols,
+            )
         if pending:
             state.update(tuple(list(col) for col in zip(*pending)))
             # fire when the watermark proves the earliest pending
