@@ -114,30 +114,92 @@ def decode_result_row(frame: bytes) -> tuple:
 
 
 def encode_result_batch(rows: list[tuple]) -> bytes:
-    """Pack several result rows into ONE wire frame (struct-encoded,
-    still no pickle at the transport layer): u32 row count, then each
-    row as u32 length + its encode_result_row bytes. Batching matters
+    """Pack several result rows into ONE wire frame — COLUMNAR
+    (struct-encoded, still no pickle at the transport layer): u32 row
+    count, the idx column as one packed i64 array, the is_error column
+    as raw bytes, then each optional field as a mode byte (0 = every
+    value None, nothing follows; 1 = packed i32 lengths with -1 for
+    None, followed by the concatenated bytes). Batching matters
     because the result channel is per-ROW otherwise — a million small
-    results means a million ~15 µs socket sends; batched it's a few
-    thousand."""
-    parts = [_LEN.pack(len(rows))]
-    for tup in rows:
-        raw = encode_result_row(tup)
-        parts.append(_LEN.pack(len(raw)))
-        parts.append(raw)
+    results means a million ~15 µs socket sends — and the columnar
+    layout matters because DECODE runs on the driver's single listener
+    thread: the row-wise layout cost ~8 python struct ops per row
+    (measured 1.57 s per million rows, driver-serial); per-column
+    unpacks cut that to a handful of C calls plus one slice per
+    non-empty value."""
+    n = len(rows)
+    parts = [_LEN.pack(n)]
+    parts.append(struct.pack(f">{n}q", *(int(r[0]) for r in rows)))
+    parts.append(bytes(1 if r[1] else 0 for r in rows))
+    for f, is_text in enumerate(_ROW_TEXT_FIELDS, start=2):
+        col = [r[f] for r in rows]
+        if all(v is None for v in col):
+            parts.append(b"\x00")
+            continue
+        parts.append(b"\x01")
+        lens: list[int] = []
+        blobs: list[bytes] = []
+        for v in col:
+            if v is None:
+                lens.append(-1)
+            else:
+                raw = v.encode("utf-8", "replace") if is_text else bytes(v)
+                lens.append(len(raw))
+                blobs.append(raw)
+        parts.append(struct.pack(f">{n}i", *lens))
+        parts.extend(blobs)
     return b"".join(parts)
 
 
 def decode_result_batch(frame: bytes) -> list[tuple]:
-    (count,) = _LEN.unpack_from(frame)
+    mv = memoryview(frame)
+    (n,) = _LEN.unpack_from(mv)
     off = _LEN.size
-    rows = []
-    for _ in range(count):
-        (n,) = _LEN.unpack_from(frame, off)
-        off += _LEN.size
-        rows.append(decode_result_row(frame[off : off + n]))
-        off += n
-    return rows
+    idxs = struct.unpack_from(f">{n}q", mv, off)
+    off += 8 * n
+    errs = tuple(map(bool, bytes(mv[off : off + n])))
+    off += n
+    cols: list = []
+    for is_text in _ROW_TEXT_FIELDS:
+        mode = mv[off]
+        off += 1
+        if mode == 0:
+            cols.append((None,) * n)
+            continue
+        lens = struct.unpack_from(f">{n}i", mv, off)
+        off += 4 * n
+        vals: list | None = None
+        if is_text:
+            if max(lens) == 0 and min(lens) == 0:
+                # common case: every stdout/error text is "" — no
+                # per-value decode calls at all
+                vals = [""] * n
+            if vals is None:
+                vals = []
+                for length in lens:
+                    if length < 0:
+                        vals.append(None)
+                    elif length == 0:
+                        vals.append("")
+                    else:
+                        vals.append(
+                            bytes(mv[off : off + length]).decode(
+                                "utf-8", "replace"
+                            )
+                        )
+                        off += length
+        else:
+            vals = []
+            for length in lens:
+                if length < 0:
+                    vals.append(None)
+                else:
+                    # slice the bytes object directly — bytes->bytes
+                    # slicing is one C call vs memoryview+copy
+                    vals.append(frame[off : off + length])
+                    off += length
+        cols.append(vals)
+    return list(zip(idxs, errs, *cols))
 
 
 def once_per_index(sink: Callable[[int, str], None]) -> Callable[[int, str], None]:

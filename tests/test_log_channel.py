@@ -43,6 +43,31 @@ def test_result_row_codec_roundtrip(row):
     assert decode_result_row(encode_result_row(row)) == row
 
 
+def test_result_batch_codec_roundtrip():
+    """Columnar batch frame (one packed array per column, mode byte 0
+    for an all-None column): every null/empty/unicode/binary shape must
+    survive, including the all-clean fast path and single/empty
+    batches."""
+    from burla_spark.logs import decode_result_batch, encode_result_batch
+
+    varied = [
+        (0, False, b"abc", "", None, None, None, None),
+        (1, True, None, "out\n", "ValueError", "boom", "tb…", b"\x00pkl"),
+        (2, False, b"", "", "", None, "x", None),
+        (3, False, b"\x00\xff", "unicode é", None, "", None, b""),
+        (2**40, False, b"big-idx", None, None, None, None, None),
+    ]
+    assert decode_result_batch(encode_result_batch(varied)) == varied
+    # all-clean fast path: empty stdout strings, all error columns None
+    clean = [
+        (i, False, pickle.dumps(i), "", None, None, None, None)
+        for i in range(300)
+    ]
+    assert decode_result_batch(encode_result_batch(clean)) == clean
+    assert decode_result_batch(encode_result_batch([varied[1]])) == [varied[1]]
+    assert decode_result_batch(encode_result_batch([])) == []
+
+
 def test_log_frame_codec_roundtrip():
     assert decode_log_frame(encode_log_frame(7, "héllo\nwörld")) == (7, "héllo\nwörld")
     assert decode_log_frame(encode_log_frame(-1, "")) == (-1, "")
