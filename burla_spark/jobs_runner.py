@@ -22,7 +22,28 @@ import sys
 import threading
 
 
+def _write_phases(journal_dir: str, job_id: str, phases: dict) -> None:
+    """Best-effort boot/phase accounting sidecar: the runner's fixed
+    cost (python start -> Spark ready) is infrastructure, not per-row
+    work — journaling it lets callers (and the bench) report it
+    separately from the job's marginal cost."""
+    import json
+    import os
+
+    path = os.path.join(journal_dir, job_id, "runner_phases.json")
+    try:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(phases, fh)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
 def main(argv: list[str] | None = None) -> int:
+    import time
+
+    phases = {"runner_start": time.time()}
     argv = list(sys.argv[1:] if argv is None else argv)
     if len(argv) != 2:
         print(
@@ -45,9 +66,25 @@ def main(argv: list[str] | None = None) -> int:
 
     threading.Thread(target=beat, daemon=True, name=f"{job_id}-boot-beat").start()
     try:
+        import os
+
         from burla_spark.session import get_spark
 
-        spark = get_spark(app_name=f"burla-detached-{job_id}")
+        # SLIM RUNNER PROFILE: the runner re-executes exactly one map
+        # job and journals its results — it does not need (and must not
+        # reserve) the submitting session's interactive-analytics heap.
+        # spark.driver.memory is a static conf, so it only applies when
+        # this process CREATES the session (always, for a fresh runner).
+        spark = get_spark(
+            app_name=f"burla-detached-{job_id}",
+            extra_conf={
+                "spark.driver.memory": os.environ.get(
+                    "SPARK_GRAFT_RUNNER_MEM", "8g"
+                ),
+            },
+        )
+        phases["spark_ready"] = time.time()
+        _write_phases(journal_dir, job_id, phases)
         if jobs.cancel_requested(spark, job_id, journal_dir):
             # canceled while the runner was booting: never submit
             jobs.journal_cancel(spark, job_id, journal_dir)
@@ -56,8 +93,11 @@ def main(argv: list[str] | None = None) -> int:
             spark, job_id, journal_dir=journal_dir, force=True,
             clear_stale_cancel=False,
         )
+        phases["job_submitted"] = time.time()
         stop.set()  # the detached machinery heartbeats from here on
         handle.result()  # block until journal_finish/fail/cancel ran
+        phases["job_done"] = time.time()
+        _write_phases(journal_dir, job_id, phases)
         return 0
     except jobs.JobCanceled:
         return 0  # clean outcome; the manifest already says canceled
